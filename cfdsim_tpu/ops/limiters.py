@@ -1,0 +1,37 @@
+"""Slope limiters for the compressible finite-volume module.
+
+Vectorized equivalents of the reference's scalar limiters:
+``minmod`` (cavity_flow_v1.py:89-93) and ``superbee``
+(v1_shock.py:77-82). These operate elementwise on whole face arrays, so a
+single call limits every interface at once (vs. the reference's
+per-interface scalar Numba calls).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def minmod(a, b):
+    """Return a if |a|<|b| and same sign, b if |b|<|a| and same sign, else 0."""
+    same = a * b > 0
+    pick_a = jnp.logical_and(jnp.abs(a) < jnp.abs(b), same)
+    pick_b = jnp.logical_and(jnp.abs(b) < jnp.abs(a), same)
+    return jnp.where(pick_a, a, jnp.where(pick_b, b, 0.0))
+
+
+def minmod3(a, b, c):
+    """Three-argument minmod (used by MUSCL reconstruction)."""
+    return minmod(a, minmod(b, c))
+
+
+def superbee(a, b):
+    """Superbee-limited delta: max(0, min(2r,1), min(r,2)) * b with r=a/b.
+
+    Parity: reference ``superbee`` v1_shock.py:77-82 (returns 0 when a·b≤0).
+    """
+    r = a / (b + 1e-10)
+    lim = jnp.maximum(
+        jnp.maximum(0.0, jnp.minimum(2.0 * r, 1.0)), jnp.minimum(r, 2.0)
+    )
+    return jnp.where(a * b <= 0, 0.0, lim * b)

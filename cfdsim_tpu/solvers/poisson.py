@@ -1,0 +1,387 @@
+"""Pressure-Poisson solvers: Jacobi, red-black SOR, geometric multigrid,
+and FFT/DCT direct solves.
+
+TPU-native replacements for the reference's pressure tier:
+
+- scipy sparse-direct + SOR fallback (reference v1.py:195-297) → FFT/DCT
+  direct solves and red-black SOR;
+- Numba red-black Gauss–Seidel with early exit
+  (``solve_pressure_gauss_seidel_fast`` v5.py:202-226) → two masked
+  half-sweeps per iteration inside a ``lax.fori_loop`` (fixed budget) or
+  ``lax.while_loop`` on a device-reduced residual norm;
+- plain Jacobi (reference v5.py:336-346 slow path) → vectorized Jacobi.
+
+Geometric multigrid (V-cycles with red-black smoothing) is the upgrade path
+the reference never had. All solvers share one convention:
+
+    solve  ∇²φ = rhs   (for Chorin projection, rhs = div(u*) / dt)
+
+φ is collocated with the velocity field, shape (ny, nx).
+
+Boundary conditions:
+
+- ``"neumann"`` (default, the standard pressure BC): every node is an
+  unknown; zero normal gradient is imposed by clamped edge padding
+  (ghost = edge value), i.e. the cell-centered mirror convention. This
+  operator is exactly diagonalized by a 2D DCT-II, which the ``"dct"``
+  direct method exploits, and it coarsens cleanly for multigrid.
+- ``"dirichlet"``: the one-node boundary frame stays fixed at φ0's edge
+  values (the reference's implicit φ=0 frame, v5.py:202-226) and only
+  interior nodes are updated.
+
+An optional boolean ``solid_mask`` freezes φ=0 inside embedded bodies
+(reference v5.py:213).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from cfdsim_tpu.ops.stencil import laplacian
+
+
+@dataclasses.dataclass(frozen=True)
+class PoissonConfig:
+    """Static configuration for the pressure solve.
+
+    method: "jacobi" | "rbsor" | "rbsor_pallas" | "mg" | "fft" | "dct"
+    iters: sweep budget (jacobi/rbsor) or number of V-cycles (mg)
+    tol: if > 0, stop early once max-residual < tol (while_loop mode,
+         reproducing the reference's early exit v5.py:224-225)
+    check_every: sweeps between residual checks in while_loop mode
+    omega: SOR relaxation factor (1.0 = Gauss-Seidel)
+    bc: "neumann" | "dirichlet" | "periodic"
+    mg_pre/mg_post: smoothing sweeps per level; mg_coarse: coarsest sweeps
+    """
+
+    method: str = "rbsor"
+    iters: int = 100
+    tol: float = 0.0
+    check_every: int = 8
+    omega: float = 1.7
+    bc: str = "neumann"
+    mg_pre: int = 2
+    mg_post: int = 2
+    mg_coarse: int = 40
+    mg_min_size: int = 4
+
+
+# ---------------------------------------------------------------------------
+# operators for the two BC conventions
+# ---------------------------------------------------------------------------
+
+def _neighbor_sum_neumann(phi, ax: float, ay: float):
+    """ax*(E+W) + ay*(N+S) with clamped edge padding (ghost = edge)."""
+    p = jnp.pad(phi, 1, mode="edge")
+    return ax * (p[1:-1, 2:] + p[1:-1, :-2]) + ay * (p[2:, 1:-1] + p[:-2, 1:-1])
+
+
+def _neighbor_sum_dirichlet(phi, ax: float, ay: float):
+    """Interior-valid neighbor sum, zero-padded back to full shape."""
+    s = ax * (phi[1:-1, 2:] + phi[1:-1, :-2]) + ay * (
+        phi[2:, 1:-1] + phi[:-2, 1:-1]
+    )
+    return jnp.pad(s, ((1, 1), (1, 1)))
+
+
+def lap_neumann(phi, dx: float, dy: float):
+    """5-point Laplacian with clamped edge padding, defined on all nodes."""
+    ax = 1.0 / (dx * dx)
+    ay = 1.0 / (dy * dy)
+    return _neighbor_sum_neumann(phi, ax, ay) - 2.0 * (ax + ay) * phi
+
+
+def _color_masks(shape, bc: str, solid_mask):
+    """(red, black) boolean masks of updatable nodes (trace-time consts)."""
+    ny, nx = shape
+    ij = np.add.outer(np.arange(ny), np.arange(nx))
+    if bc == "neumann":
+        updatable = np.ones(shape, dtype=bool)
+    else:  # dirichlet: frame is fixed
+        updatable = np.zeros(shape, dtype=bool)
+        updatable[1:-1, 1:-1] = True
+    red = jnp.asarray(((ij % 2) == 0) & updatable)
+    black = jnp.asarray(((ij % 2) == 1) & updatable)
+    if solid_mask is not None:
+        fluid = jnp.logical_not(jnp.asarray(solid_mask, dtype=bool))
+        red = jnp.logical_and(red, fluid)
+        black = jnp.logical_and(black, fluid)
+    return red, black
+
+
+def poisson_residual(phi, rhs, dx: float, dy: float, solid_mask=None, bc="neumann"):
+    """Max-abs residual |∇²φ − rhs| over updatable nodes.
+
+    This is the quantity the while_loop early exit reduces with a device-wide
+    max — the multi-chip analog is a ``lax.pmax`` over the mesh.
+    """
+    if bc == "neumann":
+        r = lap_neumann(phi, dx, dy) - rhs
+        m = jnp.ones(phi.shape, dtype=bool)
+    else:
+        r = laplacian(phi, dx, dy) - rhs
+        frame = np.zeros(phi.shape, dtype=bool)
+        frame[1:-1, 1:-1] = True
+        m = jnp.asarray(frame)
+    if solid_mask is not None:
+        m = jnp.logical_and(m, jnp.logical_not(jnp.asarray(solid_mask, bool)))
+    return jnp.max(jnp.where(m, jnp.abs(r), 0.0))
+
+
+# ---------------------------------------------------------------------------
+# smoothers
+# ---------------------------------------------------------------------------
+
+def _sweep(phi, rhs, dx: float, dy: float, colors, omega: float, bc: str):
+    """One smoothing sweep. ``colors`` is a tuple of update masks: one
+    entry → Jacobi; (red, black) → red-black Gauss–Seidel/SOR where the
+    black half reads freshly updated red values (preserving the sequential
+    ordering of the reference kernel v5.py:211-223 without its loop)."""
+    ax = 1.0 / (dx * dx)
+    ay = 1.0 / (dy * dy)
+    denom_inv = 1.0 / (2.0 * (ax + ay))
+    nb = _neighbor_sum_neumann if bc == "neumann" else _neighbor_sum_dirichlet
+    for color in colors:
+        phi_star = (nb(phi, ax, ay) - rhs) * denom_inv
+        upd = (1.0 - omega) * phi + omega * phi_star
+        phi = jnp.where(color, upd, phi)
+    return phi
+
+
+def _iterate(sweep_fn, phi, rhs, cfg: PoissonConfig, dx, dy, solid_mask):
+    """Run sweeps for a fixed budget, or until tol with periodic checks."""
+    if cfg.tol <= 0.0:
+        return jax.lax.fori_loop(0, cfg.iters, lambda _, p: sweep_fn(p), phi)
+
+    check = max(1, cfg.check_every)
+    n_chunks = max(1, cfg.iters // check)
+
+    def cond(carry):
+        p, res, i = carry
+        return jnp.logical_and(res > cfg.tol, i < n_chunks)
+
+    def body(carry):
+        p, _, i = carry
+        p = jax.lax.fori_loop(0, check, lambda _, q: sweep_fn(q), p)
+        res = poisson_residual(p, rhs, dx, dy, solid_mask, cfg.bc)
+        return p, res, i + 1
+
+    phi, _, _ = jax.lax.while_loop(
+        cond, body, (phi, jnp.asarray(jnp.inf, phi.dtype), 0)
+    )
+    return phi
+
+
+# ---------------------------------------------------------------------------
+# geometric multigrid (Neumann, cell-centered convention)
+# ---------------------------------------------------------------------------
+
+def _restrict(r):
+    """Full-weighting restriction: 2x2 block average (halves both dims)."""
+    ny, nx = r.shape
+    return r.reshape(ny // 2, 2, nx // 2, 2).mean(axis=(1, 3))
+
+
+def _prolong_axis(e, axis: int):
+    """Bilinear cell-centered prolongation along one axis: fine value at 2i
+    gets weights (3/4, 1/4) from coarse cells (i, i−1), at 2i+1 from
+    (i, i+1), with clamped ends (consistent with the Neumann operator)."""
+    n = e.shape[axis]
+    first = jax.lax.slice_in_dim(e, 0, 1, axis=axis)
+    last = jax.lax.slice_in_dim(e, n - 1, n, axis=axis)
+    lo = jnp.concatenate([first, jax.lax.slice_in_dim(e, 0, n - 1, axis=axis)], axis=axis)
+    hi = jnp.concatenate([jax.lax.slice_in_dim(e, 1, n, axis=axis), last], axis=axis)
+    a = 0.75 * e + 0.25 * lo
+    b = 0.75 * e + 0.25 * hi
+    st = jnp.stack([a, b], axis=axis + 1)
+    shape = list(e.shape)
+    shape[axis] *= 2
+    return st.reshape(shape)
+
+
+def _prolong(e):
+    """Bilinear prolongation (doubles both dims)."""
+    return _prolong_axis(_prolong_axis(e, 0), 1)
+
+
+def _mg_level_shapes(shape, min_size: int):
+    shapes = [tuple(shape)]
+    ny, nx = shape
+    while ny % 2 == 0 and nx % 2 == 0 and min(ny, nx) // 2 >= min_size:
+        ny, nx = ny // 2, nx // 2
+        shapes.append((ny, nx))
+    return shapes
+
+
+def _mg_masks(shape, solid_mask, cfg: PoissonConfig):
+    """Color/fluid masks for every multigrid level (trace-time constants)."""
+    shapes = _mg_level_shapes(shape, cfg.mg_min_size)
+    masks = [_color_masks(s, "neumann", None) for s in shapes]
+    return masks, shapes
+
+
+def _vcycle(phi, rhs, dx, dy, cfg: PoissonConfig, masks_by_level, level, n_levels):
+    colors = masks_by_level[level]
+    # plain red-black Gauss-Seidel (omega=1) is the right MG smoother;
+    # over-relaxation hurts the smoothing factor
+    sweep = partial(
+        _sweep, rhs=rhs, dx=dx, dy=dy, colors=colors, omega=1.0, bc="neumann"
+    )
+    for _ in range(cfg.mg_pre):
+        phi = sweep(phi)
+    if level == n_levels - 1:
+        for _ in range(cfg.mg_coarse):
+            phi = sweep(phi)
+        return phi
+    r = rhs - lap_neumann(phi, dx, dy)
+    r = jnp.where(jnp.logical_or(*colors), r, 0.0)  # zero inside solids
+    e_c = jnp.zeros_like(r[::2, ::2])
+    e_c = _vcycle(
+        e_c, _restrict(r), 2 * dx, 2 * dy, cfg, masks_by_level, level + 1, n_levels
+    )
+    fluid = jnp.logical_or(*colors)
+    phi = phi + jnp.where(fluid, _prolong(e_c), 0.0)
+    for _ in range(cfg.mg_post):
+        phi = sweep(phi)
+    return phi
+
+
+# ---------------------------------------------------------------------------
+# FFT / DCT direct solves
+# ---------------------------------------------------------------------------
+
+def solve_poisson_periodic_fft(rhs, dx: float, dy: float):
+    """Exact solve of the 5-point FD Poisson problem on a fully periodic
+    grid, using the discrete symbol λ(k) = (2cos(2πk/n)−2)/h² so the result
+    is consistent with the central-difference divergence/gradient operators
+    (not the continuous spectral Laplacian)."""
+    ny, nx = rhs.shape
+    kx = jnp.fft.rfftfreq(nx)
+    ky = jnp.fft.fftfreq(ny)
+    lam = (2.0 * jnp.cos(2.0 * jnp.pi * kx)[None, :] - 2.0) / (dx * dx) + (
+        2.0 * jnp.cos(2.0 * jnp.pi * ky)[:, None] - 2.0
+    ) / (dy * dy)
+    lam = lam.at[0, 0].set(1.0)
+    rhs_hat = jnp.fft.rfft2(rhs)
+    phi_hat = rhs_hat / lam
+    phi_hat = phi_hat.at[0, 0].set(0.0)
+    return jnp.fft.irfft2(phi_hat, s=(ny, nx)).astype(rhs.dtype)
+
+
+def _dct2(x, axis: int):
+    """(Unnormalized) DCT-II along ``axis`` via an even-extension FFT."""
+    n = x.shape[axis]
+    v = jnp.concatenate([x, jnp.flip(x, axis)], axis=axis)
+    V = jnp.fft.fft(v, axis=axis)
+    k = jnp.arange(n)
+    shape = [1] * x.ndim
+    shape[axis] = n
+    shift = jnp.exp(-1j * jnp.pi * k / (2 * n))
+    Vk = jax.lax.slice_in_dim(V, 0, n, axis=axis)
+    return jnp.real(shift.reshape(shape) * Vk)
+
+
+def _idct2(X, axis: int):
+    """Exact inverse of ``_dct2``: rebuild the even-extension spectrum
+    (V[k] = e^{iπk/2n}·X[k], V[n] = 0, V[2n−k] = conj(V[k])) and ifft."""
+    n = X.shape[axis]
+    k = jnp.arange(n)
+    shape = [1] * X.ndim
+    shape[axis] = n
+    head = X.astype(jnp.complex64) * jnp.exp(1j * jnp.pi * k / (2 * n)).reshape(shape)
+    zero = jnp.zeros_like(jax.lax.slice_in_dim(head, 0, 1, axis=axis))
+    tail = jnp.conj(jnp.flip(jax.lax.slice_in_dim(head, 1, n, axis=axis), axis=axis))
+    V = jnp.concatenate([head, zero, tail], axis=axis)
+    v = jnp.fft.ifft(V, axis=axis)
+    return jnp.real(jax.lax.slice_in_dim(v, 0, n, axis=axis))
+
+
+def solve_poisson_neumann_dct(rhs, dx: float, dy: float):
+    """Exact solve of the clamped-edge (Neumann) FD Poisson problem.
+
+    The mirror-about-half-sample symmetry of the clamped-edge operator makes
+    it exactly diagonal in the 2D DCT-II basis with eigenvalues
+    λ_k = (2cos(πk/n)−2)/h². The constant nullspace mode is projected out,
+    matching the iterative solvers' mean-free convention."""
+    m, n = rhs.shape
+    rhs_hat = _dct2(_dct2(rhs, axis=0), axis=1)
+    ky = jnp.arange(m)
+    kx = jnp.arange(n)
+    lam = (2.0 * jnp.cos(jnp.pi * ky / m)[:, None] - 2.0) / (dy * dy) + (
+        2.0 * jnp.cos(jnp.pi * kx / n)[None, :] - 2.0
+    ) / (dx * dx)
+    lam = lam.at[0, 0].set(1.0)
+    phi_hat = rhs_hat / lam
+    phi_hat = phi_hat.at[0, 0].set(0.0)
+    phi = _idct2(_idct2(phi_hat, axis=1), axis=0)
+    return phi.astype(rhs.dtype)
+
+
+# ---------------------------------------------------------------------------
+# entry point
+# ---------------------------------------------------------------------------
+
+def solve_poisson(
+    phi0,
+    rhs,
+    dx: float,
+    dy: float,
+    cfg: PoissonConfig = PoissonConfig(),
+    solid_mask=None,
+):
+    """Solve ∇²φ = rhs with the configured backend.
+
+    ``phi0`` warm-starts the iterative backends (the reference always cold
+    starts from zero, v5.py:330; warm starting is the cheap TPU win).
+    """
+    if cfg.method == "fft":
+        return solve_poisson_periodic_fft(rhs, dx, dy)
+
+    if cfg.method == "dct":
+        return solve_poisson_neumann_dct(rhs, dx, dy)
+
+    if cfg.method == "mg":
+        # Multigrid solves the unmasked Neumann problem. Embedded bodies are
+        # handled upstream by IBM velocity penalization (the pressure field
+        # inside the body is harmless and velocity there is forced to zero
+        # each step); a masked coarse/fine operator pair is inconsistent at
+        # the solid boundary and diverges. Use "rbsor" for the reference's
+        # masked-Poisson behavior (v5.py:213).
+        assert cfg.bc == "neumann", "multigrid supports the neumann convention"
+        assert solid_mask is None, "multigrid is unmasked; use rbsor for masks"
+        masks_by_level, _ = _mg_masks(phi0.shape, None, cfg)
+
+        def cycle(_, p):
+            return _vcycle(
+                p, rhs, dx, dy, cfg, masks_by_level, 0, len(masks_by_level)
+            )
+
+        return jax.lax.fori_loop(0, cfg.iters, cycle, phi0)
+
+    sm = None if solid_mask is None else jnp.asarray(solid_mask, bool)
+    red, black = _color_masks(phi0.shape, cfg.bc, sm)
+
+    if cfg.method == "jacobi":
+        colors = (jnp.logical_or(red, black),)
+    elif cfg.method == "rbsor":
+        colors = (red, black)
+    elif cfg.method == "rbsor_pallas":
+        from cfdsim_tpu.ops.pallas.poisson_rb import rbsor_pallas
+
+        return rbsor_pallas(
+            phi0, rhs, dx, dy, iters=cfg.iters, omega=cfg.omega,
+            bc=cfg.bc, solid_mask=sm,
+        )
+    else:
+        raise ValueError(f"unknown poisson method {cfg.method!r}")
+
+    omega = 1.0 if cfg.method == "jacobi" else cfg.omega
+    sweep = partial(
+        _sweep, rhs=rhs, dx=dx, dy=dy, colors=colors, omega=omega, bc=cfg.bc
+    )
+    return _iterate(sweep, phi0, rhs, cfg, dx, dy, sm)
