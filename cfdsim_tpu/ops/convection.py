@@ -37,8 +37,8 @@ def supg_tau(u, v, dx: float, dy: float, dt, nu_eff):
 
     τ = h/(2|u|)·min(1, Pe/2) with Pe = |u|h/ν_eff; τ = dt/2 at stagnation
     points. Parity: reference ``compute_supg_stabilization_fast``
-    v5.py:149-162 (computed everywhere; boundary frame zeroed to match the
-    reference's 1..n-1 loop).
+    v5.py:149-162 (boundary frame zeroed to match the reference's 1..n-1
+    loop).
     """
     h = min(dx, dy)
     vel = jnp.sqrt(u * u + v * v)
@@ -48,29 +48,35 @@ def supg_tau(u, v, dx: float, dy: float, dt, nu_eff):
     return _pad1(tau[1:-1, 1:-1])
 
 
-def convection_supg(u, v, phi, dx: float, dy: float, tau):
-    """Central-difference convection minus the SUPG correction term.
+def convection_supg(u, v, phi, dx: float, dy: float, tau, ref_parity: bool = False):
+    """Central-difference convection minus the SUPG correction term:
 
-    conv = u·∇φ − τ·(u ∂²φ/∂x² + v ∂²φ/∂y²); zero on boundary frame.
-    Parity: reference ``compute_convection_supg_fast`` v5.py:127-147,
-    including its effective 0.25/dx first-derivative factor (the reference
-    multiplies the central difference by ``0.5 * dx_inv`` where
-    ``dx_inv = 0.5/dx`` — a deliberate halved convection it relies on for
-    stability; we reproduce it for parity).
+        conv = u·∇φ − τ·(u ∂²φ/∂x² + v ∂²φ/∂y²);  zero on boundary frame.
+
+    Capability parity: reference ``compute_convection_supg_fast``
+    v5.py:127-147. The reference multiplies its central difference by
+    ``0.5 * dx_inv`` where ``dx_inv = 0.5/dx`` — i.e. it *halves* the
+    convection term (and quarters the SUPG second-derivative scale), an
+    apparent bug it relies on for extra stabilization. The default here is
+    the mathematically correct operator; pass ``ref_parity=True`` to
+    reproduce the reference's halved scaling exactly.
     """
     uc = u[1:-1, 1:-1]
     vc = v[1:-1, 1:-1]
     pc = phi[1:-1, 1:-1]
-    dx_inv = 0.5 / dx
-    dy_inv = 0.5 / dy
-    dphidx = (phi[1:-1, 2:] - phi[1:-1, :-2]) * (0.5 * dx_inv)
-    dphidy = (phi[2:, 1:-1] - phi[:-2, 1:-1]) * (0.5 * dy_inv)
+    if ref_parity:
+        d1x, d1y = 0.25 / dx, 0.25 / dy
+        d2x, d2y = (0.5 / dx) ** 2, (0.5 / dy) ** 2
+    else:
+        d1x, d1y = 0.5 / dx, 0.5 / dy
+        d2x, d2y = 1.0 / (dx * dx), 1.0 / (dy * dy)
+    dphidx = (phi[1:-1, 2:] - phi[1:-1, :-2]) * d1x
+    dphidy = (phi[2:, 1:-1] - phi[:-2, 1:-1]) * d1y
     conv_std = uc * dphidx + vc * dphidy
-    # second derivatives with the reference's (0.5/dx)^2 scaling (v5.py:141-143)
-    d2x = (phi[1:-1, 2:] - 2.0 * pc + phi[1:-1, :-2]) * (dx_inv * dx_inv)
-    d2y = (phi[2:, 1:-1] - 2.0 * pc + phi[:-2, 1:-1]) * (dy_inv * dy_inv)
+    lap_x = (phi[1:-1, 2:] - 2.0 * pc + phi[1:-1, :-2]) * d2x
+    lap_y = (phi[2:, 1:-1] - 2.0 * pc + phi[:-2, 1:-1]) * d2y
     tc = tau[1:-1, 1:-1]
-    supg = tc * (uc * d2x + vc * d2y)
+    supg = tc * (uc * lap_x + vc * lap_y)
     return _pad1(jnp.where(tc > 0, conv_std - supg, conv_std))
 
 

@@ -1,0 +1,107 @@
+"""Sharded stepping: GSPMD auto-partitioned full step + explicit
+shard_map Poisson.
+
+The production path jits the *same* single-device step function with
+``NamedSharding(P("y","x"))`` on the state fields — XLA's SPMD partitioner
+inserts the halo collective-permutes for every shifted-slice stencil (the
+scaling-book recipe: pick a mesh, annotate shardings, let XLA insert
+collectives). The explicit path (``make_sharded_poisson``) demonstrates
+manual ``ppermute`` halo exchange with correct red-black ordering across
+shards for the inner hot loop.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from cfdsim_tpu.parallel.halo import (
+    clamp_global_edges,
+    global_parity,
+    halo_exchange,
+)
+from cfdsim_tpu.parallel.mesh import field_sharding
+
+
+def shard_state(state, mesh: Mesh):
+    """Place every 2D field of a state pytree on the mesh with P("y","x");
+    scalars are replicated."""
+    fs = field_sharding(mesh)
+    rep = NamedSharding(mesh, P())
+
+    def place(x):
+        x = jnp.asarray(x)
+        return jax.device_put(x, fs if x.ndim == 2 else rep)
+
+    return jax.tree_util.tree_map(place, state)
+
+
+def make_sharded_step(step_fn, mesh: Mesh):
+    """Jit a ``step(state, cfl_scale) -> (state, metrics)`` function with
+    field shardings pinned to the mesh — XLA partitions all stencils and
+    reductions, exchanging halos over ICI automatically."""
+    fs = field_sharding(mesh)
+    rep = NamedSharding(mesh, P())
+
+    def shardings_like(tree):
+        return jax.tree_util.tree_map(
+            lambda x: fs if jnp.ndim(x) == 2 else rep, tree
+        )
+
+    def wrapped(state, cfl_scale):
+        new_state, metrics = step_fn(state, cfl_scale)
+        return new_state, metrics
+
+    def compile_for(state):
+        in_sh = (shardings_like(state), rep)
+        out_sh = None  # let XLA propagate
+        return jax.jit(wrapped, in_shardings=in_sh, out_shardings=out_sh)
+
+    return compile_for
+
+
+def make_sharded_poisson(
+    mesh: Mesh,
+    dx: float,
+    dy: float,
+    iters: int,
+    omega: float = 1.7,
+):
+    """Explicit distributed red-black SOR for the Neumann pressure problem:
+    each full sweep performs two halo exchanges (one per color) so the
+    black half reads freshly updated red values from neighboring shards —
+    the exact Gauss–Seidel ordering of the single-device kernel, with
+    ghost-cell swaps over ICI instead of shared memory."""
+    py = mesh.shape["y"]
+    px = mesh.shape["x"]
+    ax = 1.0 / (dx * dx)
+    ay = 1.0 / (dy * dy)
+    denom_inv = 1.0 / (2.0 * (ax + ay))
+    spec = P("y", "x")
+
+    @partial(jax.shard_map, mesh=mesh, in_specs=(spec, spec), out_specs=spec)
+    def solve(phi_b, rhs_b):
+        red = global_parity(phi_b.shape)
+        black = jnp.logical_not(red)
+
+        def half_sweep(phi, color):
+            p = halo_exchange(phi, py, px, width=1)
+            p = clamp_global_edges(p, width=1)
+            nb = ax * (p[1:-1, 2:] + p[1:-1, :-2]) + ay * (
+                p[2:, 1:-1] + p[:-2, 1:-1]
+            )
+            phi_star = (nb - rhs_b) * denom_inv
+            return jnp.where(color, (1.0 - omega) * phi + omega * phi_star, phi)
+
+        def sweep(_, phi):
+            phi = half_sweep(phi, red)
+            phi = half_sweep(phi, black)
+            return phi
+
+        return lax.fori_loop(0, iters, sweep, phi_b)
+
+    return solve

@@ -1,0 +1,75 @@
+"""Published validation data for regression tests.
+
+Ghia, Ghia & Shin (1982) lid-driven cavity centerline velocity profiles —
+the accuracy benchmark named in BASELINE.json. Values transcribed from the
+published tables (u along the vertical centerline x=0.5; v along the
+horizontal centerline y=0.5).
+"""
+
+import numpy as np
+
+# y locations for u-profiles (Ghia Table I grid points)
+GHIA_Y = np.array(
+    [0.0000, 0.0547, 0.0625, 0.0703, 0.1016, 0.1719, 0.2813, 0.4531,
+     0.5000, 0.6172, 0.7344, 0.8516, 0.9531, 0.9609, 0.9688, 0.9766, 1.0000]
+)
+
+GHIA_U = {
+    100: np.array(
+        [0.00000, -0.03717, -0.04192, -0.04775, -0.06434, -0.10150, -0.15662,
+         -0.21090, -0.20581, -0.13641, 0.00332, 0.23151, 0.68717, 0.73722,
+         0.78871, 0.84123, 1.00000]
+    ),
+    400: np.array(
+        [0.00000, -0.08186, -0.09266, -0.10338, -0.14612, -0.24299, -0.32726,
+         -0.17119, -0.11477, 0.02135, 0.16256, 0.29093, 0.55892, 0.61756,
+         0.68439, 0.75837, 1.00000]
+    ),
+    1000: np.array(
+        [0.00000, -0.18109, -0.20196, -0.22220, -0.29730, -0.38289, -0.27805,
+         -0.10648, -0.06080, 0.05702, 0.18719, 0.33304, 0.46604, 0.51117,
+         0.57492, 0.65928, 1.00000]
+    ),
+}
+
+# x locations for v-profiles (Ghia Table II grid points)
+GHIA_X = np.array(
+    [0.0000, 0.0625, 0.0703, 0.0781, 0.0938, 0.1563, 0.2266, 0.2344,
+     0.5000, 0.8047, 0.8594, 0.9063, 0.9453, 0.9531, 0.9609, 0.9688, 1.0000]
+)
+
+GHIA_V = {
+    100: np.array(
+        [0.00000, 0.09233, 0.10091, 0.10890, 0.12317, 0.16077, 0.17507,
+         0.17527, 0.05454, -0.24533, -0.22445, -0.16914, -0.10313, -0.08864,
+         -0.07391, -0.05906, 0.00000]
+    ),
+    400: np.array(
+        [0.00000, 0.18360, 0.19713, 0.20920, 0.22965, 0.28124, 0.30203,
+         0.30174, 0.05186, -0.38598, -0.44993, -0.23827, -0.22847, -0.19254,
+         -0.15663, -0.12146, 0.00000]
+    ),
+    1000: np.array(
+        [0.00000, 0.27485, 0.29012, 0.30353, 0.32627, 0.37095, 0.33075,
+         0.32235, 0.02526, -0.31966, -0.42665, -0.51550, -0.39188, -0.33714,
+         -0.27669, -0.21388, 0.00000]
+    ),
+}
+
+
+def cavity_centerline_profiles(u, v):
+    """Extract (u(y) at x=0.5, v(x) at y=0.5) from (ny, nx) fields."""
+    ny, nx = np.asarray(u).shape
+    u_c = np.asarray(u)[:, nx // 2]
+    v_c = np.asarray(v)[ny // 2, :]
+    return u_c, v_c
+
+
+def ghia_error(u, v, Re: int, y_coords, x_coords):
+    """RMS error of the simulated centerline profiles vs Ghia et al."""
+    u_c, v_c = cavity_centerline_profiles(u, v)
+    u_interp = np.interp(GHIA_Y, np.asarray(y_coords), u_c)
+    v_interp = np.interp(GHIA_X, np.asarray(x_coords), v_c)
+    err_u = np.sqrt(np.mean((u_interp - GHIA_U[Re]) ** 2))
+    err_v = np.sqrt(np.mean((v_interp - GHIA_V[Re]) ** 2))
+    return err_u, err_v
