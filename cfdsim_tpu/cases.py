@@ -170,10 +170,150 @@ def cylinder(
     )
 
 
+def wedge(
+    nx: int = 400,
+    ny: int = 200,
+    mach: float = 2.0,
+    wedge_angle_deg: float = 10.0,
+    wedge_start_x: float = 0.5,
+    domain: tuple[float, float] = (2.0, 1.0),
+    flux: str = "hllc",
+    cfl: float = 0.4,
+    reconstruction: str = "none",
+    **cfg_overrides,
+) -> Case:
+    """Supersonic flow over a wedge — oblique-shock benchmark (reference
+    ``ShockwaveSolver`` v1_shock.py:225-328: M=2, 10° wedge, HLLC/Roe
+    switchable via ``flux``). The reference's CFL=0.99 with an unsplit
+    update exceeds the 2D stability bound; default here is 0.4."""
+    import numpy as np
+
+    from cfdsim_tpu import ibm
+    from cfdsim_tpu.models import compressible as comp
+
+    grid = Grid(nx=nx, ny=ny, x_max=domain[0], y_max=domain[1], centering="cell")
+    cfg = comp.CompressibleConfig(
+        grid=grid, flux=flux, cfl=cfl, reconstruction=reconstruction,
+        **cfg_overrides,
+    )
+    U_inf = comp.freestream(cfg, mach)
+    solid = ibm.wedge_mask(grid, np.deg2rad(wedge_angle_deg), wedge_start_x)
+
+    def bc(U, step, t):
+        # supersonic inflow at x_lo (v1_shock.py:279-283)
+        U = U.at[:, :, 0].set(U_inf[:, None])
+        # extrapolation outflow at x_hi (:284)
+        U = U.at[:, :, -1].set(U[:, :, -2])
+        # reflecting bottom wall (v sign flip), extrapolating top (:285-289)
+        U = U.at[0, 0, :].set(U[0, 1, :])
+        U = U.at[1, 0, :].set(U[1, 1, :])
+        U = U.at[2, 0, :].set(-U[2, 1, :])
+        U = U.at[3, 0, :].set(U[3, 1, :])
+        U = U.at[:, -1, :].set(U[:, -2, :])
+        return U
+
+    step = comp.make_step(cfg, bc, zero_momentum_mask=solid)
+    state = comp.init_state(cfg, U_inf)
+    return Case(
+        "wedge", cfg, step, state, grid,
+        {"wedge_mask": solid, "U_inf": U_inf, "mach": mach,
+         "wedge_angle_deg": wedge_angle_deg, "wedge_start_x": wedge_start_x},
+    )
+
+
+def cavity_supersonic(
+    nx: int = 600,
+    ny: int = 180,
+    ng: int = 2,
+    mach: float = 2.5,
+    domain: tuple[float, float] = (2.0, 1.0),
+    cavity_x: float = 0.5,
+    cavity_length: float = 0.5,
+    l_over_d: float = 2.0,
+    flux: str = "rusanov",
+    cfl: float = 0.3,
+    artificial_viscosity: float = 1e-3,
+    reconstruction: str = "muscl",
+    **cfg_overrides,
+) -> Case:
+    """Mach-2.5 flow over an open cavity (reference ``CavityFlowSolver``
+    cavity_flow_v1.py:248-308: NG=2 ghost cells, Rusanov fluxes, minmod
+    limiting, artificial viscosity, cavity region pinned to quiescent fluid
+    each step per cavity_flow_v1.py:165-170)."""
+    from cfdsim_tpu import ibm
+    from cfdsim_tpu.models import compressible as comp
+
+    grid = Grid(
+        nx=nx, ny=ny, ng=ng, x_max=domain[0], y_max=domain[1], centering="node"
+    )
+    cfg = comp.CompressibleConfig(
+        grid=grid, flux=flux, cfl=cfl, reconstruction=reconstruction,
+        artificial_viscosity=artificial_viscosity, max_val=100.0,
+        **cfg_overrides,
+    )
+    U_inf = comp.freestream(cfg, mach)
+    pin_state = jnp.asarray(
+        [1.0, 0.0, 0.0, 1.0 / (cfg.gamma - 1.0)], jnp.float32
+    )  # quiescent ρ_inf, p_inf block (cavity_flow_v1.py:166-170)
+    mask = ibm.cavity_mask(grid, cavity_x, cavity_length, cavity_length / l_over_d)
+    pin = mask > 0.5
+
+    def bc(U, step, t):
+        # inflow ghosts at x_lo, extrapolation at x_hi
+        # (cavity_flow_v1.py:154-157, axes adapted to (ny, nx))
+        U = U.at[:, :, :ng].set(U_inf[:, None, None])
+        U = U.at[:, :, -ng:].set(U[:, :, -ng - 1 : -ng])
+        # freestream top ghosts, reflecting bottom wall (:158-162)
+        U = U.at[:, -ng:, :].set(U_inf[:, None, None])
+        for k in range(ng):
+            src = 2 * ng - 1 - k
+            U = U.at[0, k, :].set(U[0, src, :])
+            U = U.at[1, k, :].set(U[1, src, :])
+            U = U.at[2, k, :].set(-U[2, src, :])
+            U = U.at[3, k, :].set(U[3, src, :])
+        return U
+
+    step = comp.make_step(cfg, bc, pin_mask=pin, pin_state=pin_state)
+    state = comp.init_state(cfg, U_inf)
+    state = state._replace(U=bc(state.U, state.step, state.t))
+    return Case(
+        "cavity_supersonic", cfg, step, state, grid,
+        {"cavity_mask": mask, "U_inf": U_inf, "pin_state": pin_state},
+    )
+
+
+def kolmogorov(
+    ny: int = 360,
+    aspect: float = 16.0 / 9.0,
+    nu: float = 1e-3,
+    dt: float = 0.01,
+    forcing_wavenumber: int = 8,
+    forcing_scale: float = 0.1,
+    **cfg_overrides,
+) -> Case:
+    """Periodic Kolmogorov-forced turbulence via the spectral stable-fluids
+    solver (reference plot.jl:14-24 defaults: 640×360, ν=1e-3, dt=0.01,
+    sin(8πy) forcing)."""
+    from cfdsim_tpu.models import spectral as spec
+
+    cfg = spec.SpectralConfig(
+        ny=ny, aspect=aspect, nu=nu, dt=dt,
+        forcing_wavenumber=forcing_wavenumber, forcing_scale=forcing_scale,
+        **cfg_overrides,
+    )
+    step = spec.make_step(cfg)
+    state = spec.init_state(cfg)
+    grid = Grid(nx=cfg.nx, ny=cfg.ny, x_max=cfg.lx, y_max=1.0, centering="cell")
+    return Case("kolmogorov", cfg, step, state, grid)
+
+
 CASES: dict[str, Callable[..., Case]] = {
     "cavity": lid_cavity,
     "channel": channel,
     "cylinder": cylinder,
+    "wedge": wedge,
+    "cavity_supersonic": cavity_supersonic,
+    "kolmogorov": kolmogorov,
 }
 
 

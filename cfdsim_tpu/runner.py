@@ -56,7 +56,12 @@ class Simulation:
         n_cells: int,
         snapshot_fn: Optional[Callable] = None,
         logger: Optional[logging.Logger] = None,
+        health_fn: Optional[Callable] = None,
     ):
+        # health_fn(metrics_host, step) -> HealthReport overrides the
+        # default incompressible check (use monitor.check_compressible for
+        # the FV module)
+        self.health_fn = health_fn
         self.cfg = cfg
         self.state = state
         self.snapshot_fn = snapshot_fn
@@ -104,25 +109,28 @@ class Simulation:
 
             # host-side control: health, back-off, snapshots, logging
             m_host = jax.device_get(metrics)
-            self.metrics_history.append(
-                {
-                    "step": step,
-                    "t": float(self.state.t),
-                    "dt": float(np.asarray(m_host.dt)[-1]),
-                    "div_post": float(np.max(np.asarray(m_host.div_post))),
-                    "energy": float(np.asarray(m_host.energy)[-1]),
-                    "max_vel": float(np.max(np.asarray(m_host.max_vel))),
-                }
-            )
+            hist = {
+                "step": step,
+                "t": float(self.state.t),
+                "dt": float(np.asarray(m_host.dt)[-1]),
+                "energy": float(np.asarray(m_host.energy)[-1]),
+                "max_vel": float(np.max(np.asarray(m_host.max_vel))),
+            }
+            if hasattr(m_host, "div_post"):
+                hist["div_post"] = float(np.max(np.asarray(m_host.div_post)))
+            self.metrics_history.append(hist)
             if cfg.health_check:
-                report = check_metrics(
-                    m_host,
-                    cfg.max_velocity,
-                    cfg.div_threshold,
-                    cfg.warmup_div_threshold,
-                    cfg.warmup_steps,
-                    step,
-                )
+                if self.health_fn is not None:
+                    report = self.health_fn(m_host, step)
+                else:
+                    report = check_metrics(
+                        m_host,
+                        cfg.max_velocity,
+                        cfg.div_threshold,
+                        cfg.warmup_div_threshold,
+                        cfg.warmup_steps,
+                        step,
+                    )
                 if not report.ok:
                     if cfg.on_unhealthy == "backoff":
                         self.cfl_scale *= cfg.cfl_backoff
@@ -155,7 +163,7 @@ class Simulation:
                     step,
                     h["t"],
                     h["dt"],
-                    h["div_post"],
+                    h.get("div_post", float("nan")),
                     h["energy"],
                     self.perf.steps_per_sec,
                 )

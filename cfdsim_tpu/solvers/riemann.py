@@ -1,0 +1,161 @@
+"""Vectorized Riemann solvers for the compressible Euler module.
+
+The reference computes fluxes with *scalar* Numba kernels called once per
+interface from Python loops (v1_shock.py:301-306 — O(nx·ny) call overhead
+per step). Here every solver takes whole left/right state *arrays* for one
+sweep direction and returns the full face-flux array in one fused VPU pass.
+
+State layout is component-leading: U has shape (4, ny, nx) with components
+(ρ, ρu, ρv, ρE) so the trailing two axes map onto TPU (sublane, lane)
+tiling. ``axis=1`` means x-faces (flux of F), ``axis=0`` y-faces (G).
+
+Parity references: ``compute_fluxes`` v1_shock.py:84-95, ``hllc_solver``
+v1_shock.py:147-209, ``roe_solver`` v1_shock.py:97-145,
+``rusanov_riemann_solver_limited`` cavity_flow_v1.py:123-150.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def cons_to_prim(U, gamma: float, eps: float = 1e-8, max_val: float = 1e3):
+    """Primitive recovery with positivity floors and velocity clips
+    (parity: v1_shock.py:84-89 floors/clips; cavity cons_to_prim_limited
+    cavity_flow_v1.py:95-110)."""
+    rho = jnp.maximum(U[0], eps)
+    inv = 1.0 / rho
+    u = jnp.clip(U[1] * inv, -max_val, max_val)
+    v = jnp.clip(U[2] * inv, -max_val, max_val)
+    E = jnp.clip(U[3] * inv, eps, max_val)
+    p = jnp.maximum((gamma - 1.0) * rho * (E - 0.5 * (u * u + v * v)), eps)
+    return rho, u, v, p
+
+
+def prim_to_cons(rho, u, v, p, gamma: float):
+    """(parity: prim_to_cons_stable cavity_flow_v1.py:431-443)."""
+    E = p / ((gamma - 1.0) * rho) + 0.5 * (u * u + v * v)
+    return jnp.stack([rho, rho * u, rho * v, rho * E])
+
+
+def euler_flux(U, gamma: float, axis: int, eps: float = 1e-8, max_val: float = 1e3):
+    """Physical flux along ``axis`` (1 = x → F, 0 = y → G)."""
+    rho, u, v, p = cons_to_prim(U, gamma, eps, max_val)
+    E = jnp.clip(U[3] / rho, eps, max_val)
+    q = u if axis == 1 else v
+    return jnp.stack(
+        [
+            rho * q,
+            rho * u * q + (p if axis == 1 else 0.0),
+            rho * v * q + (p if axis == 0 else 0.0),
+            rho * q * (E + p / rho),
+        ]
+    )
+
+
+def sound_speed(rho, p, gamma: float, eps: float = 1e-8):
+    return jnp.sqrt(jnp.maximum(gamma * p / rho, eps))
+
+
+def rusanov_flux(UL, UR, gamma: float, axis: int, eps: float = 1e-8,
+                 max_val: float = 1e3):
+    """Local Lax–Friedrichs: ½(F_L+F_R) − ½ λ_max ΔU
+    (parity: cavity_flow_v1.py:123-150, vectorized over all faces)."""
+    rL, uL, vL, pL = cons_to_prim(UL, gamma, eps, max_val)
+    rR, uR, vR, pR = cons_to_prim(UR, gamma, eps, max_val)
+    qL = uL if axis == 1 else vL
+    qR = uR if axis == 1 else vR
+    aL = sound_speed(rL, pL, gamma, eps)
+    aR = sound_speed(rR, pR, gamma, eps)
+    lam = jnp.maximum(jnp.abs(qL) + aL, jnp.abs(qR) + aR)
+    FL = euler_flux(UL, gamma, axis, eps, max_val)
+    FR = euler_flux(UR, gamma, axis, eps, max_val)
+    return 0.5 * (FL + FR) - 0.5 * lam[None] * (UR - UL)
+
+
+def hllc_flux(UL, UR, gamma: float, axis: int, eps: float = 1e-8,
+              max_val: float = 1e3):
+    """HLLC with star states, branch-free via nested ``jnp.where`` over the
+    wave-speed sign pattern (parity: v1_shock.py:147-209; the scalar
+    if-chains become masks)."""
+    rL, uL, vL, pL = cons_to_prim(UL, gamma, eps, max_val)
+    rR, uR, vR, pR = cons_to_prim(UR, gamma, eps, max_val)
+    EL = jnp.clip(UL[3] / jnp.maximum(UL[0], eps), eps, max_val)
+    ER = jnp.clip(UR[3] / jnp.maximum(UR[0], eps), eps, max_val)
+    qL = uL if axis == 1 else vL
+    qR = uR if axis == 1 else vR
+    tL = vL if axis == 1 else uL  # tangential velocity
+    tR = vR if axis == 1 else uR
+    aL = sound_speed(rL, pL, gamma, eps)
+    aR = sound_speed(rR, pR, gamma, eps)
+
+    sL = jnp.minimum(qL - aL, qR - aR)
+    sR = jnp.maximum(qL + aL, qR + aR)
+    sM = (rR * qR * (sR - qR) - rL * qL * (sL - qL) + pL - pR) / (
+        rR * (sR - qR) - rL * (sL - qL) + eps
+    )
+
+    FL = euler_flux(UL, gamma, axis, eps, max_val)
+    FR = euler_flux(UR, gamma, axis, eps, max_val)
+
+    def star(rho, q, s, E, p, tang):
+        """Star-region conserved state behind wave speed s."""
+        coef = rho * (s - q) / (s - sM + eps)
+        p_star = rho * (q - s) * (q - sM) + p
+        e_star = E + (p_star * sM - p * q) / (rho * (s - q) + eps)
+        if axis == 1:
+            mom_x, mom_y = coef * sM, coef * tang
+        else:
+            mom_x, mom_y = coef * tang, coef * sM
+        return jnp.stack([coef, mom_x, mom_y, coef * e_star])
+
+    UsL = star(rL, qL, sL, EL, pL, tL)
+    UsR = star(rR, qR, sR, ER, pR, tR)
+    F_star_L = FL + sL[None] * (UsL - UL)
+    F_star_R = FR + sR[None] * (UsR - UR)
+
+    flux = jnp.where(
+        (sL >= 0)[None],
+        FL,
+        jnp.where(
+            (sR <= 0)[None],
+            FR,
+            jnp.where((sM >= 0)[None], F_star_L, F_star_R),
+        ),
+    )
+    return flux
+
+
+def roe_flux(UL, UR, gamma: float, axis: int, eps: float = 1e-8,
+             max_val: float = 1e3):
+    """The reference's "roe" scheme (v1_shock.py:97-145): Roe-averaged
+    velocities and sound speed with an entropy floor ε=0.05a, dissipating
+    with the *sum* of the three entropy-fixed eigenvalues applied to ΔU —
+    i.e. a heavily-dissipative Rusanov-like variant, reproduced for parity
+    (a textbook Roe solver would use the characteristic decomposition)."""
+    rL, uL, vL, pL = cons_to_prim(UL, gamma, eps, max_val)
+    rR, uR, vR, pR = cons_to_prim(UR, gamma, eps, max_val)
+    hL = (UL[3] + pL) / jnp.maximum(UL[0], eps)
+    hR = (UR[3] + pR) / jnp.maximum(UR[0], eps)
+
+    wL = jnp.sqrt(rL)
+    wR = jnp.sqrt(rR)
+    norm = wL + wR + eps
+    u_roe = (uL * wL + uR * wR) / norm
+    v_roe = (vL * wL + vR * wR) / norm
+    h_roe = (hL * wL + hR * wR) / norm
+    a_roe = jnp.sqrt(
+        jnp.maximum((gamma - 1.0) * (h_roe - 0.5 * (u_roe**2 + v_roe**2)), eps)
+    )
+    q = u_roe if axis == 1 else v_roe
+    floor = 0.05 * a_roe
+    l1 = jnp.maximum(floor, jnp.abs(q))
+    l2 = jnp.maximum(floor, jnp.abs(q + a_roe))
+    l3 = jnp.maximum(floor, jnp.abs(q - a_roe))
+
+    FL = euler_flux(UL, gamma, axis, eps, max_val)
+    FR = euler_flux(UR, gamma, axis, eps, max_val)
+    return 0.5 * (FL + FR) - 0.5 * ((l1 + l2 + l3))[None] * (UR - UL)
+
+
+FLUXES = {"rusanov": rusanov_flux, "hllc": hllc_flux, "roe": roe_flux}

@@ -1,0 +1,83 @@
+"""Spectral stable-fluids solver: projection exactness, Taylor-Green
+viscous decay, and the forced Kolmogorov case (SURVEY.md §2.4)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cfdsim_tpu.cases import kolmogorov
+from cfdsim_tpu.models import spectral as spec
+
+
+def _run(step, state, n, chunk=50):
+    f = jax.jit(
+        lambda s: jax.lax.scan(lambda st, _: step(st), s, None, length=chunk)
+    )
+    m = None
+    for _ in range(n // chunk):
+        state, m = f(state)
+    return state, m
+
+
+def test_projection_removes_divergence():
+    cfg = spec.SpectralConfig(ny=64, aspect=1.0, forcing_scale=0.1)
+    step = spec.make_step(cfg)
+    rng = np.random.default_rng(0)
+    state = spec.init_state(
+        cfg,
+        u0=rng.standard_normal((64, 64)).astype(np.float32),
+        v0=rng.standard_normal((64, 64)).astype(np.float32),
+    )
+    state, metrics = jax.jit(step)(state)
+    # spectral divergence after projection ~ round-off
+    assert float(metrics.max_div) < 1e-4
+
+
+def test_taylor_green_viscous_decay():
+    """Unforced Taylor-Green vortex: KE decays as exp(−2ν(2π)²(kx²+ky²)t/…)
+    — for u=sin(2πx)cos(2πy), v=−cos(2πx)sin(2πy) on the unit torus the
+    decay rate of energy is exp(−4ν(2π)²·2·t/2)… concretely E(t) =
+    E(0)·exp(−4νκ²t) with κ² = (2π)²·2 an exact NS solution (advection is
+    a pure pressure gradient)."""
+    ny = 64
+    cfg = spec.SpectralConfig(
+        ny=ny, aspect=1.0, nu=5e-3, dt=0.005, forcing_scale=0.0,
+        angular_wavenumbers=True,
+    )
+    step = spec.make_step(cfg)
+    x = (np.arange(ny)) / ny
+    X, Y = np.meshgrid(x, x)
+    # small amplitude keeps the semi-Lagrangian backtrace displacement
+    # (and its numerical diffusion) negligible, isolating spectral diffusion
+    amp = 0.01
+    u0 = amp * np.sin(2 * np.pi * X) * np.cos(2 * np.pi * Y)
+    v0 = -amp * np.cos(2 * np.pi * X) * np.sin(2 * np.pi * Y)
+    state = spec.init_state(cfg, u0=u0, v0=v0)
+    e0 = float(jnp.mean(0.5 * (state.u**2 + state.v**2)))
+    n_steps = 100
+    state, metrics = _run(step, state, n_steps)
+    e1 = float(metrics.energy[-1])
+    t = n_steps * cfg.dt
+    kappa2 = (2 * np.pi) ** 2 * 2.0
+    expected = e0 * np.exp(-2.0 * cfg.nu * kappa2 * t)
+    assert e1 == pytest.approx(expected, rel=0.05)
+
+
+def test_kolmogorov_forced_run_is_finite_and_energetic():
+    case = kolmogorov(ny=90, aspect=1.6, dt=0.01)
+    state, metrics = _run(case.step, case.state, 200)
+    assert bool(jnp.all(jnp.isfinite(state.u)))
+    assert float(metrics.energy[-1]) > 1e-4  # forcing injected energy
+    assert float(metrics.max_div[-1]) < 1e-3
+    # curl for visualization has the forcing's banded structure
+    w = spec.spectral_curl(state, case.cfg)
+    assert np.isfinite(np.asarray(w)).all()
+
+
+def test_reference_parity_wavenumbers_run():
+    cfg = spec.SpectralConfig(ny=48, aspect=1.0, angular_wavenumbers=False)
+    step = spec.make_step(cfg)
+    state = spec.init_state(cfg)
+    state, m = _run(step, state, 50)
+    assert bool(jnp.all(jnp.isfinite(state.u)))
