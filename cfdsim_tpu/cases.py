@@ -307,6 +307,32 @@ def kolmogorov(
     return Case("kolmogorov", cfg, step, state, grid)
 
 
+def transport(
+    n: int = 128,
+    Re: float = 100.0,
+    Pe: float = 100.0,
+    scheme: str = "upwind",
+    hot_lid: float = 1.0,
+    **cavity_kwargs,
+) -> Case:
+    """Passive scalar (temperature/dye) carried by the lid-driven cavity
+    flow (BASELINE.json config 3): θ=hot_lid on the moving lid, θ=0 on the
+    other walls, diffusivity κ = U·L/Pe."""
+    from cfdsim_tpu.models import transport as tr
+
+    base = lid_cavity(n=n, Re=Re, **cavity_kwargs)
+
+    def theta_bc(th):
+        th = th.at[:, 0].set(0.0).at[:, -1].set(0.0).at[0, :].set(0.0)
+        return th.at[-1, :].set(hot_lid)
+
+    tcfg = tr.TransportConfig(grid=base.grid, kappa=1.0 / Pe, scheme=scheme)
+    step = tr.make_coupled_step(base.step, tcfg, theta_bc)
+    theta0 = theta_bc(base.grid.zeros())
+    state = tr.init_coupled(base.state, theta0)
+    return Case("transport", (base.cfg, tcfg), step, state, base.grid)
+
+
 CASES: dict[str, Callable[..., Case]] = {
     "cavity": lid_cavity,
     "channel": channel,
@@ -314,6 +340,7 @@ CASES: dict[str, Callable[..., Case]] = {
     "wedge": wedge,
     "cavity_supersonic": cavity_supersonic,
     "kolmogorov": kolmogorov,
+    "transport": transport,
 }
 
 

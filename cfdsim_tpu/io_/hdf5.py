@@ -75,3 +75,25 @@ def load_latest(path) -> tuple[dict, int, float]:
     step = steps[-1]
     fields, t = load_step(path, step)
     return fields, step, t
+
+
+def restore(state, path):
+    """Restore a model state from the latest snapshot: every snapshot
+    dataset whose name matches a state field is loaded; ``t`` and ``step``
+    are taken from the snapshot metadata. Works for any NamedTuple state
+    (IncompressibleState, CompressibleState, SpectralState, ...)."""
+    import jax.numpy as jnp
+
+    fields, step, t = load_latest(path)
+    updates = {
+        name: jnp.asarray(fields[name])
+        for name in state._fields
+        if name in fields
+    }
+    if not updates:
+        raise KeyError(
+            f"no snapshot dataset matches state fields {state._fields}"
+        )
+    updates["t"] = jnp.float32(t)
+    updates["step"] = jnp.int32(step)
+    return state._replace(**updates)

@@ -1,0 +1,42 @@
+"""Frame thinning: keep a target effective fps (or every Nth frame) from a
+frame directory and delete the rest.
+
+Parity: reference cleanup/cleanup_python.py:20-87 (fps-based) and
+cleanup/cleanup_julia.py:16-47 (every-Nth). Interactive confirmation
+becomes an explicit ``dry_run`` flag.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+
+def thin_frames(
+    frame_dir,
+    keep_every: int | None = None,
+    source_fps: float | None = None,
+    target_fps: float | None = None,
+    pattern: str = "*.png",
+    dry_run: bool = False,
+) -> dict:
+    """Delete frames so that either every ``keep_every``-th frame remains,
+    or the effective rate drops from ``source_fps`` to ``target_fps``.
+
+    Returns {"kept": n, "deleted": n, "deleted_paths": [...]}.
+    """
+    frames = sorted(Path(frame_dir).glob(pattern))
+    if keep_every is None:
+        if not (source_fps and target_fps) or target_fps >= source_fps:
+            keep_every = 1
+        else:
+            keep_every = max(1, round(source_fps / target_fps))
+    keep = set(frames[::keep_every])
+    doomed = [f for f in frames if f not in keep]
+    if not dry_run:
+        for f in doomed:
+            f.unlink()
+    return {
+        "kept": len(frames) - len(doomed),
+        "deleted": len(doomed),
+        "deleted_paths": doomed,
+    }
