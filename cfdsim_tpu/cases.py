@@ -333,6 +333,33 @@ def transport(
     return Case("transport", (base.cfg, tcfg), step, state, base.grid)
 
 
+def cavity3d(
+    n: int = 64,
+    Re: float = 400.0,
+    lid_velocity: float = 1.0,
+    poisson=None,
+    **cfg_overrides,
+) -> Case:
+    """3D lid-driven cavity (BASELINE.json config 5: 256³, multigrid
+    Poisson, shardable over a device mesh via parallel.shard_state)."""
+    from cfdsim_tpu.grid import Grid3D
+    from cfdsim_tpu.models import incompressible3d as m3
+    from cfdsim_tpu.solvers.poisson3d import Poisson3DConfig
+
+    grid = Grid3D(nx=n, ny=n, nz=n)
+    cfg = m3.Incompressible3DConfig(
+        grid=grid,
+        nu=lid_velocity / Re,
+        poisson=poisson or Poisson3DConfig(method="mg", iters=2),
+        max_velocity=5.0 * lid_velocity,
+        **cfg_overrides,
+    )
+    bc = m3.lid_cavity3d_bcs(lid_velocity)
+    step = m3.make_step(cfg, bc)
+    state = m3.init_state(cfg)
+    return Case("cavity3d", cfg, step, state, grid)
+
+
 CASES: dict[str, Callable[..., Case]] = {
     "cavity": lid_cavity,
     "channel": channel,
@@ -341,6 +368,7 @@ CASES: dict[str, Callable[..., Case]] = {
     "cavity_supersonic": cavity_supersonic,
     "kolmogorov": kolmogorov,
     "transport": transport,
+    "cavity3d": cavity3d,
 }
 
 

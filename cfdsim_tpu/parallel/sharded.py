@@ -27,15 +27,23 @@ from cfdsim_tpu.parallel.halo import (
 from cfdsim_tpu.parallel.mesh import field_sharding
 
 
+def _sharding_for(x, mesh: Mesh):
+    """(y, x) decomposition for the trailing two axes; 3D fields keep the
+    z axis replicated (BASELINE config 5's layout); scalars replicated."""
+    if jnp.ndim(x) == 2:
+        return NamedSharding(mesh, P("y", "x"))
+    if jnp.ndim(x) == 3:
+        return NamedSharding(mesh, P(None, "y", "x"))
+    return NamedSharding(mesh, P())
+
+
 def shard_state(state, mesh: Mesh):
-    """Place every 2D field of a state pytree on the mesh with P("y","x");
-    scalars are replicated."""
-    fs = field_sharding(mesh)
-    rep = NamedSharding(mesh, P())
+    """Place every field of a state pytree on the mesh (2D/3D fields get
+    spatial shardings; scalars are replicated)."""
 
     def place(x):
         x = jnp.asarray(x)
-        return jax.device_put(x, fs if x.ndim == 2 else rep)
+        return jax.device_put(x, _sharding_for(x, mesh))
 
     return jax.tree_util.tree_map(place, state)
 
@@ -44,13 +52,10 @@ def make_sharded_step(step_fn, mesh: Mesh):
     """Jit a ``step(state, cfl_scale) -> (state, metrics)`` function with
     field shardings pinned to the mesh — XLA partitions all stencils and
     reductions, exchanging halos over ICI automatically."""
-    fs = field_sharding(mesh)
     rep = NamedSharding(mesh, P())
 
     def shardings_like(tree):
-        return jax.tree_util.tree_map(
-            lambda x: fs if jnp.ndim(x) == 2 else rep, tree
-        )
+        return jax.tree_util.tree_map(lambda x: _sharding_for(x, mesh), tree)
 
     def wrapped(state, cfl_scale):
         new_state, metrics = step_fn(state, cfl_scale)

@@ -1,0 +1,86 @@
+"""Native (C++) async snapshot writer: build, roundtrip, async draining,
+HDF5 conversion. Skips cleanly when the toolchain is unavailable."""
+
+import numpy as np
+import pytest
+
+pytest.importorskip("ctypes")
+
+try:
+    from cfdsim_tpu.io_.native import (
+        NativeSnapshotWriter,
+        NativeUnavailable,
+        csnap_steps,
+        csnap_to_hdf5,
+        read_csnap,
+        _build_lib,
+    )
+
+    _build_lib()
+    HAVE_NATIVE = True
+except Exception:  # toolchain missing
+    HAVE_NATIVE = False
+
+pytestmark = pytest.mark.skipif(not HAVE_NATIVE, reason="no native toolchain")
+
+
+def test_roundtrip_exact(tmp_path):
+    p = tmp_path / "a.csnap"
+    rng = np.random.default_rng(0)
+    u = rng.standard_normal((48, 64)).astype(np.float32)
+    v = rng.standard_normal((48, 64)).astype(np.float64)
+    with NativeSnapshotWriter(p) as w:
+        w.save(0, 0.0, u=u, v=v)
+        w.save(100, 1.5, u=u * 2)
+        w.flush()
+    recs = read_csnap(p)
+    assert [r["name"] for r in recs] == ["u", "v", "u"]
+    np.testing.assert_array_equal(recs[0]["array"], u)
+    np.testing.assert_array_equal(recs[1]["array"], v)  # dtype preserved
+    assert recs[1]["array"].dtype == np.float64
+    steps = csnap_steps(p)
+    assert set(steps) == {0, 100}
+    assert steps[100][1] == 1.5
+
+
+def test_async_enqueue_is_fast_and_drains(tmp_path):
+    import time
+
+    p = tmp_path / "b.csnap"
+    big = np.zeros((512, 512), np.float32)
+    w = NativeSnapshotWriter(p)
+    t0 = time.perf_counter()
+    for s in range(20):
+        w.save(s, float(s), field=big)
+    enqueue_time = time.perf_counter() - t0
+    w.flush()
+    assert w.pending() == 0
+    w.close()
+    assert len(read_csnap(p)) == 20
+    # enqueueing must not pay for compression+disk (worker thread does)
+    assert enqueue_time < 2.0
+
+
+def test_hdf5_conversion(tmp_path):
+    from cfdsim_tpu.io_ import list_steps, load_step
+
+    p = tmp_path / "c.csnap"
+    with NativeSnapshotWriter(p) as w:
+        w.save(0, 0.25, u=np.ones((8, 8), np.float32))
+        w.flush()
+    h5 = csnap_to_hdf5(p, tmp_path / "c.h5")
+    assert list_steps(h5) == [0]
+    fields, t = load_step(h5, 0)
+    assert t == 0.25
+    np.testing.assert_array_equal(fields["u"], 1.0)
+
+
+def test_3d_fields(tmp_path):
+    p = tmp_path / "d.csnap"
+    arr = np.arange(2 * 3 * 4, dtype=np.float32).reshape(2, 3, 4)
+    with NativeSnapshotWriter(p) as w:
+        w.save(7, 0.7, vol=arr)
+        w.flush()
+    r = read_csnap(p)[0]
+    assert r["array"].shape == (2, 3, 4)
+    np.testing.assert_array_equal(r["array"], arr)
