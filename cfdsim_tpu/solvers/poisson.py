@@ -301,6 +301,52 @@ def _idct2(X, axis: int):
     return jnp.real(jax.lax.slice_in_dim(v, 0, n, axis=axis))
 
 
+def _dct2_fast(x, axis: int):
+    """Makhoul single-FFT DCT-II (same 2× scale as ``_dct2``): permute to
+    v = [x_even, reversed(x_odd)], take one real FFT of length n (vs the
+    even-extension's complex FFT of length 2n — ~4× less FFT work), and
+    twiddle. Requires even n along ``axis``."""
+    n = x.shape[axis]
+    ev = jax.lax.slice_in_dim(x, 0, n, 2, axis=axis)
+    od = jax.lax.slice_in_dim(x, 1, n, 2, axis=axis)
+    v = jnp.concatenate([ev, jnp.flip(od, axis)], axis=axis)
+    W = jnp.fft.rfft(v, axis=axis)  # length n//2 + 1
+    tail = jnp.conj(jnp.flip(jax.lax.slice_in_dim(W, 1, n // 2, axis=axis), axis))
+    A = jnp.concatenate([W, tail], axis=axis)
+    k = jnp.arange(n)
+    shape = [1] * x.ndim
+    shape[axis] = n
+    tw = jnp.exp(-1j * jnp.pi * k / (2 * n)).reshape(shape)
+    return 2.0 * jnp.real(tw * A)
+
+
+def _idct2_fast(X, axis: int):
+    """Exact inverse of ``_dct2_fast``: rebuild the permuted-sequence
+    spectrum V[k] = e^{iπk/2n}·(X[k] − i·X[n−k])/2, one ifft, un-permute."""
+    n = X.shape[axis]
+    k = jnp.arange(n)
+    shape = [1] * X.ndim
+    shape[axis] = n
+    rev = jnp.flip(jax.lax.slice_in_dim(X, 1, n, axis=axis), axis)
+    zero = jnp.zeros_like(jax.lax.slice_in_dim(X, 0, 1, axis=axis))
+    Xnk = jnp.concatenate([zero, rev], axis=axis)
+    V = jnp.exp(1j * jnp.pi * k / (2 * n)).reshape(shape) * (
+        0.5 * (X - 1j * Xnk)
+    )
+    v = jnp.real(jnp.fft.ifft(V, axis=axis))
+    ev = jax.lax.slice_in_dim(v, 0, n // 2, axis=axis)
+    od = jnp.flip(jax.lax.slice_in_dim(v, n // 2, n, axis=axis), axis)
+    return jnp.stack([ev, od], axis=axis + 1).reshape(X.shape)
+
+
+def _dct_fwd(x, axis: int):
+    return _dct2_fast(x, axis) if x.shape[axis] % 2 == 0 else _dct2(x, axis)
+
+
+def _dct_inv(X, axis: int):
+    return _idct2_fast(X, axis) if X.shape[axis] % 2 == 0 else _idct2(X, axis)
+
+
 def solve_poisson_neumann_dct(rhs, dx: float, dy: float):
     """Exact solve of the clamped-edge (Neumann) FD Poisson problem.
 
@@ -309,7 +355,7 @@ def solve_poisson_neumann_dct(rhs, dx: float, dy: float):
     λ_k = (2cos(πk/n)−2)/h². The constant nullspace mode is projected out,
     matching the iterative solvers' mean-free convention."""
     m, n = rhs.shape
-    rhs_hat = _dct2(_dct2(rhs, axis=0), axis=1)
+    rhs_hat = _dct_fwd(_dct_fwd(rhs, axis=0), axis=1)
     ky = jnp.arange(m)
     kx = jnp.arange(n)
     lam = (2.0 * jnp.cos(jnp.pi * ky / m)[:, None] - 2.0) / (dy * dy) + (
@@ -318,7 +364,7 @@ def solve_poisson_neumann_dct(rhs, dx: float, dy: float):
     lam = lam.at[0, 0].set(1.0)
     phi_hat = rhs_hat / lam
     phi_hat = phi_hat.at[0, 0].set(0.0)
-    phi = _idct2(_idct2(phi_hat, axis=1), axis=0)
+    phi = _dct_inv(_dct_inv(phi_hat, axis=1), axis=0)
     return phi.astype(rhs.dtype)
 
 

@@ -16,7 +16,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from cfdsim_tpu.solvers.poisson import _dct2, _idct2
+from cfdsim_tpu.solvers.poisson import _dct_fwd, _dct_inv
 
 
 @dataclasses.dataclass(frozen=True)
@@ -124,7 +124,7 @@ def solve_poisson_3d(
     cfg: Poisson3DConfig = Poisson3DConfig(),
 ):
     if cfg.method == "dct":
-        rhs_hat = _dct2(_dct2(_dct2(rhs, 0), 1), 2)
+        rhs_hat = _dct_fwd(_dct_fwd(_dct_fwd(rhs, 0), 1), 2)
         nz, ny, nx = rhs.shape
         lam = (
             (2.0 * jnp.cos(jnp.pi * jnp.arange(nz) / nz) - 2.0)[:, None, None] / dz**2
@@ -133,7 +133,7 @@ def solve_poisson_3d(
         )
         lam = lam.at[0, 0, 0].set(1.0)
         phi_hat = (rhs_hat / lam).at[0, 0, 0].set(0.0)
-        return _idct2(_idct2(_idct2(phi_hat, 2), 1), 0).astype(rhs.dtype)
+        return _dct_inv(_dct_inv(_dct_inv(phi_hat, 2), 1), 0).astype(rhs.dtype)
 
     if cfg.method == "mg":
         shapes = _level_shapes(phi0.shape, cfg.mg_min_size)
