@@ -235,9 +235,9 @@ def _vcycle(phi, rhs, dx, dy, cfg: PoissonConfig, masks_by_level, level, n_level
     for _ in range(cfg.mg_pre):
         phi = sweep(phi)
     if level == n_levels - 1:
-        for _ in range(cfg.mg_coarse):
-            phi = sweep(phi)
-        return phi
+        # fori_loop keeps the traced program small (coarse sweeps dominate
+        # the unrolled op count and hence XLA compile time)
+        return jax.lax.fori_loop(0, cfg.mg_coarse, lambda _, p: sweep(p), phi)
     r = rhs - lap_neumann(phi, dx, dy)
     r = jnp.where(jnp.logical_or(*colors), r, 0.0)  # zero inside solids
     e_c = jnp.zeros_like(r[::2, ::2])

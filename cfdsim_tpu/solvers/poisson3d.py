@@ -105,9 +105,7 @@ def _vcycle(phi, rhs, d, cfg: Poisson3DConfig, masks, level, n_levels):
     for _ in range(cfg.mg_pre):
         phi = sweep(phi)
     if level == n_levels - 1:
-        for _ in range(cfg.mg_coarse):
-            phi = sweep(phi)
-        return phi
+        return jax.lax.fori_loop(0, cfg.mg_coarse, lambda _, p: sweep(p), phi)
     r = rhs - lap_neumann_3d(phi, dx, dy, dz)
     e_c = jnp.zeros_like(r[::2, ::2, ::2])
     e_c = _vcycle(

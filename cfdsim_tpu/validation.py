@@ -65,6 +65,27 @@ def cavity_centerline_profiles(u, v):
     return u_c, v_c
 
 
+def dominant_frequency(signal, sample_dt: float) -> float:
+    """Frequency (Hz) of the strongest non-DC component of a time series."""
+    s = np.asarray(signal, dtype=np.float64)
+    s = s - s.mean()
+    # Hann window to suppress leakage from the non-integer period count
+    s = s * np.hanning(len(s))
+    spec = np.abs(np.fft.rfft(s))
+    freqs = np.fft.rfftfreq(len(s), d=sample_dt)
+    return float(freqs[1:][np.argmax(spec[1:])])
+
+
+def strouhal_number(signal, sample_dt: float, diameter: float, velocity: float) -> float:
+    """St = f·D/U from a probe time series (e.g. v-velocity in the wake).
+
+    Empirical reference for a circular cylinder: St ≈ 0.16-0.17 at
+    Re = 100-200 (Roshko). The reference repo checks this only by eye on
+    its Kármán-street animations (SURVEY.md §4)."""
+    f = dominant_frequency(signal, sample_dt)
+    return f * diameter / velocity
+
+
 def ghia_error(u, v, Re: int, y_coords, x_coords):
     """RMS error of the simulated centerline profiles vs Ghia et al."""
     u_c, v_c = cavity_centerline_profiles(u, v)
