@@ -72,6 +72,12 @@ class IncompressibleConfig:
     grid: Grid
     nu: float
     scheme: str = "central"  # central | upwind | supg | supg_refparity
+    # diffusion treatment: "explicit" (forward Euler, dt limited by the
+    # 2D bound h²/4ν) or "implicit" (backward Euler on the viscous term —
+    # the capability of the reference's Julia FEM solver, v1.jl:130-167 —
+    # solved matrix-free by damped Jacobi; drops the viscous dt limit)
+    diffusion: str = "explicit"
+    implicit_iters: int = 12
     use_les: bool = False
     smagorinsky_constant: float = 0.17
     artificial_viscosity: float = 0.0
@@ -117,12 +123,15 @@ def _adaptive_dt(cfg: IncompressibleConfig, u, v, nu_t, step, cfl_scale):
         jnp.maximum(jnp.max(jnp.abs(u)), jnp.max(jnp.abs(v))), 1e-10
     )
     dt_cfl = cfg.cfl_target * cfl_scale * h / vel_max
-    nu_total = cfg.nu + jnp.mean(nu_t) + cfg.artificial_viscosity
-    # 2D explicit diffusion requires dt <= h²/(4ν); the reference's 0.4
-    # factor (v5.py:324) exceeds it and relies on its dt_max clamp. Use a
-    # safe 0.2.
-    dt_visc = 0.2 * h * h / nu_total
-    dt = jnp.clip(jnp.minimum(dt_cfl, dt_visc), cfg.dt_min, cfg.dt_max)
+    if cfg.diffusion == "implicit":
+        dt = jnp.clip(dt_cfl, cfg.dt_min, cfg.dt_max)
+    else:
+        nu_total = cfg.nu + jnp.mean(nu_t) + cfg.artificial_viscosity
+        # 2D explicit diffusion requires dt <= h²/(4ν); the reference's 0.4
+        # factor (v5.py:324) exceeds it and relies on its dt_max clamp.
+        # Use a safe 0.2.
+        dt_visc = 0.2 * h * h / nu_total
+        dt = jnp.clip(jnp.minimum(dt_cfl, dt_visc), cfg.dt_min, cfg.dt_max)
     if cfg.warmup_steps > 0:
         dt = jnp.where(step < cfg.warmup_steps, jnp.float32(cfg.warmup_dt), dt)
     return dt.astype(jnp.float32)
@@ -194,16 +203,48 @@ def make_step(
             raise ValueError(f"unknown scheme {cfg.scheme!r}")
 
         # --- diffusion + predictor (v5.py:400-403)
-        lap_u = laplacian_coeff(u, dx, dy, nu_eff)
-        lap_v = laplacian_coeff(v, dx, dy, nu_eff)
-        u_star = u + dt * (lap_u - conv_u)
-        v_star = v + dt * (lap_v - conv_v)
-        if forcing is not None:
-            u_star = u_star + dt * forcing[0]
-            v_star = v_star + dt * forcing[1]
+        if cfg.diffusion == "implicit":
+            # backward-Euler viscous step (the reference's Julia FEM
+            # capability, v1.jl:130-167): (I − dt ν_eff ∇²) u* = u − dt·conv,
+            # solved matrix-free by damped Jacobi with BCs re-imposed each
+            # iteration (diagonally dominant: converges in ~10 sweeps)
+            bu = u - dt * conv_u
+            bv = v - dt * conv_v
+            if forcing is not None:
+                bu = bu + dt * forcing[0]
+                bv = bv + dt * forcing[1]
+            ax = 1.0 / (dx * dx)
+            ay = 1.0 / (dy * dy)
+            coeff = dt * nu_eff
+            denom_inv = 1.0 / (1.0 + 2.0 * (ax + ay) * coeff)
 
-        # --- BCs + IBM on the predictor (v5.py:405-407)
-        u_star, v_star = bc_fn(u_star, v_star, state.step, state.t)
+            def nb(q):
+                s = ax * (q[1:-1, 2:] + q[1:-1, :-2]) + ay * (
+                    q[2:, 1:-1] + q[:-2, 1:-1]
+                )
+                return jnp.pad(s, ((1, 1), (1, 1)))
+
+            def helmholtz_iter(_, uv):
+                us, vs = uv
+                us = (bu + coeff * nb(us)) * denom_inv
+                vs = (bv + coeff * nb(vs)) * denom_inv
+                return bc_fn(us, vs, state.step, state.t)
+
+            u_star, v_star = jax.lax.fori_loop(
+                0, cfg.implicit_iters, helmholtz_iter,
+                bc_fn(bu, bv, state.step, state.t),
+            )
+        else:
+            lap_u = laplacian_coeff(u, dx, dy, nu_eff)
+            lap_v = laplacian_coeff(v, dx, dy, nu_eff)
+            u_star = u + dt * (lap_u - conv_u)
+            v_star = v + dt * (lap_v - conv_v)
+            if forcing is not None:
+                u_star = u_star + dt * forcing[0]
+                v_star = v_star + dt * forcing[1]
+            u_star, v_star = bc_fn(u_star, v_star, state.step, state.t)
+
+        # --- IBM on the predictor (v5.py:405-407)
         if ibm_mask is not None:
             strength = ibm_ramp(state.step, cfg.ibm_ramp_steps)
             u_star, v_star = apply_ibm(u_star, v_star, ibm_mask, strength)

@@ -46,3 +46,22 @@ def field_sharding(mesh: Mesh) -> NamedSharding:
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def init_distributed(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> None:
+    """Multi-host bring-up: call once per host before building the mesh
+    (``jax.distributed.initialize``; on Cloud TPU pods all arguments are
+    auto-detected from the metadata server). After this, ``jax.devices()``
+    spans every host and ``make_grid_mesh`` lays shards out over the full
+    ICI/DCN topology."""
+    import jax
+
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )

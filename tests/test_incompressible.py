@@ -98,6 +98,21 @@ def test_cylinder_ref_parity_mode_runs():
     assert np.abs(np.asarray(state.p)[solid]).max() == 0.0
 
 
+def test_implicit_diffusion_stable_beyond_explicit_limit():
+    # backward-Euler viscous step: dt is CFL-limited only; must stay stable
+    # above the explicit bound h²/4ν and still reach the Ghia solution
+    case = lid_cavity(n=48, Re=100.0, diffusion="implicit", cfl=0.7)
+    h = case.grid.dx
+    explicit_limit = 0.2 * h * h / case.cfg.nu  # what _adaptive_dt enforces
+    state, metrics = _run(case, 2000)
+    assert float(np.asarray(metrics.dt)[-1]) > explicit_limit
+    assert np.all(np.isfinite(np.asarray(state.u)))
+    eu, ev = ghia_error(
+        state.u, state.v, 100, case.grid.y_coords(), case.grid.x_coords()
+    )
+    assert eu < 0.03 and ev < 0.03
+
+
 def test_les_and_upwind_variants_stable():
     case = lid_cavity(n=32, Re=1000.0, scheme="upwind", use_les=True)
     state, metrics = _run(case, 200, chunk=100)
