@@ -66,7 +66,55 @@ def run_bench(n=1024, short=100, long=600):
     }
 
 
+def run_secondary(n=1024):
+    """Secondary metrics from BASELINE.md: Poisson sweeps/sec, multigrid
+    V-cycles/sec, DCT direct solves/sec at 1024² (marginal timing)."""
+    import numpy as np
+
+    from cfdsim_tpu.solvers.poisson import PoissonConfig, solve_poisson
+
+    h = 1.0 / (n - 1)
+    rng = np.random.default_rng(0)
+    rhs = jnp.asarray(rng.standard_normal((n, n)), jnp.float32)
+    phi0 = jnp.zeros_like(rhs)
+
+    def marginal(body, r1=20, r2=200):
+        def run(reps):
+            f = jax.jit(
+                lambda x: jax.lax.scan(
+                    lambda c, _: (body(c), None), x, None, length=reps
+                )[0]
+            )
+            out = f(phi0)
+            float(out[0, 0])
+            t0 = time.perf_counter()
+            out = f(phi0)
+            float(out[0, 0])
+            return time.perf_counter() - t0
+
+        t1, t2 = run(r1), run(r2)
+        return (t2 - t1) / (r2 - r1)
+
+    results = []
+    m = marginal(lambda p: solve_poisson(
+        p, rhs, h, h, PoissonConfig(method="rbsor", iters=1)))
+    results.append({"metric": "poisson_rbsor_sweeps_per_sec_1024", "value": 1.0 / m,
+                    "unit": "sweeps/s"})
+    m = marginal(lambda p: solve_poisson(
+        p, rhs, h, h, PoissonConfig(method="mg", iters=1)))
+    results.append({"metric": "poisson_mg_vcycles_per_sec_1024", "value": 1.0 / m,
+                    "unit": "vcycles/s"})
+    m = marginal(lambda p: solve_poisson(
+        p, rhs, h, h, PoissonConfig(method="dct")))
+    results.append({"metric": "poisson_dct_solves_per_sec_1024", "value": 1.0 / m,
+                    "unit": "solves/s"})
+    return results
+
+
 if __name__ == "__main__":
     result = run_bench()
     print(json.dumps(result))
+    if "--all" in sys.argv:
+        for r in run_secondary():
+            print(json.dumps(r))
     sys.stdout.flush()

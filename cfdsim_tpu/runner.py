@@ -43,6 +43,8 @@ class RunnerConfig:
     cfl_scale_min: float = 0.1
     wall_clock_limit_s: float = 0.0  # 0 = unlimited
     log_every_chunks: int = 10
+    progress: bool = False  # tqdm bar keyed on simulated time (v5.py:651)
+    log_memory: bool = False  # psutil RSS in the periodic log (v5.py:665-667)
 
 
 class Simulation:
@@ -88,6 +90,16 @@ class Simulation:
             self.snapshot_fn(self.state, step, float(self.state.t))
             next_snapshot = step + cfg.snapshot_interval
 
+        pbar = None
+        if cfg.progress:
+            try:
+                from tqdm import tqdm
+
+                pbar = tqdm(total=cfg.t_final, desc="Simulation", unit="time",
+                            initial=float(self.state.t))
+            except ImportError:
+                pass
+
         chunk_idx = 0
         while True:
             t_now = float(self.state.t)
@@ -106,6 +118,8 @@ class Simulation:
             step += cfg.chunk_steps
             self.perf.add_steps(cfg.chunk_steps)
             chunk_idx += 1
+            if pbar is not None:
+                pbar.update(min(float(self.state.t), cfg.t_final) - pbar.n)
 
             # host-side control: health, back-off, snapshots, logging
             m_host = jax.device_get(metrics)
@@ -167,7 +181,17 @@ class Simulation:
                     h["energy"],
                     self.perf.steps_per_sec,
                 )
+                if cfg.log_memory:
+                    try:
+                        import psutil
 
+                        rss = psutil.Process().memory_info().rss / 1e6
+                        self.log.info("host memory usage: %.1f MB", rss)
+                    except ImportError:
+                        pass
+
+        if pbar is not None:
+            pbar.close()
         report = self.perf.report()
         report["stopped_reason"] = self.stopped_reason
         report["final_time"] = float(self.state.t)

@@ -46,7 +46,7 @@ GHIA_V = {
     ),
     400: np.array(
         [0.00000, 0.18360, 0.19713, 0.20920, 0.22965, 0.28124, 0.30203,
-         0.30174, 0.05186, -0.38598, -0.44993, -0.23827, -0.22847, -0.19254,
+         0.30174, 0.05186, -0.38598, -0.44993, -0.33827, -0.22847, -0.19254,
          -0.15663, -0.12146, 0.00000]
     ),
     1000: np.array(

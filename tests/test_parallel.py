@@ -86,6 +86,20 @@ def test_gspmd_full_step_matches_single_device(mesh):
     assert len(state_sh.u.sharding.device_set) == 8
 
 
+def test_compressible_gspmd_step_matches(mesh):
+    # conserved state (4, ny, nx): components replicated, space decomposed
+    from cfdsim_tpu.cases import wedge
+
+    case = wedge(nx=64, ny=32, reconstruction="muscl")
+    s1, m1 = jax.jit(case.step)(case.state, jnp.float32(1.0))
+    st_sh = shard_state(case.state, mesh)
+    step_sh = make_sharded_step(case.step, mesh)(st_sh)
+    s2, m2 = step_sh(st_sh, jnp.float32(1.0))
+    np.testing.assert_allclose(np.asarray(s2.U), np.asarray(s1.U),
+                               rtol=1e-4, atol=1e-5)
+    assert len(s2.U.sharding.device_set) == 8
+
+
 def test_sharded_step_metrics_match(mesh):
     case = lid_cavity(n=32, Re=100.0)
     _, m1 = jax.jit(case.step)(case.state, jnp.float32(1.0))
