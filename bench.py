@@ -32,10 +32,13 @@ def _timed_chunk(case, state, n_steps: int) -> float:
     f = jax.jit(chunk)
     out, _ = f(state, jnp.float32(1.0))
     float(out.t)  # compile + execute once
-    t0 = time.perf_counter()
-    out, _ = f(state, jnp.float32(1.0))
-    float(out.t)
-    return time.perf_counter() - t0, out
+    best = float("inf")
+    for _ in range(3):  # the tunneled chip is shared; take the best run
+        t0 = time.perf_counter()
+        out, _ = f(state, jnp.float32(1.0))
+        float(out.t)
+        best = min(best, time.perf_counter() - t0)
+    return best, out
 
 
 def run_bench(n=1024, short=100, long=600):

@@ -311,29 +311,40 @@ def _dct2_fast(x, axis: int):
     od = jax.lax.slice_in_dim(x, 1, n, 2, axis=axis)
     v = jnp.concatenate([ev, jnp.flip(od, axis)], axis=axis)
     W = jnp.fft.rfft(v, axis=axis)  # length n//2 + 1
-    tail = jnp.conj(jnp.flip(jax.lax.slice_in_dim(W, 1, n // 2, axis=axis), axis))
-    A = jnp.concatenate([W, tail], axis=axis)
-    k = jnp.arange(n)
+    # half-spectrum twiddle: with B = e^{-iπk/2n}·W[k] (k ≤ n/2),
+    # X[k] = 2·Re(B[k]) and X[n−k] = −2·Im(B[k])
+    k = jnp.arange(n // 2 + 1)
     shape = [1] * x.ndim
-    shape[axis] = n
-    tw = jnp.exp(-1j * jnp.pi * k / (2 * n)).reshape(shape)
-    return 2.0 * jnp.real(tw * A)
+    shape[axis] = n // 2 + 1
+    B = jnp.exp(-1j * jnp.pi * k / (2 * n)).reshape(shape) * W
+    head = 2.0 * jnp.real(B)
+    tail = -2.0 * jnp.flip(
+        jnp.imag(jax.lax.slice_in_dim(B, 1, n // 2, axis=axis)), axis
+    )
+    return jnp.concatenate([head, tail], axis=axis)
 
 
 def _idct2_fast(X, axis: int):
     """Exact inverse of ``_dct2_fast``: rebuild the permuted-sequence
     spectrum V[k] = e^{iπk/2n}·(X[k] − i·X[n−k])/2, one ifft, un-permute."""
     n = X.shape[axis]
-    k = jnp.arange(n)
+    # the permuted sequence v is real, so its spectrum is Hermitian: only
+    # V[0..n/2] is needed and a real irfft recovers v at half the FFT work
+    k = jnp.arange(n // 2 + 1)
     shape = [1] * X.ndim
-    shape[axis] = n
-    rev = jnp.flip(jax.lax.slice_in_dim(X, 1, n, axis=axis), axis)
+    shape[axis] = n // 2 + 1
+    Xk = jax.lax.slice_in_dim(X, 0, n // 2 + 1, axis=axis)
+    rev = jnp.flip(jax.lax.slice_in_dim(X, n // 2 + 1, n, axis=axis), axis)
     zero = jnp.zeros_like(jax.lax.slice_in_dim(X, 0, 1, axis=axis))
-    Xnk = jnp.concatenate([zero, rev], axis=axis)
-    V = jnp.exp(1j * jnp.pi * k / (2 * n)).reshape(shape) * (
-        0.5 * (X - 1j * Xnk)
+    # X[n−k] for k = 0..n/2  (k=0 → 0 by convention, k=n/2 → X[n/2])
+    Xnk = jnp.concatenate(
+        [zero, rev, jax.lax.slice_in_dim(X, n // 2, n // 2 + 1, axis=axis)],
+        axis=axis,
     )
-    v = jnp.real(jnp.fft.ifft(V, axis=axis))
+    V = jnp.exp(1j * jnp.pi * k / (2 * n)).reshape(shape) * (
+        0.5 * (Xk - 1j * Xnk)
+    )
+    v = jnp.fft.irfft(V, n=n, axis=axis)
     ev = jax.lax.slice_in_dim(v, 0, n // 2, axis=axis)
     od = jnp.flip(jax.lax.slice_in_dim(v, n // 2, n, axis=axis), axis)
     return jnp.stack([ev, od], axis=axis + 1).reshape(X.shape)
