@@ -38,6 +38,20 @@ class Case:
     extras: dict = dataclasses.field(default_factory=dict)
 
 
+def _poisson_spec(poisson):
+    """Accept a PoissonConfig or a CLI-friendly "method[:iters[:omega]]"
+    string (e.g. "mg:2", "rbsor:100:1.7", "dct")."""
+    if poisson is None or isinstance(poisson, PoissonConfig):
+        return poisson
+    parts = str(poisson).split(":")
+    kw = {"method": parts[0]}
+    if len(parts) > 1:
+        kw["iters"] = int(parts[1])
+    if len(parts) > 2:
+        kw["omega"] = float(parts[2])
+    return PoissonConfig(**kw)
+
+
 def lid_cavity(
     n: int = 128,
     Re: float = 100.0,
@@ -49,7 +63,7 @@ def lid_cavity(
 ) -> Case:
     """2D lid-driven cavity (BASELINE.json config 1; the Ghia benchmark)."""
     grid = Grid(nx=n, ny=n)
-    pois = poisson or PoissonConfig(method="mg", iters=2, mg_pre=2, mg_post=2)
+    pois = _poisson_spec(poisson) or PoissonConfig(method="mg", iters=2, mg_pre=2, mg_post=2)
     cfg = IncompressibleConfig(
         grid=grid,
         nu=lid_velocity / Re,
@@ -86,7 +100,7 @@ def channel(
     profile = None
     if parabolic_inflow:
         profile = 6.0 * u_in * (y / height) * (1.0 - y / height)
-    pois = poisson or PoissonConfig(method="mg", iters=2)
+    pois = _poisson_spec(poisson) or PoissonConfig(method="mg", iters=2)
     cfg = IncompressibleConfig(
         grid=grid,
         nu=nu,
@@ -127,6 +141,7 @@ def cylinder(
     the default uses the corrected operator and unmasked multigrid."""
     grid = Grid(nx=nx, ny=ny, x_max=domain[0], y_max=domain[1])
     solid, ibm = cylinder_masks(grid, center, radius)
+    poisson = _poisson_spec(poisson)
     if poisson is None:
         if ref_parity:
             poisson = PoissonConfig(

@@ -198,3 +198,27 @@ class Simulation:
         report["final_step"] = int(self.state.step)
         self.log.info("Performance report: %s", report)
         return self.state, report
+
+
+def run_on_device(step_fn, state, t_final: float, max_steps: int = 10_000_000,
+                  cfl_scale: float = 1.0):
+    """Fast path: the *entire* run as one jitted ``lax.while_loop`` — zero
+    host round-trips until completion (the SURVEY.md §7 idiom: "N steps is
+    one fori_loop; host sees data only at snapshot boundaries"). No
+    in-flight health intervention or snapshots; check the returned metrics
+    afterwards. Returns (state, last_metrics)."""
+
+    @jax.jit
+    def run(state, cfl):
+        def cond(carry):
+            s, _ = carry
+            return jnp.logical_and(s.t < t_final, s.step < max_steps)
+
+        def body(carry):
+            s, _ = carry
+            return step_fn(s, cfl)
+
+        _, metrics0 = step_fn(state, cfl)  # shape template (traced once)
+        return jax.lax.while_loop(cond, body, (state, metrics0))
+
+    return run(state, jnp.float32(cfl_scale))

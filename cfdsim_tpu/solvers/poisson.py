@@ -402,6 +402,23 @@ def solve_poisson(
     if cfg.method == "dct":
         return solve_poisson_neumann_dct(rhs, dx, dy)
 
+    if cfg.method == "hybrid":
+        # Fast hybrid pressure-correction (cf. PAPERS.md: "A Fast Hybrid
+        # Pressure-Correction Algorithm", arXiv:2304.14690): an exact
+        # unmasked DCT solve supplies the global field, then a few masked
+        # red-black SOR sweeps repair the solution around embedded solids.
+        phi = solve_poisson_neumann_dct(rhs, dx, dy)
+        if solid_mask is not None:
+            sm = jnp.asarray(solid_mask, bool)
+            phi = jnp.where(sm, 0.0, phi)
+            red, black = _color_masks(phi.shape, "neumann", sm)
+            sweep = partial(
+                _sweep, rhs=rhs, dx=dx, dy=dy, colors=(red, black),
+                omega=cfg.omega, bc="neumann",
+            )
+            phi = jax.lax.fori_loop(0, cfg.iters, lambda _, p: sweep(p), phi)
+        return phi
+
     if cfg.method == "mg":
         # Multigrid solves the unmasked Neumann problem. Embedded bodies are
         # handled upstream by IBM velocity penalization (the pressure field

@@ -1,0 +1,59 @@
+"""CLI smoke tests (subprocess, CPU platform, tiny configs)."""
+
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def _cli(*args, timeout=420):
+    env = dict(os.environ)
+    env["CFDSIM_PLATFORM"] = "cpu"
+    env["PYTHONPATH"] = str(REPO) + os.pathsep + env.get("PYTHONPATH", "")
+    return subprocess.run(
+        [sys.executable, "-m", "cfdsim_tpu", *args],
+        capture_output=True, text=True, env=env, timeout=timeout, cwd=REPO,
+    )
+
+
+def test_list_cases():
+    r = _cli("list")
+    assert r.returncode == 0
+    for name in ("cavity", "cylinder", "wedge", "kolmogorov"):
+        assert name in r.stdout
+
+
+def test_run_render_video_thin(tmp_path):
+    out = tmp_path / "run"
+    r = _cli(
+        "run", "cavity", "--n", "24", "--t-final", "0.2", "--chunk-steps", "10",
+        "--snapshot-interval", "10", "--out", str(out),
+        "--poisson", "jacobi:4",  # fast compile
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    report = json.loads(r.stdout.strip().splitlines()[-1])
+    assert report["final_time"] >= 0.2
+    assert (out / "snapshots.h5").exists()
+
+    r = _cli("render", str(out / "snapshots.h5"), str(out / "frames"))
+    assert r.returncode == 0, r.stderr[-2000:]
+    counts = json.loads(r.stdout.strip().splitlines()[-1])
+    assert counts["velocity"] >= 2
+
+    r = _cli("video", str(out / "frames" / "velocity_frames"),
+             str(out / "movie.gif"), "--duration", "1")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert (out / "movie.gif").exists()
+
+    r = _cli("thin", str(out / "frames" / "velocity_frames"), "--keep-every", "2")
+    assert r.returncode == 0
+    assert json.loads(r.stdout.strip().splitlines()[-1])["deleted"] >= 0
+
+
+def test_unknown_case_errors():
+    r = _cli("run", "definitely_not_a_case", "--t-final", "0.1")
+    assert r.returncode != 0
+    assert "unknown case" in (r.stderr + r.stdout)
