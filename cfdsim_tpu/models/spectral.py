@@ -165,8 +165,14 @@ def make_step(cfg: SpectralConfig):
     return step
 
 
+import functools
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
 def spectral_curl(state: SpectralState, cfg: SpectralConfig):
-    """Vorticity via spectral derivatives (plot.jl:134-141), for viz."""
+    """Vorticity via spectral derivatives (plot.jl:134-141), for viz.
+
+    Jitted (cfg static): some backends lack eager complex-FFT kernels."""
     KX, KY, *_ = _wavenumbers(cfg)
     scale = 2.0 * jnp.pi if cfg.angular_wavenumbers else 1.0
     u_hat = jnp.fft.rfft2(state.u)

@@ -39,7 +39,12 @@ def _roll(x, shift: int, axis: int, interpret: bool):
     return pltpu.roll(x, shift % x.shape[axis], axis)
 
 
-def _kernel(phi_ref, rhs_ref, out_ref, *, iters, omega, ax, ay, bc, interpret):
+def _kernel(phi_ref, rhs_ref, *rest, iters, omega, ax, ay, bc, masked,
+            interpret):
+    if masked:
+        mask_ref, out_ref = rest
+    else:
+        (out_ref,) = rest
     ny, nx = phi_ref.shape
     iy = lax.broadcasted_iota(jnp.int32, (ny, nx), 0)
     ix = lax.broadcasted_iota(jnp.int32, (ny, nx), 1)
@@ -49,6 +54,10 @@ def _kernel(phi_ref, rhs_ref, out_ref, *, iters, omega, ax, ay, bc, interpret):
         interior = (iy > 0) & (iy < ny - 1) & (ix > 0) & (ix < nx - 1)
         red_m = red_m & interior
         black_m = black_m & interior
+    if masked:  # φ frozen inside embedded solids (reference v5.py:213)
+        fluid = mask_ref[:] < 0.5
+        red_m = red_m & fluid
+        black_m = black_m & fluid
     # boolean edge masks (kept; the int32 iotas above are DCE'd after this)
     e_edge = ix == nx - 1
     w_edge = ix == 0
@@ -95,12 +104,12 @@ def rbsor_pallas(
     solid_mask=None,
     interpret: bool | None = None,
 ):
-    """Run ``iters`` red-black SOR sweeps fully in VMEM.
+    """Run ``iters`` red-black SOR sweeps fully in VMEM (with optional
+    frozen-φ solid mask, reference v5.py:213).
 
-    Falls back to the jnp implementation when the arrays exceed the VMEM
-    budget or when a solid mask is required (masked problems keep the
-    streaming path)."""
-    if solid_mask is not None or phi0.size > MAX_ELEMS:
+    Falls back to the streaming jnp implementation when the arrays exceed
+    the VMEM budget."""
+    if phi0.size > MAX_ELEMS:
         from cfdsim_tpu.solvers.poisson import PoissonConfig, solve_poisson
 
         return solve_poisson(
@@ -112,19 +121,20 @@ def rbsor_pallas(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
+    masked = solid_mask is not None
     ax = 1.0 / (dx * dx)
     ay = 1.0 / (dy * dy)
     kernel = functools.partial(
         _kernel, iters=iters, omega=omega, ax=ax, ay=ay, bc=bc,
-        interpret=interpret,
+        masked=masked, interpret=interpret,
     )
+    args = [phi0, rhs]
+    if masked:
+        args.append(jnp.asarray(solid_mask, jnp.float32))
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct(phi0.shape, phi0.dtype),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM) for _ in args],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(phi0, rhs)
+    )(*args)
