@@ -92,6 +92,33 @@ def test_wall_clock_limit(monkeypatch):
     assert report["stopped_reason"] == "wall-clock limit"
 
 
+def test_resume_is_bit_exact(tmp_path):
+    # XLA determinism: restoring a snapshot and continuing must reproduce
+    # the uninterrupted run exactly (fp32-exact snapshot round-trip)
+    import jax
+
+    from cfdsim_tpu.io_ import restore
+
+    case = lid_cavity(n=24, Re=100.0)
+    step = jax.jit(case.step)
+
+    s = case.state
+    for _ in range(10):
+        s, _ = step(s, jnp.float32(1.0))
+    w = SnapshotWriter(tmp_path / "ck.h5")
+    w.save(int(s.step), float(s.t), u=s.u, v=s.v, p=s.p)
+    s_cont = s
+    for _ in range(5):
+        s_cont, _ = step(s_cont, jnp.float32(1.0))
+
+    s_res = restore(case.state, tmp_path / "ck.h5")
+    for _ in range(5):
+        s_res, _ = step(s_res, jnp.float32(1.0))
+
+    np.testing.assert_array_equal(np.asarray(s_cont.u), np.asarray(s_res.u))
+    np.testing.assert_array_equal(np.asarray(s_cont.p), np.asarray(s_res.p))
+
+
 def test_snapshot_writer_skips_duplicates(tmp_path):
     w = SnapshotWriter(tmp_path / "d.h5")
     a = jnp.ones((4, 4))
