@@ -35,7 +35,13 @@ def check_metrics(
     magnitude bound, and a divergence bound that is looser during warmup.
     """
     max_vel = float(np.max(np.asarray(metrics.max_vel)))
-    div_max = float(np.max(np.asarray(metrics.div_post)))
+    # metric types without a divergence field (e.g. the spectral solver,
+    # whose projection is exact) skip the divergence check
+    div_max = (
+        float(np.max(np.asarray(metrics.div_post)))
+        if hasattr(metrics, "div_post")
+        else 0.0
+    )
     energy = float(np.asarray(metrics.energy)[-1])
 
     if not np.isfinite(max_vel) or not np.isfinite(energy):

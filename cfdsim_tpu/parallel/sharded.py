@@ -49,24 +49,13 @@ def shard_state(state, mesh: Mesh):
 
 
 def make_sharded_step(step_fn, mesh: Mesh):
-    """Jit a ``step(state, cfl_scale) -> (state, metrics)`` function with
-    field shardings pinned to the mesh — XLA partitions all stencils and
-    reductions, exchanging halos over ICI automatically."""
-    rep = NamedSharding(mesh, P())
-
-    def shardings_like(tree):
-        return jax.tree_util.tree_map(lambda x: _sharding_for(x, mesh), tree)
-
-    def wrapped(state, cfl_scale):
-        new_state, metrics = step_fn(state, cfl_scale)
-        return new_state, metrics
-
-    def compile_for(state):
-        in_sh = (shardings_like(state), rep)
-        out_sh = None  # let XLA propagate
-        return jax.jit(wrapped, in_shardings=in_sh, out_shardings=out_sh)
-
-    return compile_for
+    """Jit a ``step(state, cfl_scale) -> (state, metrics)`` function for a
+    state placed on the mesh (via ``shard_state``) — jit propagates the
+    committed input shardings and XLA's SPMD partitioner turns every
+    shifted-slice stencil into local compute plus ICI halo
+    collective-permutes. Call as ``step(state, cfl_scale)``."""
+    del mesh  # placement is carried by the state's committed shardings
+    return jax.jit(step_fn)
 
 
 def make_sharded_poisson(

@@ -60,6 +60,13 @@ def render_frames_from_hdf5(
 
     for step in it:
         data, t = load_step(hdf5_path, step)
+        # 3D snapshots: render the mid-z plane
+        data = {
+            k: (np.asarray(a)[np.asarray(a).shape[0] // 2]
+                if np.ndim(a) == 3 and k in ("u", "v", "w", "p", "vorticity")
+                else a)
+            for k, a in data.items()
+        }
         if "u" in data and "v" in data:
             u, v = data["u"], data["v"]
         elif "U" in data:

@@ -53,7 +53,7 @@ def main(n=256, steps=20):
     for nd in sorted({2, 4, n_dev} & set(range(1, n_dev + 1))):
         mesh = make_grid_mesh(nd)
         st = shard_state(case.state, mesh)
-        step = make_sharded_step(case.step, mesh)(st)
+        step = make_sharded_step(case.step, mesh)
         out = run(step, st, f"mesh {mesh.shape['y']}x{mesh.shape['x']}")
         err = float(jnp.max(jnp.abs(out.u - ref.u)))
         print(f"{'':24s} max |Δu| vs single-device: {err:.2e}")

@@ -67,7 +67,7 @@ def test_cavity3d_sharded_matches_single_device():
     s1, m1 = jax.jit(case.step)(s1, jnp.float32(1.0))
 
     st_sh = shard_state(case.state, mesh)
-    step_sh = make_sharded_step(case.step, mesh)(st_sh)
+    step_sh = make_sharded_step(case.step, mesh)
     s2, m2 = step_sh(st_sh, jnp.float32(1.0))
     s2, m2 = step_sh(s2, jnp.float32(1.0))
     np.testing.assert_allclose(np.asarray(s2.u), np.asarray(s1.u),

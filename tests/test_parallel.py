@@ -70,9 +70,8 @@ def test_gspmd_full_step_matches_single_device(mesh):
         state = state_single
 
     # same steps with the state sharded over the mesh
-    compile_for = make_sharded_step(case.step, mesh)
     state_sh = shard_state(case.state, mesh)
-    step_sh = compile_for(state_sh)
+    step_sh = make_sharded_step(case.step, mesh)
     for _ in range(3):
         state_sh, m_sh = step_sh(state_sh, jnp.float32(1.0))
 
@@ -93,7 +92,7 @@ def test_compressible_gspmd_step_matches(mesh):
     case = wedge(nx=64, ny=32, reconstruction="muscl")
     s1, m1 = jax.jit(case.step)(case.state, jnp.float32(1.0))
     st_sh = shard_state(case.state, mesh)
-    step_sh = make_sharded_step(case.step, mesh)(st_sh)
+    step_sh = make_sharded_step(case.step, mesh)
     s2, m2 = step_sh(st_sh, jnp.float32(1.0))
     np.testing.assert_allclose(np.asarray(s2.U), np.asarray(s1.U),
                                rtol=1e-4, atol=1e-5)
@@ -103,8 +102,7 @@ def test_compressible_gspmd_step_matches(mesh):
 def test_sharded_step_metrics_match(mesh):
     case = lid_cavity(n=32, Re=100.0)
     _, m1 = jax.jit(case.step)(case.state, jnp.float32(1.0))
-    compile_for = make_sharded_step(case.step, mesh)
     state_sh = shard_state(case.state, mesh)
-    _, m2 = compile_for(state_sh)(state_sh, jnp.float32(1.0))
+    _, m2 = make_sharded_step(case.step, mesh)(state_sh, jnp.float32(1.0))
     np.testing.assert_allclose(float(m1.energy), float(m2.energy), rtol=1e-5)
     np.testing.assert_allclose(float(m1.div_pre), float(m2.div_pre), rtol=1e-4)
