@@ -62,7 +62,7 @@ def run_bench(n=1024, short=100, long=600):
 
     cups = n * n * (long - short) / (t_long - t_short)
     return {
-        "metric": "cell_updates_per_sec_cavity1024",
+        "metric": f"cell_updates_per_sec_cavity{n}",
         "value": cups,
         "unit": "cells/s",
         "vs_baseline": cups / 1e9,
@@ -115,7 +115,8 @@ def run_secondary(n=1024):
 
 
 if __name__ == "__main__":
-    result = run_bench()
+    ns = [int(a.split("=")[1]) for a in sys.argv if a.startswith("--n=")]
+    result = run_bench(n=ns[0] if ns else 1024)
     print(json.dumps(result))
     if "--all" in sys.argv:
         for r in run_secondary():
