@@ -60,8 +60,6 @@ def cmd_list(_args, _extra):
 
 
 def cmd_run(args, extra):
-    import jax.numpy as jnp
-
     from cfdsim_tpu.cases import build
     from cfdsim_tpu.runner import RunnerConfig, Simulation
     from cfdsim_tpu.utils.logging import setup_logging

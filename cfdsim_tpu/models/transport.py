@@ -10,16 +10,13 @@ the incompressible solver in one fused jitted step.
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, NamedTuple, Optional
+from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
 
 from cfdsim_tpu.grid import Grid
-from cfdsim_tpu.models.incompressible import (
-    IncompressibleConfig,
-    IncompressibleState,
-)
+from cfdsim_tpu.models.incompressible import IncompressibleState
 from cfdsim_tpu.ops.convection import convection_central, convection_upwind
 from cfdsim_tpu.ops.stencil import laplacian
 

@@ -24,7 +24,6 @@ from cfdsim_tpu.parallel.halo import (
     global_parity,
     halo_exchange,
 )
-from cfdsim_tpu.parallel.mesh import field_sharding
 
 
 def _sharding_for(x, mesh: Mesh):

@@ -38,8 +38,6 @@ def render_frames_from_hdf5(
     Snapshots must contain ``u``/``v`` (incompressible schema) or ``U``
     (compressible, component-leading). Returns {field: [paths]}.
     """
-    import h5py
-
     plt = _mpl()
     from cfdsim_tpu.io_.hdf5 import list_steps, load_step
 
@@ -112,6 +110,17 @@ def render_frames_from_hdf5(
             elif field == "density" and "U" in data:
                 cf = ax.contourf(X, Y, data["U"][0], levels=31, cmap="plasma")
                 fig.colorbar(cf, ax=ax, label="ρ", shrink=0.8)
+            elif field == "mach" and "U" in data:
+                # Mach frames (reference ShockwaveVisualizer mach_frames)
+                U = data["U"]
+                rho_s = np.maximum(U[0], 1e-8)
+                E = np.clip(U[3] / rho_s, 1e-8, None)
+                ke = 0.5 * (u * u + v * v)
+                p_s = np.maximum(0.4 * rho_s * (E - ke), 1e-8)
+                a = np.sqrt(1.4 * p_s / rho_s)
+                mach = np.sqrt(u * u + v * v) / a
+                cf = ax.contourf(X, Y, mach, levels=31, cmap="coolwarm")
+                fig.colorbar(cf, ax=ax, label="M", shrink=0.8)
             else:
                 plt.close(fig)
                 continue
