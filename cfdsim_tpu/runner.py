@@ -35,7 +35,11 @@ class RunnerConfig:
     snapshot_interval: int = 0  # steps between snapshots; 0 = off
     health_check: bool = True
     max_velocity: float = 1e3
-    div_threshold: float = 2.0
+    # The reference uses 2.0 (v5.py:611) for its scheme; with this
+    # framework's collocated approximate projection an active vortex
+    # street runs at ~2.2 while genuine instabilities sit at 8+, so the
+    # default splits the difference.
+    div_threshold: float = 5.0
     warmup_div_threshold: float = 20.0
     warmup_steps: int = 1000
     on_unhealthy: str = "stop"  # "stop" (v5) | "backoff" (cavity CFL*0.8)

@@ -69,6 +69,9 @@ class PoissonConfig:
     mg_post: int = 2
     mg_coarse: int = 40
     mg_min_size: int = 4
+    # run MG smoothing through the Pallas VMEM kernel on levels that fit
+    # (multi-sweep in VMEM instead of streaming each half-sweep via HBM)
+    mg_pallas_smooth: bool = False
 
 
 # ---------------------------------------------------------------------------
@@ -229,15 +232,26 @@ def _vcycle(phi, rhs, dx, dy, cfg: PoissonConfig, masks_by_level, level, n_level
     colors = masks_by_level[level]
     # plain red-black Gauss-Seidel (omega=1) is the right MG smoother;
     # over-relaxation hurts the smoothing factor
-    sweep = partial(
-        _sweep, rhs=rhs, dx=dx, dy=dy, colors=colors, omega=1.0, bc="neumann"
-    )
-    for _ in range(cfg.mg_pre):
-        phi = sweep(phi)
+    use_pallas = False
+    if cfg.mg_pallas_smooth:
+        from cfdsim_tpu.ops.pallas.poisson_rb import MAX_ELEMS, rbsor_pallas
+
+        use_pallas = phi.size <= MAX_ELEMS
+
+    def smooth(p, n_sweeps):
+        if n_sweeps == 0:
+            return p
+        if use_pallas:
+            return rbsor_pallas(p, rhs, dx, dy, iters=n_sweeps, omega=1.0)
+        sweep = partial(
+            _sweep, rhs=rhs, dx=dx, dy=dy, colors=colors, omega=1.0,
+            bc="neumann",
+        )
+        return jax.lax.fori_loop(0, n_sweeps, lambda _, q: sweep(q), p)
+
+    phi = smooth(phi, cfg.mg_pre)
     if level == n_levels - 1:
-        # fori_loop keeps the traced program small (coarse sweeps dominate
-        # the unrolled op count and hence XLA compile time)
-        return jax.lax.fori_loop(0, cfg.mg_coarse, lambda _, p: sweep(p), phi)
+        return smooth(phi, cfg.mg_coarse)
     r = rhs - lap_neumann(phi, dx, dy)
     r = jnp.where(jnp.logical_or(*colors), r, 0.0)  # zero inside solids
     e_c = jnp.zeros_like(r[::2, ::2])
@@ -246,9 +260,7 @@ def _vcycle(phi, rhs, dx, dy, cfg: PoissonConfig, masks_by_level, level, n_level
     )
     fluid = jnp.logical_or(*colors)
     phi = phi + jnp.where(fluid, _prolong(e_c), 0.0)
-    for _ in range(cfg.mg_post):
-        phi = sweep(phi)
-    return phi
+    return smooth(phi, cfg.mg_post)
 
 
 # ---------------------------------------------------------------------------
