@@ -63,7 +63,10 @@ def lid_cavity(
 ) -> Case:
     """2D lid-driven cavity (BASELINE.json config 1; the Ghia benchmark)."""
     grid = Grid(nx=n, ny=n)
-    pois = _poisson_spec(poisson) or PoissonConfig(method="mg", iters=2, mg_pre=2, mg_post=2)
+    # exact DCT projection: faster than any iterative budget and, unlike
+    # a warm-started iterative solve, leaves no residual pressure error to
+    # feed back into the momentum field
+    pois = _poisson_spec(poisson) or PoissonConfig(method="dct")
     cfg = IncompressibleConfig(
         grid=grid,
         nu=lid_velocity / Re,
@@ -100,7 +103,7 @@ def channel(
     profile = None
     if parabolic_inflow:
         profile = 6.0 * u_in * (y / height) * (1.0 - y / height)
-    pois = _poisson_spec(poisson) or PoissonConfig(method="mg", iters=2)
+    pois = _poisson_spec(poisson) or PoissonConfig(method="dct")
     cfg = IncompressibleConfig(
         grid=grid,
         nu=nu,
@@ -154,7 +157,9 @@ def cylinder(
                 method="rbsor", iters=1500, tol=1e-8, check_every=50, omega=1.7
             )
         else:
-            poisson = PoissonConfig(method="mg", iters=2)
+            # exact projection: required for long-horizon stability once
+            # vortex shedding is active (warm-started MG blows up ~t=40)
+            poisson = PoissonConfig(method="dct")
     defaults = dict(
         adaptive_dt=True,
         cfl_target=0.1,
