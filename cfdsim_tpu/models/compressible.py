@@ -56,6 +56,7 @@ class CompressibleConfig:
     flux: str = "hllc"  # rusanov | hllc | roe
     reconstruction: str = "none"  # none (1st order) | muscl (minmod)
     cfl: float = 0.4
+    time_order: int = 1  # 1 = forward Euler (reference), 2 = SSP-RK2 (Heun)
     eps: float = 1e-8
     rho_min: float = 1e-8
     p_min: float = 1e-8
@@ -155,16 +156,14 @@ def make_step(
     dx, dy = g.dx, g.dy
     flux_fn = FLUXES[cfg.flux]
 
-    def step(state: CompressibleState, cfl_scale):
-        U = bc_fn(state.U, state.step, state.t)
-        dt = acoustic_dt(cfg, U, cfl_scale)
-
-        # x-direction faces and flux difference
+    def euler_update(U, dt):
+        """One conservative forward-Euler update with artificial viscosity
+        and positivity floors (parity: update_state v1_shock.py:211-223,
+        cavity_flow_v1.py:224-244)."""
         UL, UR = _face_states(cfg, U, axis=1)
         F = flux_fn(UL, UR, cfg.gamma, 1, cfg.eps, cfg.max_val)
         dF = (F[:, :, 1:] - F[:, :, :-1]) / dx  # valid for cells 1..nx-2
 
-        # y-direction faces and flux difference
         VL, VR = _face_states(cfg, U, axis=0)
         G = flux_fn(VL, VR, cfg.gamma, 0, cfg.eps, cfg.max_val)
         dG = (G[:, 1:, :] - G[:, :-1, :]) / dy  # valid for cells 1..ny-2
@@ -173,8 +172,6 @@ def make_step(
             -dt * (dF[:, 1:-1, :] + dG[:, :, 1:-1])
         )
 
-        # artificial viscosity on the momentum components
-        # (parity: cavity_flow_v1.py:238-243)
         if cfg.artificial_viscosity > 0.0:
             mom = U[1:3]
             lap = (
@@ -187,9 +184,8 @@ def make_step(
                 dt * cfg.artificial_viscosity * lap
             )
 
-        # positivity floors (parity: update_state v1_shock.py:218-221)
         rho_f = jnp.maximum(U_new[0], cfg.rho_min)
-        U_new = jnp.stack(
+        return jnp.stack(
             [
                 rho_f,
                 jnp.clip(U_new[1], -cfg.max_val * rho_f, cfg.max_val * rho_f),
@@ -197,6 +193,18 @@ def make_step(
                 jnp.maximum(U_new[3], cfg.eps * rho_f),
             ]
         )
+
+    def step(state: CompressibleState, cfl_scale):
+        U = bc_fn(state.U, state.step, state.t)
+        dt = acoustic_dt(cfg, U, cfl_scale)
+
+        if cfg.time_order == 2:
+            # SSP-RK2 (Heun): a convex combination of Euler updates keeps
+            # the TVD property of the limited fluxes at 2nd order in time
+            U1 = bc_fn(euler_update(U, dt), state.step, state.t)
+            U_new = 0.5 * U + 0.5 * euler_update(U1, dt)
+        else:
+            U_new = euler_update(U, dt)
 
         if zero_momentum_mask is not None:
             keep = 1.0 - zero_momentum_mask.astype(U_new.dtype)

@@ -59,10 +59,10 @@ def test_cons_prim_roundtrip():
     np.testing.assert_allclose(p2, p, rtol=1e-4, atol=1e-5)
 
 
-def _sod_case(nx=200, flux="hllc", reconstruction="muscl"):
+def _sod_case(nx=200, flux="hllc", reconstruction="muscl", **cfg_kw):
     grid = Grid(nx=nx, ny=8, x_max=1.0, y_max=0.04, centering="cell")
     cfg = comp.CompressibleConfig(
-        grid=grid, flux=flux, reconstruction=reconstruction, cfl=0.4
+        grid=grid, flux=flux, reconstruction=reconstruction, cfl=0.4, **cfg_kw
     )
     x = grid.x_coords()
     left = x < 0.5
@@ -189,6 +189,17 @@ def test_supersonic_cavity_runs_healthy():
     # pinned cavity block stays quiescent (cavity_flow_v1.py:165-170)
     pin = np.asarray(case.extras["cavity_mask"]) > 0.5
     assert np.abs(np.asarray(st.U)[1][pin]).max() < 1e-5
+
+
+def test_sod_rk2_matches_exact():
+    # SSP-RK2 must preserve (or sharpen) the Sod star-state accuracy
+    case = _sod_case(nx=400, time_order=2)
+    st, _ = _run(case, 0.2, chunk=50)
+    rho = np.asarray(cons_to_prim(st.U, GAMMA)[0])
+    x = case.grid.x_coords()
+    sel = (x > 0.72) & (x < 0.82)
+    assert rho[4, sel].mean() == pytest.approx(0.26557, rel=0.03)
+    assert bool(jnp.all(jnp.isfinite(st.U)))
 
 
 @pytest.mark.parametrize("flux_name", ["rusanov", "roe"])

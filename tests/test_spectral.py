@@ -75,6 +75,21 @@ def test_kolmogorov_forced_run_is_finite_and_energetic():
     assert np.isfinite(np.asarray(w)).all()
 
 
+def test_kolmogorov_energy_spectrum_peaks_at_forcing_scale():
+    """SURVEY.md §4: energy-spectrum sanity. The sin(kπy) forcing injects
+    at wavenumber k/2 cycles across the unit height; after spin-up the 1D
+    y-spectrum of u must peak there (before turbulence develops)."""
+    cfg = spec.SpectralConfig(ny=96, aspect=1.0, forcing_wavenumber=8,
+                              forcing_scale=0.05, nu=5e-3, dt=0.01)
+    step = spec.make_step(cfg)
+    state = spec.init_state(cfg)
+    state, _ = _run(step, state, 100)
+    u = np.asarray(state.u)
+    spec_y = np.abs(np.fft.rfft(u, axis=0)).mean(axis=1)
+    k_peak = int(np.argmax(spec_y[1:])) + 1
+    assert k_peak == cfg.forcing_wavenumber // 2, f"spectrum peak at k={k_peak}"
+
+
 def test_reference_parity_wavenumbers_run():
     cfg = spec.SpectralConfig(ny=48, aspect=1.0, angular_wavenumbers=False)
     step = spec.make_step(cfg)
