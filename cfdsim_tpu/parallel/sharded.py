@@ -73,28 +73,35 @@ def make_sharded_poisson(
     px = mesh.shape["x"]
     ax = 1.0 / (dx * dx)
     ay = 1.0 / (dy * dy)
-    denom_inv = 1.0 / (2.0 * (ax + ay))
     spec = P("y", "x")
 
     @partial(jax.shard_map, mesh=mesh, in_specs=(spec, spec), out_specs=spec)
     def solve(phi_b, rhs_b):
-        red = global_parity(phi_b.shape)
-        black = jnp.logical_not(red)
-
-        def half_sweep(phi, color):
-            p = halo_exchange(phi, py, px, width=1)
-            p = clamp_global_edges(p, width=1)
-            nb = ax * (p[1:-1, 2:] + p[1:-1, :-2]) + ay * (
-                p[2:, 1:-1] + p[:-2, 1:-1]
-            )
-            phi_star = (nb - rhs_b) * denom_inv
-            return jnp.where(color, (1.0 - omega) * phi + omega * phi_star, phi)
-
-        def sweep(_, phi):
-            phi = half_sweep(phi, red)
-            phi = half_sweep(phi, black)
-            return phi
-
-        return lax.fori_loop(0, iters, sweep, phi_b)
+        return rbsor_local(phi_b, rhs_b, py, px, ax, ay, iters, omega)
 
     return solve
+
+
+def rbsor_local(phi_b, rhs_b, py: int, px: int, ax: float, ay: float,
+                iters: int, omega: float):
+    """Distributed red-black SOR body for use *inside* shard_map: one halo
+    exchange per color half-sweep, clamped global edges (Neumann), colors
+    by global parity."""
+    denom_inv = 1.0 / (2.0 * (ax + ay))
+    red = global_parity(phi_b.shape)
+    black = jnp.logical_not(red)
+
+    def half_sweep(phi, color):
+        p = halo_exchange(phi, py, px, width=1)
+        p = clamp_global_edges(p, width=1)
+        nb = ax * (p[1:-1, 2:] + p[1:-1, :-2]) + ay * (
+            p[2:, 1:-1] + p[:-2, 1:-1]
+        )
+        phi_star = (nb - rhs_b) * denom_inv
+        return jnp.where(color, (1.0 - omega) * phi + omega * phi_star, phi)
+
+    def sweep(_, phi):
+        phi = half_sweep(phi, red)
+        return half_sweep(phi, black)
+
+    return lax.fori_loop(0, iters, sweep, phi_b)
