@@ -47,3 +47,21 @@ def test_checked_step_runs_clean():
     err, (s, m) = f(case.state, jnp.float32(1.0))
     err.throw()  # no error expected
     assert bool(jnp.all(jnp.isfinite(s.u)))
+
+
+def test_profiler_trace_captures(tmp_path):
+    from cfdsim_tpu.utils.profiling import profiler_trace
+
+    case = _tiny_case()
+    with profiler_trace(str(tmp_path)):
+        s, _ = jax.jit(case.step)(case.state, jnp.float32(1.0))
+        float(s.t)
+    captured = list(tmp_path.rglob("*"))
+    assert captured, "profiler trace produced no files"
+
+
+def test_profiler_trace_noop_without_dir():
+    from cfdsim_tpu.utils.profiling import profiler_trace
+
+    with profiler_trace(None):
+        pass  # must not raise
