@@ -83,13 +83,17 @@ def make_sharded_poisson(
 
 
 def rbsor_local(phi_b, rhs_b, py: int, px: int, ax: float, ay: float,
-                iters: int, omega: float):
+                iters: int, omega: float, fluid_b=None):
     """Distributed red-black SOR body for use *inside* shard_map: one halo
     exchange per color half-sweep, clamped global edges (Neumann), colors
-    by global parity."""
+    by global parity. ``fluid_b`` (local bool block) freezes φ inside
+    embedded solids (reference v5.py:213 masked semantics)."""
     denom_inv = 1.0 / (2.0 * (ax + ay))
     red = global_parity(phi_b.shape)
     black = jnp.logical_not(red)
+    if fluid_b is not None:
+        red = jnp.logical_and(red, fluid_b)
+        black = jnp.logical_and(black, fluid_b)
 
     def half_sweep(phi, color):
         p = halo_exchange(phi, py, px, width=1)

@@ -48,6 +48,41 @@ def test_explicit_step_matches_single_device(setup):
     np.testing.assert_allclose(float(m_ex.div_pre), float(m_ref.div_pre), rtol=1e-4)
 
 
+def test_cylinder_explicit_step_matches_single_device():
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from cfdsim_tpu.cases import cylinder
+    from cfdsim_tpu.parallel.explicit import make_cylinder_explicit_step
+
+    mesh = make_grid_mesh(8, topology=(2, 4))
+    case = cylinder(
+        nx=64, ny=32, Re=100.0,
+        poisson=PoissonConfig(method="rbsor", iters=20, omega=1.7),
+        cleanup_iters=0, warmup_steps=2, warmup_dt=1e-4, ibm_ramp_steps=10,
+    )
+    step_ref = jax.jit(case.step)
+    s_ref = case.state
+    for _ in range(4):
+        s_ref, m_ref = step_ref(s_ref, jnp.float32(1.0))
+
+    step_ex = jax.jit(make_cylinder_explicit_step(
+        case.cfg, mesh, case.extras["ibm_mask"], v_inf=1.0))
+    s_ex = shard_state(case.state, mesh)
+    ibm_sh = jax.device_put(case.extras["ibm_mask"], NamedSharding(mesh, P("y", "x")))
+    y_sh = jax.device_put(
+        jnp.asarray(case.grid.y_coords(), jnp.float32), NamedSharding(mesh, P("y"))
+    )
+    for _ in range(4):
+        s_ex, m_ex = step_ex(s_ex, jnp.float32(1.0), ibm_sh, y_sh)
+
+    np.testing.assert_allclose(np.asarray(s_ex.u), np.asarray(s_ref.u),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s_ex.v), np.asarray(s_ref.v),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(float(m_ex.energy), float(m_ref.energy), rtol=1e-5)
+    assert len(s_ex.u.sharding.device_set) == 8
+
+
 def test_explicit_step_runs_many_steps_healthy(setup):
     mesh, case = setup
     step_ex = make_cavity_explicit_step(case.cfg, mesh)
