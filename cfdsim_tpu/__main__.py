@@ -84,10 +84,21 @@ def cmd_run(args, extra):
 
         def snapshot_fn(state, step, t):
             fields = {
-                k: getattr(state, k)
+                k: v
                 for k in state._fields
-                if getattr(state, k).ndim >= 2
+                if hasattr(v := getattr(state, k), "ndim") and v.ndim >= 2
             }
+            # nested states (e.g. transport's CoupledState.flow)
+            for k in state._fields:
+                v = getattr(state, k)
+                if hasattr(v, "_fields"):
+                    fields.update(
+                        {
+                            kk: vv
+                            for kk in v._fields
+                            if hasattr(vv := getattr(v, kk), "ndim") and vv.ndim >= 2
+                        }
+                    )
             writer.save(step, t, **fields)
 
     health_fn = None

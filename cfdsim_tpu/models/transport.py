@@ -25,12 +25,38 @@ class CoupledState(NamedTuple):
     flow: IncompressibleState
     theta: jax.Array
 
+    # runner interface: time/step bookkeeping lives on the flow state
+    @property
+    def t(self):
+        return self.flow.t
+
+    @property
+    def step(self):
+        return self.flow.step
+
 
 class CoupledMetrics(NamedTuple):
     flow: object  # StepMetrics
     theta_min: jax.Array
     theta_max: jax.Array
     theta_mean: jax.Array
+
+    # runner/monitor interface: passthrough to the flow metrics
+    @property
+    def dt(self):
+        return self.flow.dt
+
+    @property
+    def energy(self):
+        return self.flow.energy
+
+    @property
+    def max_vel(self):
+        return self.flow.max_vel
+
+    @property
+    def div_post(self):
+        return self.flow.div_post
 
 
 @dataclasses.dataclass(frozen=True)

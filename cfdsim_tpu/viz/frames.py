@@ -74,8 +74,10 @@ def render_frames_from_hdf5(
         else:
             raise KeyError(f"snapshot {step} lacks velocity fields")
         ny, nx = u.shape
-        if grid is not None:
+        if grid is not None and hasattr(grid, "meshgrid"):
             X, Y = grid.meshgrid()
+            if X.shape != u.shape:  # e.g. 3D grid rendered as a midplane
+                X, Y = np.meshgrid(np.arange(nx), np.arange(ny))
         else:
             X, Y = np.meshgrid(np.arange(nx), np.arange(ny))
 
