@@ -118,3 +118,16 @@ def test_les_and_upwind_variants_stable():
     state, metrics = _run(case, 200, chunk=100)
     assert np.all(np.isfinite(np.asarray(state.u)))
     assert float(np.asarray(metrics.max_vel)[-1]) <= 1.0 + 1e-3
+
+
+def test_les_adds_dissipation():
+    # Smagorinsky eddy viscosity must lower the kinetic energy of an
+    # under-resolved high-Re flow relative to the no-model run
+    kw = dict(n=48, Re=10000.0, scheme="central", cfl=0.4)
+    no_les, m0 = _run(lid_cavity(use_les=False, **kw), 600, chunk=200)
+    with_les, m1 = _run(lid_cavity(use_les=True, smagorinsky_constant=0.2, **kw),
+                        600, chunk=200)
+    e0 = float(np.asarray(m0.energy)[-1])
+    e1 = float(np.asarray(m1.energy)[-1])
+    assert np.isfinite(e0) and np.isfinite(e1)
+    assert e1 < e0, f"LES energy {e1} should be below no-model {e0}"
