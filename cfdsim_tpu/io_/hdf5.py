@@ -79,21 +79,34 @@ def load_latest(path) -> tuple[dict, int, float]:
 
 def restore(state, path):
     """Restore a model state from the latest snapshot: every snapshot
-    dataset whose name matches a state field is loaded; ``t`` and ``step``
-    are taken from the snapshot metadata. Works for any NamedTuple state
-    (IncompressibleState, CompressibleState, SpectralState, ...)."""
+    dataset whose name matches a state field is loaded (recursing into
+    nested NamedTuple states like transport's CoupledState); ``t`` and
+    ``step`` are taken from the snapshot metadata."""
     import jax.numpy as jnp
 
     fields, step, t = load_latest(path)
-    updates = {
-        name: jnp.asarray(fields[name])
-        for name in state._fields
-        if name in fields
-    }
-    if not updates:
+
+    def fill(st):
+        updates = {}
+        matched = 0
+        for name in st._fields:
+            v = getattr(st, name)
+            if hasattr(v, "_fields"):
+                sub, n = fill(v)
+                updates[name] = sub
+                matched += n
+            elif name in fields:
+                updates[name] = jnp.asarray(fields[name])
+                matched += 1
+        if "t" in st._fields:
+            updates["t"] = jnp.float32(t)
+        if "step" in st._fields:
+            updates["step"] = jnp.int32(step)
+        return st._replace(**updates), matched
+
+    restored, matched = fill(state)
+    if matched == 0:
         raise KeyError(
             f"no snapshot dataset matches state fields {state._fields}"
         )
-    updates["t"] = jnp.float32(t)
-    updates["step"] = jnp.int32(step)
-    return state._replace(**updates)
+    return restored

@@ -109,3 +109,21 @@ def test_restore_helper(snapshot_file):
     assert int(st.step) == 100  # latest snapshot
     assert float(st.t) > 0.0
     assert np.any(np.asarray(st.u) != 0)
+
+
+def test_restore_nested_coupled_state(tmp_path):
+    import jax
+
+    from cfdsim_tpu.io_ import SnapshotWriter
+
+    case = transport(n=24, Re=100.0)
+    f = jax.jit(lambda s, c: jax.lax.scan(
+        lambda st, _: case.step(st, c), s, None, length=20)[0])
+    st = f(case.state, jnp.float32(1.0))
+    w = SnapshotWriter(tmp_path / "t.h5")
+    w.save(int(st.step), float(st.t), u=st.flow.u, v=st.flow.v,
+           p=st.flow.p, theta=st.theta)
+    restored = restore(case.state, tmp_path / "t.h5")
+    np.testing.assert_array_equal(np.asarray(restored.flow.u), np.asarray(st.flow.u))
+    np.testing.assert_array_equal(np.asarray(restored.theta), np.asarray(st.theta))
+    assert int(restored.flow.step) == int(st.step)
