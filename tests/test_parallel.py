@@ -99,6 +99,26 @@ def test_compressible_gspmd_step_matches(mesh):
     assert len(s2.U.sharding.device_set) == 8
 
 
+def test_spectral_gspmd_step_matches(mesh):
+    # FFT-heavy solver: GSPMD handles the distributed transforms
+    # (map_coordinates gathers + rfft2) transparently
+    import numpy as np
+
+    from cfdsim_tpu.cases import kolmogorov
+
+    case = kolmogorov(ny=64, aspect=1.0)
+    rng = np.random.default_rng(0)
+    st0 = case.state._replace(
+        u=jnp.asarray(rng.standard_normal((64, 64)), jnp.float32),
+        v=jnp.asarray(rng.standard_normal((64, 64)), jnp.float32),
+    )
+    s1, m1 = jax.jit(case.step)(st0)
+    s2, m2 = make_sharded_step(case.step, mesh)(shard_state(st0, mesh))
+    np.testing.assert_allclose(np.asarray(s2.u), np.asarray(s1.u),
+                               rtol=1e-5, atol=1e-5)
+    assert len(s2.u.sharding.device_set) == 8
+
+
 def test_sharded_step_metrics_match(mesh):
     case = lid_cavity(n=32, Re=100.0)
     _, m1 = jax.jit(case.step)(case.state, jnp.float32(1.0))
