@@ -260,12 +260,19 @@ def cavity_supersonic(
     cfl: float = 0.3,
     artificial_viscosity: float = 1e-3,
     reconstruction: str = "muscl",
+    real_geometry: bool = False,
     **cfg_overrides,
 ) -> Case:
     """Mach-2.5 flow over an open cavity (reference ``CavityFlowSolver``
     cavity_flow_v1.py:248-308: NG=2 ghost cells, Rusanov fluxes, minmod
     limiting, artificial viscosity, cavity region pinned to quiescent fluid
-    each step per cavity_flow_v1.py:165-170)."""
+    each step per cavity_flow_v1.py:165-170).
+
+    ``real_geometry=True`` replaces the reference's pinned-quiescent block
+    with the actual solid: a plate at y ≤ depth with the cavity cut out
+    between ``cavity_x`` and ``cavity_x + length`` (embedded solid via
+    zero-momentum masking), so the recirculating cavity flow can develop —
+    a beyond-reference capability."""
     from cfdsim_tpu import ibm
     from cfdsim_tpu.models import compressible as comp
 
@@ -299,13 +306,35 @@ def cavity_supersonic(
             U = U.at[3, k, :].set(U[3, src, :])
         return U
 
-    step = comp.make_step(cfg, bc, pin_mask=pin, pin_state=pin_state)
+    if real_geometry:
+        # actual solid plate with the cavity cut out: zero-momentum solid
+        # everywhere below the plate surface except inside the cavity span
+        import numpy as np
+
+        X, Y = grid.meshgrid()
+        depth = cavity_length / l_over_d
+        solid = (Y <= depth) & ~(
+            (X >= cavity_x) & (X <= cavity_x + cavity_length)
+        )
+        solid = jnp.asarray(solid)
+        keep = 1.0 - solid.astype(jnp.float32)
+
+        def bc_real(U, step_i, t):
+            # standard ghosts, then kill momentum inside the plate (the
+            # inflow ghost writes otherwise inject freestream below the lip)
+            U = bc(U, step_i, t)
+            U = U.at[1].mul(keep)
+            U = U.at[2].mul(keep)
+            return U
+
+        step = comp.make_step(cfg, bc_real, zero_momentum_mask=solid)
+        extras = {"solid_mask": solid, "U_inf": U_inf}
+    else:
+        step = comp.make_step(cfg, bc, pin_mask=pin, pin_state=pin_state)
+        extras = {"cavity_mask": mask, "U_inf": U_inf, "pin_state": pin_state}
     state = comp.init_state(cfg, U_inf)
     state = state._replace(U=bc(state.U, state.step, state.t))
-    return Case(
-        "cavity_supersonic", cfg, step, state, grid,
-        {"cavity_mask": mask, "U_inf": U_inf, "pin_state": pin_state},
-    )
+    return Case("cavity_supersonic", cfg, step, state, grid, extras)
 
 
 def kolmogorov(

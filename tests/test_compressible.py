@@ -180,6 +180,20 @@ def test_wedge_oblique_shock_angle_and_jump():
     assert p[ii, jj] == pytest.approx(1.707, rel=0.08)
 
 
+def test_supersonic_cavity_real_geometry():
+    # beyond-reference mode: actual solid plate with the cavity cut out —
+    # a recirculating shear-driven flow must develop inside the cavity
+    case = cavity_supersonic(nx=120, ny=48, real_geometry=True)
+    st, m = _run(case, 0.6, chunk=100)
+    assert bool(jnp.all(jnp.isfinite(st.U)))
+    solid = np.asarray(case.extras["solid_mask"])
+    U = np.asarray(st.U)
+    assert np.abs(U[1][solid]).max() == 0.0  # momentum dead in the plate
+    Y = np.asarray(case.grid.meshgrid()[1])
+    cav = (Y < 0.25) & ~solid
+    assert U[1][cav].min() < -0.05, "no recirculation in the cavity"
+
+
 def test_supersonic_cavity_runs_healthy():
     case = cavity_supersonic(nx=120, ny=48)
     st, m = _run(case, 0.4, chunk=100)
