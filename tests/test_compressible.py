@@ -141,6 +141,7 @@ def test_mass_conservation_closed_box():
     step = comp.make_step(cfg, bc)
     state = comp.CompressibleState(U=U0, t=jnp.float32(0.0), step=jnp.int32(0))
     mass0 = float(jnp.sum(state.U[0, 1:-1, 1:-1]))
+    e0 = float(jnp.sum(state.U[3, 1:-1, 1:-1]))
     f = jax.jit(lambda s: jax.lax.scan(
         lambda st, _: step(st, jnp.float32(1.0)), s, None, length=100)[0])
     state = f(state)
@@ -148,6 +149,9 @@ def test_mass_conservation_closed_box():
     # interior mass changes only through the wall fluxes of the ghost ring;
     # with reflective ghosts the normal mass flux is ~0
     assert mass1 == pytest.approx(mass0, rel=1e-4)
+    # total energy is a conserved variable too (ρE flux vanishes at walls)
+    e1 = float(jnp.sum(state.U[3, 1:-1, 1:-1]))
+    assert e1 == pytest.approx(e0, rel=1e-4)
     assert bool(jnp.all(jnp.isfinite(state.U)))
 
 
