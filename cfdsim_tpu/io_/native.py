@@ -63,19 +63,28 @@ def _build_lib() -> ctypes.CDLL:
 
 
 class NativeSnapshotWriter:
-    """Async snapshot writer with the SnapshotWriter.save() interface."""
+    """Async snapshot writer with the SnapshotWriter.save() interface.
 
-    def __init__(self, path, level: int = 4):
+    ``max_pending`` bounds the in-flight queue (each entry holds a full
+    field copy): when exceeded, ``save`` blocks until the worker drains —
+    backpressure instead of unbounded host memory growth."""
+
+    def __init__(self, path, level: int = 4, max_pending: int = 64):
         self._lib = _build_lib()
         self.path = Path(path)
         self.path.parent.mkdir(parents=True, exist_ok=True)
+        self.max_pending = max_pending
         self._h = self._lib.csnap_open(str(self.path).encode(), level)
         if not self._h:
             raise NativeUnavailable(f"csnap_open failed for {self.path}")
 
     def save(self, step: int, time: float, **fields) -> None:
+        import time as _time
+
         import jax
 
+        while self.pending() > self.max_pending:
+            _time.sleep(0.005)
         for name, value in fields.items():
             if value is None:
                 continue
