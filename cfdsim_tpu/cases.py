@@ -83,6 +83,39 @@ def lid_cavity(
     return Case("cavity", cfg, step, state, grid)
 
 
+def lid_cavity_mac(
+    n: int = 128,
+    Re: float = 100.0,
+    lid_velocity: float = 1.0,
+    poisson: Optional[PoissonConfig] = None,
+    scheme: str = "central",
+    cfl: float = 0.5,
+    **cfg_overrides,
+) -> Case:
+    """Lid-driven cavity on the staggered (MAC) grid — the accuracy tier:
+    exactly divergence-free projection (models/mac.py), the path to the
+    BASELINE Ghia target. Same physics as ``lid_cavity``."""
+    from cfdsim_tpu.models import mac
+
+    grid = Grid(nx=n, ny=n, centering="cell")
+    pois = _poisson_spec(poisson) or PoissonConfig(method="dct")
+    cfg = mac.MACConfig(
+        grid=grid,
+        nu=lid_velocity / Re,
+        scheme=scheme,
+        poisson=pois,
+        cfl_target=cfl,
+        dt_max=0.5 * min(grid.dx, grid.dy) / max(lid_velocity, 1e-10),
+        max_velocity=5.0 * lid_velocity,
+        **cfg_overrides,
+    )
+    bcs = mac.cavity_bcs(lid_velocity)
+    step = mac.make_step(cfg, bcs)
+    state = mac.init_state(cfg)
+    return Case("cavity_mac", cfg, step, state, grid,
+                {"lid_velocity": lid_velocity})
+
+
 def channel(
     nx: int = 512,
     ny: int = 128,
@@ -417,6 +450,7 @@ def cavity3d(
 
 CASES: dict[str, Callable[..., Case]] = {
     "cavity": lid_cavity,
+    "cavity_mac": lid_cavity_mac,
     "channel": channel,
     "cylinder": cylinder,
     "wedge": wedge,

@@ -1,0 +1,396 @@
+"""Incompressible Navier–Stokes on a staggered (MAC) grid.
+
+The collocated module (``models/incompressible.py``) reproduces the
+reference's cell-centered approximate projection (v5.py:375-441), which
+leaves an O(h²) checkerboard-null-space divergence after correction. This
+module is the accuracy tier the reference never had: velocities live on
+cell *faces* (Harlow–Welch MAC layout), the discrete divergence/gradient
+pair is exactly adjoint, and the pressure solve makes the corrected field
+divergence-free to solver precision — with the exact DCT projection, to
+fp32 roundoff. That is the route to the BASELINE.json Ghia north star.
+
+Layout (grid of ny × nx cells, centering="cell"):
+
+- ``u``: (ny, nx+1) — x-velocity on vertical faces, u[j,i] at (i·dx, (j+½)dy)
+- ``v``: (ny+1, nx) — y-velocity on horizontal faces, v[j,i] at ((i+½)dx, j·dy)
+- ``p``: (ny, nx)   — pressure at cell centers
+
+Tangential wall values enter through one ghost line per side (reflection:
+ghost = 2·wall − interior), built functionally per step. The cell-centered
+Neumann pressure operator (ghost = edge) is exactly the clamped-edge
+operator the solvers in ``solvers/poisson.py`` already implement, so every
+backend (dct/mg/rbsor/jacobi) works unchanged.
+
+Convection schemes: "central" (2nd-order divergence form, the accuracy
+default), "upwind" (1st-order monotone), "tvd" (2nd-order MUSCL with a
+van Leer limited slope — the TVD/central hybrid named in the round-1
+verdict for Strouhal closure).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from cfdsim_tpu.grid import Grid
+from cfdsim_tpu.models.incompressible import StepMetrics
+from cfdsim_tpu.solvers.poisson import (
+    PoissonConfig,
+    poisson_residual,
+    solve_poisson,
+)
+
+
+class MACState(NamedTuple):
+    """Pytree state for the staggered solver (the reference's u/v/p field
+    set, v5.py:285-297, on MAC faces instead of nodes)."""
+
+    u: jax.Array  # (ny, nx+1)
+    v: jax.Array  # (ny+1, nx)
+    p: jax.Array  # (ny, nx)
+    t: jax.Array
+    step: jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class MACConfig:
+    """Static configuration (mirrors IncompressibleConfig where concepts
+    overlap; reference dataclass configs v5.py:41-94)."""
+
+    grid: Grid
+    nu: float
+    scheme: str = "central"  # central | upwind | tvd
+    poisson: PoissonConfig = PoissonConfig(method="dct")
+    adaptive_dt: bool = True
+    cfl_target: float = 0.5
+    dt_base: float = 1e-3
+    dt_min: float = 1e-7
+    dt_max: float = 1.0
+    warmup_steps: int = 0
+    warmup_dt: float = 0.0
+    max_velocity: float = 1e3
+    compute_metrics: bool = True
+
+
+def init_state(cfg: MACConfig, u0=None, v0=None, p0=None) -> MACState:
+    ny, nx = cfg.grid.ny, cfg.grid.nx
+    return MACState(
+        u=jnp.zeros((ny, nx + 1), jnp.float32) if u0 is None else jnp.asarray(u0, jnp.float32),
+        v=jnp.zeros((ny + 1, nx), jnp.float32) if v0 is None else jnp.asarray(v0, jnp.float32),
+        p=jnp.zeros((ny, nx), jnp.float32) if p0 is None else jnp.asarray(p0, jnp.float32),
+        t=jnp.float32(0.0),
+        step=jnp.int32(0),
+    )
+
+
+# ---------------------------------------------------------------------------
+# boundary conditions
+# ---------------------------------------------------------------------------
+
+class MACBCs(NamedTuple):
+    """MAC boundary conditions as a pair of pure closures.
+
+    ``set_normal(u, v, step, t) -> (u, v)`` writes the boundary *faces*
+    (normal velocity components: Dirichlet walls/inflow, zero-gradient
+    outflow). ``extend(u, v, step, t) -> (ue, ve)`` adds one tangential
+    ghost line per side (ue: (ny+2, nx+1), ve: (ny+1, nx+2)) encoding the
+    tangential wall velocity by reflection.
+    """
+
+    set_normal: Callable
+    extend: Callable
+
+
+def cavity_bcs(lid_velocity: float = 1.0) -> MACBCs:
+    """Lid-driven cavity on MAC faces: no-slip walls, moving lid at y_hi
+    (capability parity with boundary.lid_cavity_bcs / reference
+    v5.py:349-360 wall handling)."""
+
+    def set_normal(u, v, step=None, t=None):
+        u = u.at[:, 0].set(0.0).at[:, -1].set(0.0)
+        v = v.at[0, :].set(0.0).at[-1, :].set(0.0)
+        return u, v
+
+    def extend(u, v, step=None, t=None):
+        ue = jnp.pad(u, ((1, 1), (0, 0)))
+        ue = ue.at[0, :].set(-u[0, :])  # bottom wall: u_t = 0
+        ue = ue.at[-1, :].set(2.0 * lid_velocity - u[-1, :])  # moving lid
+        ve = jnp.pad(v, ((0, 0), (1, 1)))
+        ve = ve.at[:, 0].set(-v[:, 0])  # left wall: v_t = 0
+        ve = ve.at[:, -1].set(-v[:, -1])  # right wall
+        return ue, ve
+
+    return MACBCs(set_normal, extend)
+
+
+def channel_bcs(u_in: float = 1.0, profile=None) -> MACBCs:
+    """Channel: Dirichlet inflow at x_lo (uniform or a (ny,) profile at
+    u-row centers), zero-gradient outflow at x_hi, no-slip walls."""
+
+    def set_normal(u, v, step=None, t=None):
+        u = u.at[:, 0].set(u_in if profile is None else profile)
+        # zero-gradient outflow, shifted so the outflow flux exactly equals
+        # the inflow flux — the all-Neumann pressure problem is only
+        # solvable when the net boundary flux vanishes, and enforcing it
+        # here (instead of leaning on the rhs mean-subtraction) keeps the
+        # projection exact in every cell
+        out = u[:, -2] + jnp.mean(u[:, 0] - u[:, -2])
+        u = u.at[:, -1].set(out)
+        v = v.at[0, :].set(0.0).at[-1, :].set(0.0)
+        return u, v
+
+    def extend(u, v, step=None, t=None):
+        ue = jnp.pad(u, ((1, 1), (0, 0)))
+        ue = ue.at[0, :].set(-u[0, :])
+        ue = ue.at[-1, :].set(-u[-1, :])
+        ve = jnp.pad(v, ((0, 0), (1, 1)))
+        ve = ve.at[:, 0].set(-v[:, 0])  # inflow: v = 0
+        ve = ve.at[:, -1].set(v[:, -1])  # outflow: ∂v/∂x = 0
+        return ue, ve
+
+    return MACBCs(set_normal, extend)
+
+
+def external_flow_bcs(
+    v_inf: float,
+    y_face_centers,
+    y_max: float,
+    perturb_amp: float = 0.01,
+    perturb_ramp_steps: int = 1000,
+) -> MACBCs:
+    """External flow (cylinder case): perturbed inflow at x_lo (the
+    vortex-shedding trigger, reference v5.py:349-360), zero-gradient
+    outflow at x_hi, free-slip top/bottom (far-field walls)."""
+    y = jnp.asarray(y_face_centers, jnp.float32)
+
+    def set_normal(u, v, step, t=None):
+        scale = jnp.minimum(1.0, step / perturb_ramp_steps) * perturb_amp
+        pert = scale * jnp.sin(2.0 * jnp.pi * y / y_max + 0.02 * step)
+        u = u.at[:, 0].set(v_inf * (1.0 + pert))
+        out = u[:, -2] + jnp.mean(u[:, 0] - u[:, -2])  # mass-consistent outflow
+        u = u.at[:, -1].set(out)
+        v = v.at[0, :].set(0.0).at[-1, :].set(0.0)
+        return u, v
+
+    def extend(u, v, step=None, t=None):
+        ue = jnp.pad(u, ((1, 1), (0, 0)))
+        ue = ue.at[0, :].set(u[0, :])  # free slip: ∂u/∂y = 0
+        ue = ue.at[-1, :].set(u[-1, :])
+        ve = jnp.pad(v, ((0, 0), (1, 1)))
+        ve = ve.at[:, 0].set(-v[:, 0])  # inflow v = 0
+        ve = ve.at[:, -1].set(v[:, -1])  # outflow
+        return ue, ve
+
+    return MACBCs(set_normal, extend)
+
+
+# ---------------------------------------------------------------------------
+# advection
+# ---------------------------------------------------------------------------
+
+def _limited_slope(dm, dp):
+    """Van Leer harmonic-mean limited slope: 2·dm·dp/(dm+dp) where the
+    one-sided differences agree in sign, else 0 (local extremum)."""
+    prod = dm * dp
+    den = dm + dp
+    den = jnp.where(jnp.abs(den) < 1e-30, 1e-30, den)
+    return jnp.where(prod > 0.0, 2.0 * prod / den, 0.0)
+
+
+def _face_value(q_lo, q_hi, adv, slope_lo, slope_hi):
+    """MUSCL upwind-biased value at the midpoint between samples q_lo/q_hi
+    given the advecting velocity there: q_lo + σ_lo/2 when adv ≥ 0, else
+    q_hi − σ_hi/2. Zero slopes recover first-order upwind."""
+    qL = q_lo + 0.5 * slope_lo
+    qR = q_hi - 0.5 * slope_hi
+    return jnp.where(adv >= 0.0, qL, qR)
+
+
+def _slopes_x(q):
+    """Limited slopes along axis 1, zero at the two boundary columns."""
+    s = _limited_slope(q[:, 1:-1] - q[:, :-2], q[:, 2:] - q[:, 1:-1])
+    return jnp.pad(s, ((0, 0), (1, 1)))
+
+
+def _slopes_y(q):
+    s = _limited_slope(q[1:-1, :] - q[:-2, :], q[2:, :] - q[1:-1, :])
+    return jnp.pad(s, ((1, 1), (0, 0)))
+
+
+def _advect(u, v, ue, ve, dx: float, dy: float, scheme: str):
+    """Divergence-form MAC advection: returns (conv_u, conv_v) on interior
+    u-faces (ny, nx−1) and interior v-faces (ny−1, nx).
+
+    The x-flux of u-momentum lives at cell centers, the y-flux at cell
+    corners (and symmetrically for v) so each momentum balance telescopes —
+    the scheme conserves momentum exactly, unlike the reference's
+    advective-form kernels (v5.py:112-147)."""
+    # advecting velocities (2nd-order averages, all schemes share these)
+    uc = 0.5 * (u[:, :-1] + u[:, 1:])  # u at cell centers   (ny, nx)
+    vc = 0.5 * (v[:-1, :] + v[1:, :])  # v at cell centers   (ny, nx)
+    u_y = 0.5 * (ue[:-1, :] + ue[1:, :])  # u at corners     (ny+1, nx+1)
+    v_x = 0.5 * (ve[:, :-1] + ve[:, 1:])  # v at corners     (ny+1, nx+1)
+
+    if scheme == "central":
+        F_u = uc * uc  # x-flux of u at centers
+        G_u = v_x * u_y  # y-flux of u at corners
+        F_v = u_y * v_x  # x-flux of v at corners
+        G_v = vc * vc  # y-flux of v at centers
+    elif scheme in ("upwind", "tvd"):
+        tvd = scheme == "tvd"
+        su_x = _slopes_x(u) if tvd else jnp.zeros_like(u)
+        su_y = _slopes_y(ue) if tvd else jnp.zeros_like(ue)
+        sv_y = _slopes_y(v) if tvd else jnp.zeros_like(v)
+        sv_x = _slopes_x(ve) if tvd else jnp.zeros_like(ve)
+        F_u = uc * _face_value(u[:, :-1], u[:, 1:], uc, su_x[:, :-1], su_x[:, 1:])
+        G_u = v_x * _face_value(ue[:-1, :], ue[1:, :], v_x, su_y[:-1, :], su_y[1:, :])
+        G_v = vc * _face_value(v[:-1, :], v[1:, :], vc, sv_y[:-1, :], sv_y[1:, :])
+        F_v = u_y * _face_value(ve[:, :-1], ve[:, 1:], u_y, sv_x[:, :-1], sv_x[:, 1:])
+    else:
+        raise ValueError(f"unknown MAC scheme {scheme!r}")
+
+    conv_u = (F_u[:, 1:] - F_u[:, :-1]) * (1.0 / dx) + (
+        G_u[1:, 1:-1] - G_u[:-1, 1:-1]
+    ) * (1.0 / dy)
+    conv_v = (F_v[1:-1, 1:] - F_v[1:-1, :-1]) * (1.0 / dx) + (
+        G_v[1:, :] - G_v[:-1, :]
+    ) * (1.0 / dy)
+    return conv_u, conv_v
+
+
+def _diffuse(ue, ve, dx: float, dy: float):
+    """5-point Laplacians on interior u-faces (ny, nx−1) / v-faces (ny−1, nx)
+    using the ghost-extended arrays for tangential wall values."""
+    ax, ay = 1.0 / (dx * dx), 1.0 / (dy * dy)
+    lap_u = (ue[1:-1, 2:] - 2.0 * ue[1:-1, 1:-1] + ue[1:-1, :-2]) * ax + (
+        ue[2:, 1:-1] - 2.0 * ue[1:-1, 1:-1] + ue[:-2, 1:-1]
+    ) * ay
+    lap_v = (ve[1:-1, 2:] - 2.0 * ve[1:-1, 1:-1] + ve[1:-1, :-2]) * ax + (
+        ve[2:, 1:-1] - 2.0 * ve[1:-1, 1:-1] + ve[:-2, 1:-1]
+    ) * ay
+    return lap_u, lap_v
+
+
+def divergence_mac(u, v, dx: float, dy: float):
+    """Exact discrete cell divergence (u_E−u_W)/dx + (v_N−v_S)/dy, (ny, nx)."""
+    return (u[:, 1:] - u[:, :-1]) * (1.0 / dx) + (v[1:, :] - v[:-1, :]) * (
+        1.0 / dy
+    )
+
+
+def vorticity_mac(u, v, dx: float, dy: float):
+    """z-vorticity at interior corners, (ny−1, nx−1)."""
+    dvdx = (v[:, 1:] - v[:, :-1]) * (1.0 / dx)
+    dudy = (u[1:, :] - u[:-1, :]) * (1.0 / dy)
+    return dvdx[1:-1, :] - dudy[:, 1:-1]
+
+
+def center_velocities(u, v):
+    """Cell-centered (u, v) averages for visualization/diagnostics."""
+    return 0.5 * (u[:, :-1] + u[:, 1:]), 0.5 * (v[:-1, :] + v[1:, :])
+
+
+# ---------------------------------------------------------------------------
+# step builder
+# ---------------------------------------------------------------------------
+
+def _adaptive_dt(cfg: MACConfig, u, v, step, cfl_scale):
+    """CFL + explicit-viscous dt (same policy as the collocated module,
+    reference adaptive_time_step v5.py:316-326)."""
+    if not cfg.adaptive_dt:
+        return jnp.float32(cfg.dt_base)
+    h = min(cfg.grid.dx, cfg.grid.dy)
+    vel_max = jnp.maximum(
+        jnp.maximum(jnp.max(jnp.abs(u)), jnp.max(jnp.abs(v))), 1e-10
+    )
+    dt_cfl = cfg.cfl_target * cfl_scale * h / vel_max
+    dt_visc = 0.2 * h * h / cfg.nu
+    dt = jnp.clip(jnp.minimum(dt_cfl, dt_visc), cfg.dt_min, cfg.dt_max)
+    if cfg.warmup_steps > 0:
+        dt = jnp.where(step < cfg.warmup_steps, jnp.float32(cfg.warmup_dt), dt)
+    return dt.astype(jnp.float32)
+
+
+def make_step(
+    cfg: MACConfig,
+    bcs: MACBCs,
+    ibm_mask_u: Optional[jax.Array] = None,
+    ibm_mask_v: Optional[jax.Array] = None,
+    ibm_ramp_steps: int = 0,
+    forcing: Optional[tuple] = None,
+) -> Callable:
+    """Build ``step(state, cfl_scale) -> (state, StepMetrics)``.
+
+    ``ibm_mask_u``/``ibm_mask_v`` are face-sampled penalization masks
+    (the reference's Gaussian-shell IBM, v5.py:228-237, sampled at u/v
+    face locations); ``forcing`` is an optional (fu, fv) face-located
+    body-force pair.
+    """
+    g = cfg.grid
+    dx, dy = g.dx, g.dy
+
+    def step(state: MACState, cfl_scale):
+        u, v = bcs.set_normal(state.u, state.v, state.step, state.t)
+        dt = _adaptive_dt(cfg, u, v, state.step, cfl_scale)
+        ue, ve = bcs.extend(u, v, state.step, state.t)
+
+        conv_u, conv_v = _advect(u, v, ue, ve, dx, dy, cfg.scheme)
+        lap_u, lap_v = _diffuse(ue, ve, dx, dy)
+
+        u_star = u.at[:, 1:-1].add(dt * (cfg.nu * lap_u - conv_u))
+        v_star = v.at[1:-1, :].add(dt * (cfg.nu * lap_v - conv_v))
+        if forcing is not None:
+            u_star = u_star + dt * forcing[0]
+            v_star = v_star + dt * forcing[1]
+        u_star, v_star = bcs.set_normal(u_star, v_star, state.step, state.t)
+
+        if ibm_mask_u is not None:
+            from cfdsim_tpu.ibm import ibm_ramp
+
+            strength = ibm_ramp(state.step, ibm_ramp_steps)
+            u_star = u_star * (1.0 - strength * ibm_mask_u)
+            v_star = v_star * (1.0 - strength * ibm_mask_v)
+
+        # --- exact projection: the MAC divergence/gradient pair is adjoint,
+        # so ∇·(u* − dt∇φ) = ∇·u* − dt·L φ with L the clamped-edge 5-point
+        # operator — solved exactly by the DCT backend
+        div_star = divergence_mac(u_star, v_star, dx, dy)
+        rhs = div_star / dt
+        rhs = rhs - jnp.mean(rhs)  # Neumann solvability
+        phi = solve_poisson(state.p, rhs, dx, dy, cfg.poisson)
+        u_new = u_star.at[:, 1:-1].add(-dt * (phi[:, 1:] - phi[:, :-1]) * (1.0 / dx))
+        v_new = v_star.at[1:-1, :].add(-dt * (phi[1:, :] - phi[:-1, :]) * (1.0 / dy))
+        u_new, v_new = bcs.set_normal(u_new, v_new, state.step, state.t)
+
+        u_new = jnp.clip(u_new, -cfg.max_velocity, cfg.max_velocity)
+        v_new = jnp.clip(v_new, -cfg.max_velocity, cfg.max_velocity)
+
+        new_state = MACState(
+            u=u_new, v=v_new, p=phi, t=state.t + dt, step=state.step + 1
+        )
+
+        if cfg.compute_metrics:
+            div_post = divergence_mac(u_new, v_new, dx, dy)
+            ucc, vcc = center_velocities(u_new, v_new)
+            vort = vorticity_mac(u_new, v_new, dx, dy)
+            metrics = StepMetrics(
+                dt=dt,
+                div_pre=jnp.max(jnp.abs(div_star)),
+                div_post=jnp.max(jnp.abs(div_post)),  # no interior mask:
+                # the staggered projection is exact up to the wall
+                max_vel=jnp.maximum(
+                    jnp.max(jnp.abs(u_new)), jnp.max(jnp.abs(v_new))
+                ),
+                energy=jnp.mean(0.5 * (ucc * ucc + vcc * vcc)),
+                vort_max=jnp.max(jnp.abs(vort)),
+                poisson_res=poisson_residual(phi, rhs, dx, dy, None, "neumann"),
+            )
+        else:
+            zero = jnp.float32(0.0)
+            metrics = StepMetrics(dt, zero, zero, zero, zero, zero, zero)
+        return new_state, metrics
+
+    return step

@@ -86,11 +86,38 @@ def strouhal_number(signal, sample_dt: float, diameter: float, velocity: float) 
     return f * diameter / velocity
 
 
-def ghia_error(u, v, Re: int, y_coords, x_coords):
-    """RMS error of the simulated centerline profiles vs Ghia et al."""
-    u_c, v_c = cavity_centerline_profiles(u, v)
-    u_interp = np.interp(GHIA_Y, np.asarray(y_coords), u_c)
-    v_interp = np.interp(GHIA_X, np.asarray(x_coords), v_c)
+def ghia_error_profiles(u_c, y_u, v_c, x_v, Re: int):
+    """RMS error of given centerline profiles (u(y) at x=0.5, v(x) at
+    y=0.5, with their sample coordinates) vs Ghia et al."""
+    u_interp = np.interp(GHIA_Y, np.asarray(y_u), np.asarray(u_c))
+    v_interp = np.interp(GHIA_X, np.asarray(x_v), np.asarray(v_c))
     err_u = np.sqrt(np.mean((u_interp - GHIA_U[Re]) ** 2))
     err_v = np.sqrt(np.mean((v_interp - GHIA_V[Re]) ** 2))
     return err_u, err_v
+
+
+def ghia_error(u, v, Re: int, y_coords, x_coords):
+    """RMS error of the simulated centerline profiles vs Ghia et al."""
+    u_c, v_c = cavity_centerline_profiles(u, v)
+    return ghia_error_profiles(u_c, y_coords, v_c, x_coords, Re)
+
+
+def ghia_error_mac(u, v, Re: int, lid_velocity: float = 1.0):
+    """Ghia RMS for staggered (MAC) fields: u (ny, nx+1) on vertical faces,
+    v (ny+1, nx) on horizontal faces of an nx×ny cell grid on [0,1]².
+    With even nx/ny the centerlines are exact face columns/rows — no
+    interpolation error. Wall values are appended so the profiles span
+    [0, 1] like the published tables."""
+    u = np.asarray(u)
+    v = np.asarray(v)
+    ny, nxp1 = u.shape
+    nx = nxp1 - 1
+    u_c = u[:, nx // 2]
+    y_u = (np.arange(ny) + 0.5) / ny
+    u_full = np.concatenate([[0.0], u_c, [lid_velocity]])
+    y_full = np.concatenate([[0.0], y_u, [1.0]])
+    v_c = v[ny // 2, :]
+    x_v = (np.arange(nx) + 0.5) / nx
+    v_full = np.concatenate([[0.0], v_c, [0.0]])
+    x_full = np.concatenate([[0.0], x_v, [1.0]])
+    return ghia_error_profiles(u_full, y_full, v_full, x_full, Re)
