@@ -239,12 +239,31 @@ def wedge(
     flux: str = "hllc",
     cfl: float = 0.4,
     reconstruction: str = "none",
+    wall_treatment: str = "zero_momentum",
+    frame: str = "lab",
     **cfg_overrides,
 ) -> Case:
     """Supersonic flow over a wedge — oblique-shock benchmark (reference
     ``ShockwaveSolver`` v1_shock.py:225-328: M=2, 10° wedge, HLLC/Roe
     switchable via ``flux``). The reference's CFL=0.99 with an unsplit
-    update exceeds the 2D stability bound; default here is 0.4."""
+    update exceeds the 2D stability bound; default here is 0.4.
+
+    ``frame``:
+
+    - ``"lab"`` — the reference geometry: embedded wedge, horizontal
+      inflow. ``wall_treatment`` picks the solid model: ``"zero_momentum"``
+      (reference parity, v1_shock.py:312-313) or ``"ghost"`` (mirror-ghost
+      slip wall, ibm.slip_wall_ghost_map). Both carry an O(h) tip/staircase
+      entropy layer that biases the measured shock angle high (≈+1.4°/+3.6°
+      at 400×200, converging to the θ-β-M angle as h→0).
+    - ``"wedge_aligned"`` — the exact-geometry variant: the frame is
+      rotated by the wedge angle, so the wedge surface is the flat bottom
+      grid line (slip wall for x ≥ wedge_start_x, pass-through outflow
+      before it) and the freestream enters at −θ. Zero geometry error —
+      this isolates the flux solver, nailing β to sub-degree at 400×200.
+      Extras carry ``frame_angle`` for converting measured slopes:
+      β = atan(slope) + θ.
+    """
     import numpy as np
 
     from cfdsim_tpu import ibm
@@ -255,8 +274,49 @@ def wedge(
         grid=grid, flux=flux, cfl=cfl, reconstruction=reconstruction,
         **cfg_overrides,
     )
+    theta = np.deg2rad(wedge_angle_deg)
+
+    if frame == "wedge_aligned":
+        a0 = (cfg.gamma * 1.0 / 1.0) ** 0.5
+        uu = mach * a0 * np.cos(theta)
+        vv = -mach * a0 * np.sin(theta)
+        E = 1.0 / (1.0 * (cfg.gamma - 1.0)) + 0.5 * (uu * uu + vv * vv)
+        U_inf = jnp.asarray([1.0, uu, vv, E], jnp.float32)
+        xs_idx = int(np.searchsorted(grid.x_coords(), wedge_start_x))
+
+        def bc(U, step, t):
+            # freestream in from the left and the top (flow points down-right)
+            U = U.at[:, :, 0].set(U_inf[:, None])
+            U = U.at[:, -1, :].set(U_inf[:, None])
+            # outflow at x_hi
+            U = U.at[:, :, -1].set(U[:, :, -2])
+            # bottom: pass-through (extrapolation) before the wedge tip,
+            # reflecting slip wall from the tip on — the BC switch anchors
+            # the oblique shock exactly at x = wedge_start_x
+            wall = U[:, 1, :]
+            wall = wall.at[2].mul(-1.0)
+            free = U[:, 1, :]
+            keep_wall = jnp.asarray(
+                (np.arange(grid.nx) >= xs_idx)[None, :], U.dtype
+            )
+            U = U.at[:, 0, :].set(wall * keep_wall + free * (1.0 - keep_wall))
+            return U
+
+        step = comp.make_step(cfg, bc)
+        state = comp.init_state(cfg, U_inf)
+        return Case(
+            "wedge", cfg, step, state, grid,
+            {"U_inf": U_inf, "mach": mach, "wedge_angle_deg": wedge_angle_deg,
+             "wedge_start_x": wedge_start_x, "frame_angle": wedge_angle_deg},
+        )
+
     U_inf = comp.freestream(cfg, mach)
-    solid = ibm.wedge_mask(grid, np.deg2rad(wedge_angle_deg), wedge_start_x)
+    solid = ibm.wedge_mask(grid, theta, wedge_start_x)
+    ghost_map = None
+    if wall_treatment == "ghost":
+        ghost_map = ibm.wedge_slip_ghost_map(grid, theta, wedge_start_x)
+    elif wall_treatment != "zero_momentum":
+        raise ValueError(f"unknown wall_treatment {wall_treatment!r}")
 
     def bc(U, step, t):
         # supersonic inflow at x_lo (v1_shock.py:279-283)
@@ -269,6 +329,10 @@ def wedge(
         U = U.at[2, 0, :].set(-U[2, 1, :])
         U = U.at[3, 0, :].set(U[3, 1, :])
         U = U.at[:, -1, :].set(U[:, -2, :])
+        if ghost_map is not None:
+            U = ibm.apply_slip_wall_ghosts(
+                U, ghost_map, cfg.gamma, cfg.eps, cfg.max_val
+            )
         return U
 
     step = comp.make_step(cfg, bc, zero_momentum_mask=solid)

@@ -82,6 +82,133 @@ def wedge_mask(grid: Grid, wedge_angle: float, wedge_start_x: float):
     return jnp.asarray((X >= wedge_start_x) & (Y <= wedge_y))
 
 
+def slip_wall_ghost_map(
+    grid: Grid,
+    depth,
+    normal_x,
+    normal_y,
+    solid_mask=None,
+    band: float = 2.5,
+):
+    """Precompute a mirror-ghost interpolation map for a slip wall
+    (ghost-cell immersed boundary, Forrer & Jeltsch style).
+
+    ``depth`` is the penetration depth into the solid (>0 inside, any value
+    outside), ``normal_x/y`` the unit surface normal pointing *into the
+    fluid* — all (ny, nx) NumPy arrays evaluated analytically at setup
+    time. Ghost cells are solid cells within ``band``·h of the surface;
+    each gets the state at its mirror point x + 2·depth·n̂, sampled
+    bilinearly from the fluid, with the normal velocity component reflected
+    (see ``apply_slip_wall_ghosts``).
+
+    This replaces the reference's zero-momentum solid treatment
+    (v1_shock.py:312-313), whose staircase wall deflects the flow by less
+    than the geometric angle and biases the oblique-shock angle low.
+    Returns a dict of trace-time constant arrays.
+    """
+    X, Y = grid.meshgrid()
+    ny, nx = X.shape
+    h = min(grid.dx, grid.dy)
+    inside = depth > 0.0 if solid_mask is None else np.asarray(solid_mask)
+    ghost = inside & (depth <= band * h)
+    gi, gj = np.nonzero(ghost)
+    d = depth[gi, gj]
+    nxg = normal_x[gi, gj]
+    nyg = normal_y[gi, gj]
+    # image point: at least 0.75h into the fluid so the bilinear stencil is
+    # dominated by true fluid cells (a too-shallow image resamples the ghost
+    # band itself and the feedback destabilizes coarse grids)
+    d_img = np.maximum(d, 0.75 * h)
+    xm = X[gi, gj] + (d + d_img) * nxg
+    ym = Y[gi, gj] + (d + d_img) * nyg
+
+    xc = grid.x_coords()
+    yc = grid.y_coords()
+    j0 = np.clip(np.searchsorted(xc, xm) - 1, 0, nx - 2)
+    i0 = np.clip(np.searchsorted(yc, ym) - 1, 0, ny - 2)
+    wx = np.clip((xm - xc[j0]) / (xc[j0 + 1] - xc[j0]), 0.0, 1.0)
+    wy = np.clip((ym - yc[i0]) / (yc[i0 + 1] - yc[i0]), 0.0, 1.0)
+
+    # zero the weights of stencil corners that fall inside the solid and
+    # renormalize (nearest-fluid fallback keeps the sum positive; for a
+    # plane with d_img >= 0.75h at least one corner is always fluid)
+    w = np.stack(
+        [(1 - wy) * (1 - wx), (1 - wy) * wx, wy * (1 - wx), wy * wx]
+    )
+    corners = np.stack([
+        inside[i0, j0], inside[i0, j0 + 1],
+        inside[i0 + 1, j0], inside[i0 + 1, j0 + 1],
+    ])
+    w = np.where(corners, 0.0, w)
+    wsum = w.sum(axis=0)
+    degenerate = wsum <= 1e-12
+    if np.any(degenerate):  # all four corners solid: keep plain bilinear
+        w[:, degenerate] = np.stack(
+            [(1 - wy) * (1 - wx), (1 - wy) * wx, wy * (1 - wx), wy * wx]
+        )[:, degenerate]
+        wsum = w.sum(axis=0)
+    w = w / wsum
+
+    def flat(i, j):
+        return (i * nx + j).astype(np.int32)
+
+    return {
+        "gi": jnp.asarray(gi.astype(np.int32)),
+        "gj": jnp.asarray(gj.astype(np.int32)),
+        "idx00": jnp.asarray(flat(i0, j0)),
+        "idx01": jnp.asarray(flat(i0, j0 + 1)),
+        "idx10": jnp.asarray(flat(i0 + 1, j0)),
+        "idx11": jnp.asarray(flat(i0 + 1, j0 + 1)),
+        "w00": jnp.asarray(w[0].astype(np.float32)),
+        "w01": jnp.asarray(w[1].astype(np.float32)),
+        "w10": jnp.asarray(w[2].astype(np.float32)),
+        "w11": jnp.asarray(w[3].astype(np.float32)),
+        "nx": jnp.asarray(nxg.astype(np.float32)),
+        "ny": jnp.asarray(nyg.astype(np.float32)),
+    }
+
+
+def apply_slip_wall_ghosts(U, gm: dict, gamma: float, eps: float = 1e-8,
+                           max_val: float = 1e3):
+    """Write mirror-ghost states into the near-surface solid cells of a
+    conserved-state array U (4, ny, nx): sample (ρ, u, v, p) at each ghost's
+    mirror point, reflect the velocity across the wall (v → v − 2(v·n̂)n̂,
+    slip condition), copy ρ and p (zero normal gradients)."""
+    from cfdsim_tpu.solvers.riemann import cons_to_prim, prim_to_cons
+
+    rho, u, v, p = cons_to_prim(U, gamma, eps, max_val)
+
+    def samp(q):
+        qf = q.reshape(-1)
+        return (
+            gm["w00"] * qf[gm["idx00"]]
+            + gm["w01"] * qf[gm["idx01"]]
+            + gm["w10"] * qf[gm["idx10"]]
+            + gm["w11"] * qf[gm["idx11"]]
+        )
+
+    rm, um, vm, pm = samp(rho), samp(u), samp(v), samp(p)
+    vn = um * gm["nx"] + vm * gm["ny"]
+    ur = um - 2.0 * vn * gm["nx"]
+    vr = vm - 2.0 * vn * gm["ny"]
+    Ug = prim_to_cons(rm, ur, vr, pm, gamma)
+    return U.at[:, gm["gi"], gm["gj"]].set(Ug)
+
+
+def wedge_slip_ghost_map(grid: Grid, wedge_angle: float, wedge_start_x: float,
+                         band: float = 2.5):
+    """Slip-wall ghost map for the planar wedge surface
+    y = (x − x0)·tanθ, x ≥ x0 (the geometry of v1_shock.py:240-248)."""
+    X, Y = grid.meshgrid()
+    s, c = np.sin(wedge_angle), np.cos(wedge_angle)
+    depth = (X - wedge_start_x) * s - Y * c  # >0 inside the wedge
+    solid = np.asarray(wedge_mask(grid, wedge_angle, wedge_start_x))
+    normal_x = np.full_like(X, -s)
+    normal_y = np.full_like(X, c)
+    return slip_wall_ghost_map(grid, depth, normal_x, normal_y,
+                               solid_mask=solid, band=band)
+
+
 def cavity_mask(grid: Grid, x_start: float, length: float, depth: float):
     """Smoothed mask for the open-cavity geometry: 1 inside the cavity
     below the shear layer, Gaussian-smoothed edge above it (σ = 3dx),

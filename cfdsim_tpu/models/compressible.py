@@ -53,8 +53,9 @@ class CompressibleMetrics(NamedTuple):
 class CompressibleConfig:
     grid: Grid  # use centering="cell"; ng ghost layers for cavity-style BCs
     gamma: float = 1.4
-    flux: str = "hllc"  # rusanov | hllc | roe
-    reconstruction: str = "none"  # none (1st order) | muscl (minmod)
+    flux: str = "hllc"  # rusanov | hllc | roe (textbook) | roe_ref
+    reconstruction: str = "none"  # none (1st order) | muscl
+    limiter: str = "minmod"  # minmod | superbee | vanleer (MUSCL slopes)
     cfl: float = 0.4
     time_order: int = 1  # 1 = forward Euler (reference), 2 = SSP-RK2 (Heun)
     eps: float = 1e-8
@@ -91,20 +92,22 @@ def acoustic_dt(cfg: CompressibleConfig, U, cfl_scale):
     return (cfg.cfl * cfl_scale * jnp.minimum(dt_x, dt_y)).astype(jnp.float32)
 
 
-def _muscl_faces(W, axis: int):
-    """Minmod-limited MUSCL reconstruction of a primitive array W along
+def _muscl_faces(W, axis: int, limiter=minmod):
+    """Slope-limited MUSCL reconstruction of a primitive array W along
     ``axis`` → (W_left, W_right) at the faces between adjacent cells.
 
     Capability parity with the reference's limited reconstruction
-    (cons_to_prim_limited cavity_flow_v1.py:95-121 + minmod :89-93); the
-    reference's version divides its slopes by ε=1e-8 — numerically broken —
-    so this is the standard, correct minmod MUSCL scheme.
+    (cons_to_prim_limited cavity_flow_v1.py:95-121 + minmod :89-93, and the
+    superbee-limited deltas inside its Roe path v1_shock.py:124-138); the
+    reference's minmod version divides its slopes by ε=1e-8 — numerically
+    broken — so this is the standard, correct MUSCL scheme with a
+    selectable slope limiter (minmod | superbee | vanleer).
     """
     n = W.shape[axis]
     Wm = jax.lax.slice_in_dim(W, 0, n - 2, axis=axis)
     Wc = jax.lax.slice_in_dim(W, 1, n - 1, axis=axis)
     Wp = jax.lax.slice_in_dim(W, 2, n, axis=axis)
-    slope = minmod(Wc - Wm, Wp - Wc)
+    slope = limiter(Wc - Wm, Wp - Wc)
     pad = [(0, 0)] * W.ndim
     pad[axis] = (1, 1)
     slope = jnp.pad(slope, pad)  # zero slope in the outermost cells
@@ -123,8 +126,11 @@ def _face_states(cfg: CompressibleConfig, U, axis: int):
         UR = jax.lax.slice_in_dim(U, 1, n, axis=arr_axis)
         return UL, UR
     if cfg.reconstruction == "muscl":
+        from cfdsim_tpu.ops.limiters import SLOPE_LIMITERS
+
+        limiter = SLOPE_LIMITERS[cfg.limiter]
         rho, u, v, p = cons_to_prim(U, cfg.gamma, cfg.eps, cfg.max_val)
-        faces = [_muscl_faces(w, axis) for w in (rho, u, v, p)]
+        faces = [_muscl_faces(w, axis, limiter) for w in (rho, u, v, p)]
         (rL, rR), (uL, uR), (vL, vR), (pL, pR) = faces
         rL = jnp.maximum(rL, cfg.rho_min)
         rR = jnp.maximum(rR, cfg.rho_min)

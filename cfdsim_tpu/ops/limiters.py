@@ -35,3 +35,28 @@ def superbee(a, b):
         jnp.maximum(0.0, jnp.minimum(2.0 * r, 1.0)), jnp.minimum(r, 2.0)
     )
     return jnp.where(a * b <= 0, 0.0, lim * b)
+
+
+def superbee_slope(a, b):
+    """Textbook superbee slope: maxmod(minmod(2a, b), minmod(a, 2b)) —
+    the sharpest TVD limiter (Roe 1985); the compressive choice the
+    reference's Roe path uses (v1_shock.py:124-138, via its ratio form)."""
+    s1 = minmod(2.0 * a, b)
+    s2 = minmod(a, 2.0 * b)
+    return jnp.where(jnp.abs(s1) > jnp.abs(s2), s1, s2)
+
+
+def vanleer_slope(a, b):
+    """Van Leer harmonic-mean slope: 2ab/(a+b) where a·b > 0, else 0 —
+    smooth TVD limiter, the default for the incompressible TVD scheme."""
+    prod = a * b
+    den = a + b
+    den = jnp.where(jnp.abs(den) < 1e-30, 1e-30, den)
+    return jnp.where(prod > 0.0, 2.0 * prod / den, 0.0)
+
+
+SLOPE_LIMITERS = {
+    "minmod": minmod,
+    "superbee": superbee_slope,
+    "vanleer": vanleer_slope,
+}

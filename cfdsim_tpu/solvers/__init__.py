@@ -12,6 +12,7 @@ from cfdsim_tpu.solvers.riemann import (
     hllc_flux,
     prim_to_cons,
     roe_flux,
+    roe_ref_flux,
     rusanov_flux,
 )
 
@@ -27,4 +28,5 @@ __all__ = [
     "rusanov_flux",
     "hllc_flux",
     "roe_flux",
+    "roe_ref_flux",
 ]

@@ -126,13 +126,103 @@ def hllc_flux(UL, UR, gamma: float, axis: int, eps: float = 1e-8,
     return flux
 
 
+def _roe_averages(UL, UR, gamma: float, eps: float, max_val: float):
+    """Roe-averaged (ũ, ṽ, h̃, ã) plus the primitive L/R states."""
+    rL, uL, vL, pL = cons_to_prim(UL, gamma, eps, max_val)
+    rR, uR, vR, pR = cons_to_prim(UR, gamma, eps, max_val)
+    hL = (UL[3] + pL) / jnp.maximum(UL[0], eps)
+    hR = (UR[3] + pR) / jnp.maximum(UR[0], eps)
+    wL = jnp.sqrt(rL)
+    wR = jnp.sqrt(rR)
+    norm = wL + wR + eps
+    u_roe = (uL * wL + uR * wR) / norm
+    v_roe = (vL * wL + vR * wR) / norm
+    h_roe = (hL * wL + hR * wR) / norm
+    a_roe = jnp.sqrt(
+        jnp.maximum((gamma - 1.0) * (h_roe - 0.5 * (u_roe**2 + v_roe**2)), eps)
+    )
+    return (rL, uL, vL, pL), (rR, uR, vR, pR), (u_roe, v_roe, h_roe, a_roe), wL * wR
+
+
 def roe_flux(UL, UR, gamma: float, axis: int, eps: float = 1e-8,
              max_val: float = 1e3):
+    """Textbook Roe flux: full characteristic decomposition with the Harten
+    entropy fix on the acoustic waves.
+
+        F = ½(F_L + F_R) − ½ Σ_k α_k |λ_k| r_k
+
+    with wave strengths α from the projection of ΔU onto the Roe-matrix
+    eigenvectors (acoustic pair, entropy wave, shear wave) and
+    |λ| → λ²/(2δ) + δ/2 for |λ| < δ = 0.1·ã on λ = q̃ ± ã (Harten 1983).
+    This is the solver the reference's ``roe_solver`` (v1_shock.py:97-145)
+    *intended* to be — its degenerate summed-eigenvalue variant is kept as
+    ``"roe_ref"`` for parity."""
+    (rL, uL, vL, pL), (rR, uR, vR, pR), (u_roe, v_roe, h_roe, a_roe), rho_roe_sq = (
+        _roe_averages(UL, UR, gamma, eps, max_val)
+    )
+    # ρ̃ = √(ρ_L ρ_R)
+    rho_roe = jnp.sqrt(jnp.maximum(rho_roe_sq, eps))
+    if axis == 1:  # x-normal: q = u (normal), w = v (tangential)
+        q_roe, w_roe = u_roe, v_roe
+        dq, dw = uR - uL, vR - vL
+    else:  # y-normal
+        q_roe, w_roe = v_roe, u_roe
+        dq, dw = vR - vL, uR - uL
+    drho = rR - rL
+    dp = pR - pL
+
+    a2_inv = 1.0 / (a_roe * a_roe)
+    alpha1 = 0.5 * (dp - rho_roe * a_roe * dq) * a2_inv  # q̃ − ã wave
+    alpha2 = drho - dp * a2_inv  # entropy wave
+    alpha3 = 0.5 * (dp + rho_roe * a_roe * dq) * a2_inv  # q̃ + ã wave
+    alpha4 = rho_roe * dw  # shear wave
+
+    def harten(lam):
+        delta = 0.1 * a_roe
+        return jnp.where(
+            jnp.abs(lam) < delta, lam * lam / (2.0 * delta) + 0.5 * delta,
+            jnp.abs(lam),
+        )
+
+    l1 = harten(q_roe - a_roe)
+    l2 = jnp.abs(q_roe)
+    l3 = harten(q_roe + a_roe)
+
+    ke_roe = 0.5 * (u_roe * u_roe + v_roe * v_roe)
+    if axis == 1:
+        r1 = jnp.stack([jnp.ones_like(u_roe), u_roe - a_roe, v_roe,
+                        h_roe - u_roe * a_roe])
+        r3 = jnp.stack([jnp.ones_like(u_roe), u_roe + a_roe, v_roe,
+                        h_roe + u_roe * a_roe])
+        r4 = jnp.stack([jnp.zeros_like(u_roe), jnp.zeros_like(u_roe),
+                        jnp.ones_like(u_roe), v_roe])
+    else:
+        r1 = jnp.stack([jnp.ones_like(u_roe), u_roe, v_roe - a_roe,
+                        h_roe - v_roe * a_roe])
+        r3 = jnp.stack([jnp.ones_like(u_roe), u_roe, v_roe + a_roe,
+                        h_roe + v_roe * a_roe])
+        r4 = jnp.stack([jnp.zeros_like(u_roe), jnp.ones_like(u_roe),
+                        jnp.zeros_like(u_roe), u_roe])
+    r2 = jnp.stack([jnp.ones_like(u_roe), u_roe, v_roe, ke_roe])
+
+    diss = (
+        (alpha1 * l1)[None] * r1
+        + (alpha2 * l2)[None] * r2
+        + (alpha3 * l3)[None] * r3
+        + (alpha4 * l2)[None] * r4
+    )
+    FL = euler_flux(UL, gamma, axis, eps, max_val)
+    FR = euler_flux(UR, gamma, axis, eps, max_val)
+    return 0.5 * (FL + FR) - 0.5 * diss
+
+
+def roe_ref_flux(UL, UR, gamma: float, axis: int, eps: float = 1e-8,
+                 max_val: float = 1e3):
     """The reference's "roe" scheme (v1_shock.py:97-145): Roe-averaged
     velocities and sound speed with an entropy floor ε=0.05a, dissipating
     with the *sum* of the three entropy-fixed eigenvalues applied to ΔU —
     i.e. a heavily-dissipative Rusanov-like variant, reproduced for parity
-    (a textbook Roe solver would use the characteristic decomposition)."""
+    (see ``roe_flux`` for the textbook characteristic solver)."""
     rL, uL, vL, pL = cons_to_prim(UL, gamma, eps, max_val)
     rR, uR, vR, pR = cons_to_prim(UR, gamma, eps, max_val)
     hL = (UL[3] + pL) / jnp.maximum(UL[0], eps)
@@ -158,4 +248,9 @@ def roe_flux(UL, UR, gamma: float, axis: int, eps: float = 1e-8,
     return 0.5 * (FL + FR) - 0.5 * ((l1 + l2 + l3))[None] * (UR - UL)
 
 
-FLUXES = {"rusanov": rusanov_flux, "hllc": hllc_flux, "roe": roe_flux}
+FLUXES = {
+    "rusanov": rusanov_flux,
+    "hllc": hllc_flux,
+    "roe": roe_flux,
+    "roe_ref": roe_ref_flux,
+}

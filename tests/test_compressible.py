@@ -227,3 +227,100 @@ def test_sod_all_fluxes_stable(flux_name):
     assert bool(jnp.all(jnp.isfinite(st.U)))
     rho = np.asarray(st.U[0])
     assert rho.min() > 0.05 and rho.max() < 1.2
+
+
+def test_wedge_aligned_frame_shock_angle_exact():
+    """Exact-geometry oblique shock: the wedge-aligned frame removes the
+    staircase/tip error, so the θ-β-M angle (39.31° for M=2, θ=10°) must
+    come out to sub-degree accuracy even at modest resolution."""
+    case = wedge(nx=200, ny=100, flux="hllc", reconstruction="muscl",
+                 frame="wedge_aligned")
+    st, _ = _run(case, 2.5, chunk=200)
+    rho = np.asarray(st.U[0])
+    X = case.grid.x_coords()
+    Y = case.grid.y_coords()
+    mid = 0.5 * (1.0 + 1.458)
+    xs, ys = [], []
+    for j in range(len(X)):
+        if not (0.7 <= X[j] <= 1.4):
+            continue
+        col = rho[:, j]
+        above = np.where(col > mid)[0]
+        if not len(above) or above.max() + 1 >= len(Y):
+            continue
+        i = above.max()
+        f = (col[i] - mid) / (col[i] - col[i + 1] + 1e-12)
+        xs.append(X[j])
+        ys.append(Y[i] + f * (Y[i + 1] - Y[i]))
+    beta = np.degrees(np.arctan(np.polyfit(xs, ys, 1)[0])) + 10.0
+    assert beta == pytest.approx(39.31, abs=0.5), f"shock angle {beta}"
+    # post-shock jump values (weak-branch θ-β-M)
+    r, u, v, p = (np.asarray(a) for a in cons_to_prim(st.U, GAMMA))
+    jj = int(np.argmin(np.abs(X - 1.3)))
+    ii = int(np.argmin(np.abs(Y - 0.08)))
+    assert r[ii, jj] == pytest.approx(1.458, rel=0.01)
+    assert p[ii, jj] == pytest.approx(1.707, rel=0.01)
+    assert abs(v[ii, jj]) < 0.01  # post-shock flow parallel to the wall
+
+
+def test_wedge_ghost_slip_wall_runs_and_deflects():
+    """Mirror-ghost slip-wall IBM (lab frame): healthy run, post-shock
+    deflection within ~1.5° of the 10° wedge angle (the staircase entropy
+    layer biases the geometric shock angle; the deflection is the robust
+    wall-quality metric)."""
+    case = wedge(nx=200, ny=100, flux="hllc", reconstruction="muscl",
+                 wall_treatment="ghost")
+    st, _ = _run(case, 2.0, chunk=200)
+    assert bool(jnp.all(jnp.isfinite(st.U)))
+    r, u, v, p = (np.asarray(a) for a in cons_to_prim(st.U, GAMMA))
+    X = case.grid.x_coords()
+    Y = case.grid.y_coords()
+    jj = int(np.argmin(np.abs(X - 1.3)))
+    ii = int(np.argmin(np.abs(Y - (np.tan(np.deg2rad(10.0)) * 0.8 + 0.06))))
+    defl = np.degrees(np.arctan2(v[ii, jj], u[ii, jj]))
+    assert defl == pytest.approx(10.0, abs=1.5), f"deflection {defl}"
+
+
+def test_roe_textbook_sod_star_states():
+    # the characteristic-decomposition Roe must hit the Sod star states as
+    # tightly as HLLC (the reference's roe_ref variant is far more diffusive)
+    case = _sod_case(nx=400, flux="roe")
+    st, _ = _run(case, 0.2, chunk=50)
+    rho, u, v, p = (np.asarray(a) for a in cons_to_prim(st.U, GAMMA))
+    x = case.grid.x_coords()
+    row = 4
+
+    def mean_in(lo, hi, f):
+        sel = (x > lo) & (x < hi)
+        return f[row, sel].mean()
+
+    assert mean_in(0.55, 0.65, rho) == pytest.approx(0.42632, rel=0.03)
+    assert mean_in(0.72, 0.82, rho) == pytest.approx(0.26557, rel=0.03)
+    assert mean_in(0.58, 0.78, p) == pytest.approx(0.30313, rel=0.03)
+    assert mean_in(0.58, 0.78, u) == pytest.approx(0.92745, rel=0.03)
+
+
+def test_superbee_muscl_sharper_contact_than_minmod():
+    # superbee (compressive) must resolve the Sod contact discontinuity in
+    # fewer cells than minmod; run with SSP-RK2 for TVD stability
+    def contact_width(limiter):
+        case = _sod_case(nx=400, flux="hllc", limiter=limiter, time_order=2)
+        st, _ = _run(case, 0.2, chunk=50)
+        rho = np.asarray(cons_to_prim(st.U, GAMMA)[0])[4]
+        # contact spans rho 0.42632 -> 0.26557 around x ~ 0.685
+        x = case.grid.x_coords()
+        sel = (x > 0.6) & (x < 0.8)
+        r = rho[sel]
+        hi, lo = 0.42632, 0.26557
+        inside = (r < hi - 0.1 * (hi - lo)) & (r > lo + 0.1 * (hi - lo))
+        return inside.sum()
+
+    w_minmod = contact_width("minmod")
+    w_superbee = contact_width("superbee")
+    assert w_superbee < w_minmod, (w_superbee, w_minmod)
+
+
+def test_roe_ref_parity_variant_stable():
+    case = _sod_case(nx=100, flux="roe_ref", reconstruction="none")
+    st, _ = _run(case, 0.15, chunk=50)
+    assert bool(jnp.all(jnp.isfinite(st.U)))
