@@ -22,6 +22,7 @@ from cfdsim_tpu.ibm import apply_ibm, ibm_ramp
 from cfdsim_tpu.ops.convection import (
     convection_central,
     convection_supg,
+    convection_tvd,
     convection_upwind,
     supg_tau,
 )
@@ -71,13 +72,19 @@ class IncompressibleConfig:
 
     grid: Grid
     nu: float
-    scheme: str = "central"  # central | upwind | supg | supg_refparity
+    scheme: str = "central"  # central | upwind | tvd | supg | supg_refparity
     # diffusion treatment: "explicit" (forward Euler, dt limited by the
     # 2D bound h²/4ν) or "implicit" (backward Euler on the viscous term —
     # the capability of the reference's Julia FEM solver, v1.jl:130-167 —
     # solved matrix-free by damped Jacobi; drops the viscous dt limit)
     diffusion: str = "explicit"
     implicit_iters: int = 12
+    # implicit viscous backend: "dst" = exact Dirichlet Helmholtz in one
+    # DST-I transform pair (solvers/helmholtz.py, requires scalar ν so it
+    # is incompatible with LES); "jacobi" = damped Jacobi iteration
+    # (implicit_iters sweeps, works with spatially varying ν_eff);
+    # "auto" = dst when possible, else jacobi
+    implicit_solver: str = "auto"
     use_les: bool = False
     smagorinsky_constant: float = 0.17
     artificial_viscosity: float = 0.0
@@ -196,6 +203,9 @@ def make_step(
         elif cfg.scheme == "upwind":
             conv_u = convection_upwind(u, v, u, dx, dy)
             conv_v = convection_upwind(u, v, v, dx, dy)
+        elif cfg.scheme == "tvd":
+            conv_u = convection_tvd(u, v, u, dx, dy)
+            conv_v = convection_tvd(u, v, v, dx, dy)
         elif cfg.scheme == "central":
             conv_u = convection_central(u, v, u, dx, dy)
             conv_v = convection_central(u, v, v, dx, dy)
@@ -205,35 +215,55 @@ def make_step(
         # --- diffusion + predictor (v5.py:400-403)
         if cfg.diffusion == "implicit":
             # backward-Euler viscous step (the reference's Julia FEM
-            # capability, v1.jl:130-167): (I − dt ν_eff ∇²) u* = u − dt·conv,
-            # solved matrix-free by damped Jacobi with BCs re-imposed each
-            # iteration (diagonally dominant: converges in ~10 sweeps)
+            # capability, v1.jl:130-167): (I − dt ν_eff ∇²) u* = u − dt·conv.
             bu = u - dt * conv_u
             bv = v - dt * conv_v
             if forcing is not None:
                 bu = bu + dt * forcing[0]
                 bv = bv + dt * forcing[1]
-            ax = 1.0 / (dx * dx)
-            ay = 1.0 / (dy * dy)
-            coeff = dt * nu_eff
-            denom_inv = 1.0 / (1.0 + 2.0 * (ax + ay) * coeff)
-
-            def nb(q):
-                s = ax * (q[1:-1, 2:] + q[1:-1, :-2]) + ay * (
-                    q[2:, 1:-1] + q[:-2, 1:-1]
-                )
-                return jnp.pad(s, ((1, 1), (1, 1)))
-
-            def helmholtz_iter(_, uv):
-                us, vs = uv
-                us = (bu + coeff * nb(us)) * denom_inv
-                vs = (bv + coeff * nb(vs)) * denom_inv
-                return bc_fn(us, vs, state.step, state.t)
-
-            u_star, v_star = jax.lax.fori_loop(
-                0, cfg.implicit_iters, helmholtz_iter,
-                bc_fn(bu, bv, state.step, state.t),
+            use_dst = cfg.implicit_solver == "dst" or (
+                cfg.implicit_solver == "auto" and not cfg.use_les
             )
+            if use_dst:
+                # exact solve: the Dirichlet-frame Helmholtz operator is
+                # diagonal in the 2D DST-I basis (solvers/helmholtz.py) —
+                # no iteration error, unlike the Jacobi path below
+                from cfdsim_tpu.solvers.helmholtz import solve_helmholtz_dirichlet
+
+                if cfg.use_les:
+                    raise ValueError(
+                        "implicit_solver='dst' needs scalar viscosity; "
+                        "use 'jacobi' with LES"
+                    )
+                coeff = dt * (cfg.nu + cfg.artificial_viscosity)
+                bu, bv = bc_fn(bu, bv, state.step, state.t)
+                u_star = solve_helmholtz_dirichlet(bu, coeff, dx, dy)
+                v_star = solve_helmholtz_dirichlet(bv, coeff, dx, dy)
+                u_star, v_star = bc_fn(u_star, v_star, state.step, state.t)
+            else:
+                # damped Jacobi, matrix-free, BCs re-imposed each iteration
+                # (diagonally dominant: converges in ~10 sweeps)
+                ax = 1.0 / (dx * dx)
+                ay = 1.0 / (dy * dy)
+                coeff = dt * nu_eff
+                denom_inv = 1.0 / (1.0 + 2.0 * (ax + ay) * coeff)
+
+                def nb(q):
+                    s = ax * (q[1:-1, 2:] + q[1:-1, :-2]) + ay * (
+                        q[2:, 1:-1] + q[:-2, 1:-1]
+                    )
+                    return jnp.pad(s, ((1, 1), (1, 1)))
+
+                def helmholtz_iter(_, uv):
+                    us, vs = uv
+                    us = (bu + coeff * nb(us)) * denom_inv
+                    vs = (bv + coeff * nb(vs)) * denom_inv
+                    return bc_fn(us, vs, state.step, state.t)
+
+                u_star, v_star = jax.lax.fori_loop(
+                    0, cfg.implicit_iters, helmholtz_iter,
+                    bc_fn(bu, bv, state.step, state.t),
+                )
         else:
             lap_u = laplacian_coeff(u, dx, dy, nu_eff)
             lap_v = laplacian_coeff(v, dx, dy, nu_eff)

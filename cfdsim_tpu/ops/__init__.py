@@ -12,6 +12,7 @@ from cfdsim_tpu.ops.stencil import (
 from cfdsim_tpu.ops.convection import (
     convection_upwind,
     convection_supg,
+    convection_tvd,
     supg_tau,
 )
 from cfdsim_tpu.ops.les import smagorinsky_viscosity
@@ -26,6 +27,7 @@ __all__ = [
     "interior_mask",
     "convection_upwind",
     "convection_supg",
+    "convection_tvd",
     "supg_tau",
     "smagorinsky_viscosity",
     "minmod",
