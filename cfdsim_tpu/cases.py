@@ -204,6 +204,7 @@ def cylinder(
         ibm_ramp_steps=1000,
         max_velocity=5.0 * v_inf,
         cleanup_iters=2,
+        masked_poisson=ref_parity,
     )
     defaults.update(cfg_overrides)
     cfg = IncompressibleConfig(
@@ -214,7 +215,6 @@ def cylinder(
         smagorinsky_constant=smagorinsky_constant,
         artificial_viscosity=artificial_viscosity,
         poisson=poisson,
-        masked_poisson=ref_parity,
         **defaults,
     )
     bc = boundary.cylinder_inflow_bcs(
