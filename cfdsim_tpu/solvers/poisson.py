@@ -362,6 +362,80 @@ def _idct2_fast(X, axis: int):
     return jnp.stack([ev, od], axis=axis + 1).reshape(X.shape)
 
 
+def _spectrum_reverse(F, axis: int):
+    """F[(n−k) mod n]: index-reversal of a full FFT spectrum."""
+    return jnp.roll(jnp.flip(F, axis), 1, axis)
+
+
+def _cdct(z, axis: int):
+    """Complexified Makhoul DCT-II along ``axis``: DCT(Re z) + i·DCT(Im z)
+    in ONE full-length complex FFT, via
+
+        X[k] = tw[k]·F[k] + conj(tw[k])·F[(n−k) mod n],  tw = e^{−iπk/2n},
+
+    which reduces to 2·Re(tw·F) for real input (the ``_dct2_fast`` scale).
+    Packing two real lines per complex line halves the FFT work — XLA's
+    TPU rfft costs nearly a full complex FFT, so this is the fast path for
+    the direct Poisson solve. Requires even n."""
+    n = z.shape[axis]
+    ev = jax.lax.slice_in_dim(z, 0, n, 2, axis=axis)
+    od = jax.lax.slice_in_dim(z, 1, n, 2, axis=axis)
+    v = jnp.concatenate([ev, jnp.flip(od, axis)], axis=axis)
+    F = jnp.fft.fft(v, axis=axis)
+    k = jnp.arange(n)
+    shape = [1] * z.ndim
+    shape[axis] = n
+    tw = jnp.exp(-1j * jnp.pi * k / (2 * n)).reshape(shape)
+    return tw * F + jnp.conj(tw) * _spectrum_reverse(F, axis)
+
+
+def _icdct(X, axis: int):
+    """Exact inverse of ``_cdct`` (complexified, same C-linear map on
+    packed pairs): F[k] = e^{iπk/2n}·(X[k] − i·X_rev[k])/2 with
+    X_rev = [0, X[n−1], …, X[1]], one complex ifft, un-permute."""
+    n = X.shape[axis]
+    rev = jnp.flip(jax.lax.slice_in_dim(X, 1, n, axis=axis), axis)
+    zero = jnp.zeros_like(jax.lax.slice_in_dim(X, 0, 1, axis=axis))
+    Xrev = jnp.concatenate([zero, rev], axis=axis)
+    k = jnp.arange(n)
+    shape = [1] * X.ndim
+    shape[axis] = n
+    tw = jnp.exp(1j * jnp.pi * k / (2 * n)).reshape(shape)
+    F = tw * (X - 1j * Xrev) * 0.5
+    v = jnp.fft.ifft(F, axis=axis)
+    ev = jax.lax.slice_in_dim(v, 0, n // 2, axis=axis)
+    od = jnp.flip(jax.lax.slice_in_dim(v, n // 2, n, axis=axis), axis)
+    return jnp.stack([ev, od], axis=axis + 1).reshape(X.shape)
+
+
+def _pack(a, axis: int):
+    """Pack adjacent line pairs along ``axis`` into complex: a0 + i·a1."""
+    m = a.shape[axis]
+    p = jax.lax.slice_in_dim(a, 0, m, 2, axis=axis)
+    q = jax.lax.slice_in_dim(a, 1, m, 2, axis=axis)
+    return p + 1j * q
+
+
+def _unpack(z, axis: int, out_shape):
+    """Interleave Re/Im back into adjacent real lines along ``axis``."""
+    return jnp.stack([jnp.real(z), jnp.imag(z)], axis=axis + 1).reshape(out_shape)
+
+
+def _dct2d_packed(x):
+    """Full 2D DCT-II of a real even×even array with half-size complex
+    FFTs: each axis transform packs line pairs along the *other* axis
+    (two real transforms per complex FFT)."""
+    shp = x.shape
+    A = _unpack(_cdct(_pack(x, 0), 1), 0, shp)  # axis-1 DCT, rows packed
+    return _unpack(_cdct(_pack(A, 1), 0), 1, shp)  # axis-0 DCT, cols packed
+
+
+def _idct2d_packed(X):
+    shp = X.shape
+    A = _unpack(_icdct(_pack(X, 1), 0), 1, shp)
+    return _unpack(_icdct(_pack(A, 0), 1), 0, shp)
+
+
 def _dct_fwd(x, axis: int):
     return _dct2_fast(x, axis) if x.shape[axis] % 2 == 0 else _dct2(x, axis)
 
@@ -378,7 +452,17 @@ def solve_poisson_neumann_dct(rhs, dx: float, dy: float):
     λ_k = (2cos(πk/n)−2)/h². The constant nullspace mode is projected out,
     matching the iterative solvers' mean-free convention."""
     m, n = rhs.shape
-    rhs_hat = _dct_fwd(_dct_fwd(rhs, axis=0), axis=1)
+    # NOTE: a half-FFT packed variant exists (_dct2d_packed; two real lines
+    # per complex FFT). Its raw FFTs are ~2.9x cheaper than XLA's TPU rfft,
+    # but on the current rig the extra complex elementwise passes (Makhoul
+    # permute, spectrum reverse, twiddles) are HBM-bound and cost more than
+    # the FFT savings (24 ms vs 13.7 ms per 4096² solve measured round 2).
+    # Re-evaluate on production hardware with higher effective HBM BW.
+    packed = False
+    if packed:
+        rhs_hat = _dct2d_packed(rhs)
+    else:
+        rhs_hat = _dct_fwd(_dct_fwd(rhs, axis=0), axis=1)
     ky = jnp.arange(m)
     kx = jnp.arange(n)
     lam = (2.0 * jnp.cos(jnp.pi * ky / m)[:, None] - 2.0) / (dy * dy) + (
@@ -387,7 +471,10 @@ def solve_poisson_neumann_dct(rhs, dx: float, dy: float):
     lam = lam.at[0, 0].set(1.0)
     phi_hat = rhs_hat / lam
     phi_hat = phi_hat.at[0, 0].set(0.0)
-    phi = _dct_inv(_dct_inv(phi_hat, axis=1), axis=0)
+    if packed:
+        phi = _idct2d_packed(phi_hat)
+    else:
+        phi = _dct_inv(_dct_inv(phi_hat, axis=1), axis=0)
     return phi.astype(rhs.dtype)
 
 

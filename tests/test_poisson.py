@@ -162,3 +162,21 @@ def test_solve_is_jittable_and_warm_startable():
     assert float(poisson_residual(phi2, rhs, h, h)) <= float(
         poisson_residual(phi1, rhs, h, h)
     ) * 1.01
+
+
+def test_packed_dct_matches_reference():
+    # the half-FFT packed 2D DCT (kept for high-HBM-bandwidth hardware)
+    # must agree with the per-axis Makhoul path to fp32 roundoff
+    import numpy as np
+
+    from cfdsim_tpu.solvers.poisson import (
+        _dct2, _dct2d_packed, _idct2d_packed,
+    )
+
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(32, 48), jnp.float32)
+    ref = np.asarray(_dct2(_dct2(x, 0), 1))
+    new = np.asarray(_dct2d_packed(x))
+    assert np.abs(ref - new).max() < 1e-5 * np.abs(ref).max()
+    rt = np.asarray(_idct2d_packed(_dct2d_packed(x)))
+    assert np.abs(rt - np.asarray(x)).max() < 1e-5
