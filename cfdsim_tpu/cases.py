@@ -186,8 +186,15 @@ def cylinder(
     poisson = _poisson_spec(poisson)
     if poisson is None:
         if ref_parity:
+            # the reference's exact pressure budget (v5.py:64-65). The
+            # VMEM-resident Pallas variant ("rbsor_pallas") was measured
+            # at 317 vs 537 steps/s here — the attached chip's ~60-130 µs
+            # kernel-launch overhead × ~10 early-exit chunks/step swamps
+            # the VMEM win at 600×180; revisit the default on production
+            # hardware.
             poisson = PoissonConfig(
-                method="rbsor", iters=1500, tol=1e-8, check_every=50, omega=1.7
+                method="rbsor", iters=1500, tol=1e-8, check_every=50,
+                omega=1.7,
             )
         else:
             # exact projection: required for long-horizon stability once

@@ -57,6 +57,8 @@ def _build_lib() -> ctypes.CDLL:
     lib.csnap_flush.argtypes = [ctypes.c_void_p]
     lib.csnap_pending.restype = ctypes.c_int64
     lib.csnap_pending.argtypes = [ctypes.c_void_p]
+    lib.csnap_error.restype = ctypes.c_int
+    lib.csnap_error.argtypes = [ctypes.c_void_p]
     lib.csnap_close.argtypes = [ctypes.c_void_p]
     _lib_cache = lib
     return lib
@@ -105,12 +107,25 @@ class NativeSnapshotWriter:
         return int(self._lib.csnap_pending(self._h))
 
     def flush(self) -> None:
+        """Block until the queue drains; raise if any record was lost to a
+        compression or disk I/O failure (the worker records a sticky error
+        flag instead of dropping silently)."""
         self._lib.csnap_flush(self._h)
+        if self._lib.csnap_error(self._h):
+            raise IOError(
+                f"csnap writer lost records (compression or disk I/O "
+                f"failure) writing {self.path}"
+            )
 
     def close(self) -> None:
         if self._h:
+            err = self._lib.csnap_error(self._h)
             self._lib.csnap_close(self._h)
             self._h = None
+            if err:
+                raise IOError(
+                    f"csnap writer lost records writing {self.path}"
+                )
 
     def __enter__(self):
         return self
@@ -119,38 +134,70 @@ class NativeSnapshotWriter:
         self.close()
 
 
-def read_csnap(path):
+def read_csnap(path, strict: bool = False):
     """Parse a .csnap file → list of {name, step, time, array} records
-    (pure Python; format documented in native/csnap.cc)."""
+    (pure Python; format documented in native/csnap.cc).
+
+    A truncated final record (process killed mid-write — likely with an
+    async writer) stops the parse and returns the records read so far with
+    a warning; pass ``strict=True`` to raise instead."""
+    import warnings
+
     records = []
     raw = Path(path).read_bytes()
     assert raw[:6] == b"CSNP1\n", "not a csnap file"
     off = 6
-    while off < len(raw):
-        (name_len,) = np.frombuffer(raw, np.uint32, 1, off)
-        off += 4
-        name = raw[off : off + name_len].decode()
-        off += name_len
-        (step,) = np.frombuffer(raw, np.int32, 1, off)
-        off += 4
-        (time,) = np.frombuffer(raw, np.float64, 1, off)
-        off += 8
-        dtype_code = raw[off]
-        off += 1
-        (ndim,) = np.frombuffer(raw, np.int32, 1, off)
-        off += 4
-        shape = tuple(np.frombuffer(raw, np.int64, ndim, off))
-        off += 8 * ndim
-        (raw_size,) = np.frombuffer(raw, np.uint64, 1, off)
-        off += 8
-        (comp_size,) = np.frombuffer(raw, np.uint64, 1, off)
-        off += 8
-        blob = zlib.decompress(raw[off : off + int(comp_size)], bufsize=int(raw_size))
-        off += int(comp_size)
-        arr = np.frombuffer(blob, _DTYPES[dtype_code]).reshape(shape)
+    n = len(raw)
+
+    def truncated():
+        if strict:
+            raise IOError(f"truncated csnap record at offset {off} in {path}")
+        warnings.warn(
+            f"{path}: truncated final record at offset {off}; returning "
+            f"{len(records)} complete records"
+        )
+
+    while off < n:
+        try:
+            if off + 4 > n:
+                raise ValueError
+            (name_len,) = np.frombuffer(raw, np.uint32, 1, off)
+            head_end = off + 4 + int(name_len) + 4 + 8 + 1 + 4
+            if head_end > n:
+                raise ValueError
+            o = off + 4
+            name = raw[o : o + name_len].decode()
+            o += name_len
+            (step,) = np.frombuffer(raw, np.int32, 1, o)
+            o += 4
+            (time,) = np.frombuffer(raw, np.float64, 1, o)
+            o += 8
+            dtype_code = raw[o]
+            o += 1
+            (ndim,) = np.frombuffer(raw, np.int32, 1, o)
+            o += 4
+            if not (0 <= ndim <= 8) or o + 8 * int(ndim) + 16 > n:
+                raise ValueError
+            shape = tuple(np.frombuffer(raw, np.int64, ndim, o))
+            o += 8 * ndim
+            (raw_size,) = np.frombuffer(raw, np.uint64, 1, o)
+            o += 8
+            (comp_size,) = np.frombuffer(raw, np.uint64, 1, o)
+            o += 8
+            if o + int(comp_size) > n:
+                raise ValueError
+            blob = zlib.decompress(
+                raw[o : o + int(comp_size)], bufsize=int(raw_size)
+            )
+            o += int(comp_size)
+            arr = np.frombuffer(blob, _DTYPES[dtype_code]).reshape(shape)
+        except (ValueError, zlib.error, KeyError, UnicodeDecodeError):
+            truncated()
+            break
         records.append(
             {"name": name, "step": int(step), "time": float(time), "array": arr}
         )
+        off = o
     return records
 
 

@@ -103,6 +103,11 @@ class IncompressibleConfig:
     ibm_ramp_steps: int = 0  # IBM force ramp (v5.py:406)
     masked_poisson: bool = False  # φ frozen inside solids (v5.py:213)
     compute_metrics: bool = True
+    # fuse the explicit central predictor (conv + lap + axpy for u AND v)
+    # into one grid-blocked Pallas pass (ops/pallas/predictor.py): 4 HBM
+    # passes instead of ~10. Requires scheme="central", explicit diffusion,
+    # no LES, no forcing.
+    fused_predictor: bool = False
 
 
 def init_state(cfg: IncompressibleConfig, u0=None, v0=None, p0=None):
@@ -181,6 +186,17 @@ def make_step(
     g = cfg.grid
     dx, dy = g.dx, g.dy
     pois_mask = solid_mask if (cfg.masked_poisson and solid_mask is not None) else None
+    use_fused = cfg.fused_predictor
+    if use_fused and (
+        cfg.scheme != "central"
+        or cfg.diffusion != "explicit"
+        or cfg.use_les
+        or forcing is not None
+    ):
+        raise ValueError(
+            "fused_predictor requires scheme='central', explicit diffusion, "
+            "no LES, and no forcing"
+        )
 
     def step(state: IncompressibleState, cfl_scale) -> tuple:
         u, v, p = state.u, state.v, state.p
@@ -194,8 +210,11 @@ def make_step(
 
         dt = _adaptive_dt(cfg, u, v, nu_t, state.step, cfl_scale)
 
-        # --- convection (v5.py:392-399)
-        if cfg.scheme in ("supg", "supg_refparity"):
+        # --- convection (v5.py:392-399); the fused-Pallas predictor
+        # computes convection inside its kernel
+        if use_fused:
+            conv_u = conv_v = None
+        elif cfg.scheme in ("supg", "supg_refparity"):
             tau = supg_tau(u, v, dx, dy, dt, nu_eff)
             parity = cfg.scheme == "supg_refparity"
             conv_u = convection_supg(u, v, u, dx, dy, tau, ref_parity=parity)
@@ -264,6 +283,13 @@ def make_step(
                     0, cfg.implicit_iters, helmholtz_iter,
                     bc_fn(bu, bv, state.step, state.t),
                 )
+        elif use_fused:
+            from cfdsim_tpu.ops.pallas.predictor import fused_predictor_central
+
+            u_star, v_star = fused_predictor_central(
+                u, v, dt, cfg.nu + cfg.artificial_viscosity, dx, dy
+            )
+            u_star, v_star = bc_fn(u_star, v_star, state.step, state.t)
         else:
             lap_u = laplacian_coeff(u, dx, dy, nu_eff)
             lap_v = laplacian_coeff(v, dx, dy, nu_eff)

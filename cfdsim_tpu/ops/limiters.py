@@ -13,11 +13,14 @@ import jax.numpy as jnp
 
 
 def minmod(a, b):
-    """Return a if |a|<|b| and same sign, b if |b|<|a| and same sign, else 0."""
+    """Textbook minmod: the smaller-magnitude argument when a and b agree
+    in sign (a tie returns that common value), else 0. (The reference's
+    scalar version returns 0 on the measure-zero |a| == |b| tie,
+    cavity_flow_v1.py:89-93 — degrading to first order exactly where the
+    slopes are bitwise equal; the standard definition is used here.)"""
     same = a * b > 0
-    pick_a = jnp.logical_and(jnp.abs(a) < jnp.abs(b), same)
     pick_b = jnp.logical_and(jnp.abs(b) < jnp.abs(a), same)
-    return jnp.where(pick_a, a, jnp.where(pick_b, b, 0.0))
+    return jnp.where(same, jnp.where(pick_b, b, a), 0.0)
 
 
 def minmod3(a, b, c):

@@ -50,12 +50,16 @@ class PoissonConfig:
     """Static configuration for the pressure solve.
 
     method: "jacobi" | "rbsor" | "rbsor_pallas" | "mg" | "fft" | "dct"
-    iters: sweep budget (jacobi/rbsor) or number of V-cycles (mg)
+            | "hybrid" (exact DCT + masked rbsor repair around solids)
+    iters: sweep budget (jacobi/rbsor/hybrid) or number of V-cycles (mg)
     tol: if > 0, stop early once max-residual < tol (while_loop mode,
          reproducing the reference's early exit v5.py:224-225)
     check_every: sweeps between residual checks in while_loop mode
     omega: SOR relaxation factor (1.0 = Gauss-Seidel)
-    bc: "neumann" | "dirichlet" | "periodic"
+    bc: "neumann" | "dirichlet" for the iterative methods and "dct"
+        (which is Neumann-only); "periodic" is solved only by "fft" —
+        iterative methods raise rather than silently solving the
+        Dirichlet-frame problem
     mg_pre/mg_post: smoothing sweeps per level; mg_coarse: coarsest sweeps
     """
 
@@ -69,9 +73,11 @@ class PoissonConfig:
     mg_post: int = 2
     mg_coarse: int = 40
     mg_min_size: int = 4
-    # run MG smoothing through the Pallas VMEM kernel on levels that fit
-    # (multi-sweep in VMEM instead of streaming each half-sweep via HBM)
-    mg_pallas_smooth: bool = False
+    # run MG smoothing through the Pallas kernels (single-VMEM-block on
+    # small levels, grid-blocked strips above): "auto" = on when the
+    # backend is TPU (measured 7-14% faster V-cycles at 1024²-4096²),
+    # off elsewhere (the interpreter fallback is slow); True/False force
+    mg_pallas_smooth: bool | str = "auto"
 
 
 # ---------------------------------------------------------------------------
@@ -232,11 +238,15 @@ def _vcycle(phi, rhs, dx, dy, cfg: PoissonConfig, masks_by_level, level, n_level
     colors = masks_by_level[level]
     # plain red-black Gauss-Seidel (omega=1) is the right MG smoother;
     # over-relaxation hurts the smoothing factor
-    use_pallas = False
-    if cfg.mg_pallas_smooth:
-        from cfdsim_tpu.ops.pallas.poisson_rb import MAX_ELEMS, rbsor_pallas
-
-        use_pallas = phi.size <= MAX_ELEMS
+    use_pallas = (
+        cfg.mg_pallas_smooth is True
+        or (cfg.mg_pallas_smooth == "auto" and jax.default_backend() == "tpu")
+    )
+    if use_pallas:
+        # MG is always the unmasked Neumann problem, so every level routes
+        # to a Pallas kernel: single-VMEM-block when it fits, the
+        # grid-blocked strip kernel above that
+        from cfdsim_tpu.ops.pallas.poisson_rb import rbsor_pallas
 
     def smooth(p, n_sweeps):
         if n_sweeps == 0:
@@ -536,6 +546,11 @@ def solve_poisson(
 
         return jax.lax.fori_loop(0, cfg.iters, cycle, phi0)
 
+    if cfg.bc == "periodic":
+        raise ValueError(
+            "bc='periodic' is solved only by method='fft'; the iterative "
+            "sweeps implement the neumann/dirichlet conventions"
+        )
     sm = None if solid_mask is None else jnp.asarray(solid_mask, bool)
     red, black = _color_masks(phi0.shape, cfg.bc, sm)
 
@@ -546,10 +561,33 @@ def solve_poisson(
     elif cfg.method == "rbsor_pallas":
         from cfdsim_tpu.ops.pallas.poisson_rb import rbsor_pallas
 
-        return rbsor_pallas(
-            phi0, rhs, dx, dy, iters=cfg.iters, omega=cfg.omega,
-            bc=cfg.bc, solid_mask=sm,
+        if cfg.tol <= 0.0:
+            return rbsor_pallas(
+                phi0, rhs, dx, dy, iters=cfg.iters, omega=cfg.omega,
+                bc=cfg.bc, solid_mask=sm,
+            )
+        # early exit (reference v5.py:224-225): run VMEM sweep chunks
+        # inside a while_loop on the device-reduced residual
+        check = max(1, cfg.check_every)
+        n_chunks = max(1, cfg.iters // check)
+
+        def cond(carry):
+            p, res, i = carry
+            return jnp.logical_and(res > cfg.tol, i < n_chunks)
+
+        def body(carry):
+            p, _, i = carry
+            p = rbsor_pallas(
+                p, rhs, dx, dy, iters=check, omega=cfg.omega,
+                bc=cfg.bc, solid_mask=sm,
+            )
+            res = poisson_residual(p, rhs, dx, dy, sm, cfg.bc)
+            return p, res, i + 1
+
+        phi, _, _ = jax.lax.while_loop(
+            cond, body, (phi0, jnp.asarray(jnp.inf, phi0.dtype), 0)
         )
+        return phi
     else:
         raise ValueError(f"unknown poisson method {cfg.method!r}")
 

@@ -49,6 +49,7 @@ struct Writer {
   std::deque<Job> queue;
   bool closing = false;
   bool busy = false;  // a popped job is still being written
+  bool error = false;  // sticky: compression or I/O failure occurred
   uint64_t written_records = 0;
 
   void run() {
@@ -81,23 +82,33 @@ struct Writer {
     uLongf comp_size = bound;
     int rc = compress2(comp.data(), &comp_size, job.data.data(),
                        job.data.size(), level);
-    if (rc != Z_OK) return;  // skip records that fail to compress
+    if (rc != Z_OK) {  // record the loss instead of dropping silently
+      std::lock_guard<std::mutex> lk(mu);
+      error = true;
+      return;
+    }
 
     uint32_t name_len = static_cast<uint32_t>(job.name.size());
     int32_t ndim = static_cast<int32_t>(job.shape.size());
     uint64_t raw_size = job.data.size();
     uint64_t csize = comp_size;
-    std::fwrite(&name_len, 4, 1, f);
-    std::fwrite(job.name.data(), 1, name_len, f);
-    std::fwrite(&job.step, 4, 1, f);
-    std::fwrite(&job.time, 8, 1, f);
-    std::fwrite(&job.dtype, 1, 1, f);
-    std::fwrite(&ndim, 4, 1, f);
-    std::fwrite(job.shape.data(), 8, ndim, f);
-    std::fwrite(&raw_size, 8, 1, f);
-    std::fwrite(&csize, 8, 1, f);
-    std::fwrite(comp.data(), 1, csize, f);
-    std::fflush(f);
+    bool ok = true;
+    ok &= std::fwrite(&name_len, 4, 1, f) == 1;
+    ok &= std::fwrite(job.name.data(), 1, name_len, f) == name_len;
+    ok &= std::fwrite(&job.step, 4, 1, f) == 1;
+    ok &= std::fwrite(&job.time, 8, 1, f) == 1;
+    ok &= std::fwrite(&job.dtype, 1, 1, f) == 1;
+    ok &= std::fwrite(&ndim, 4, 1, f) == 1;
+    ok &= std::fwrite(job.shape.data(), 8, ndim, f) ==
+          static_cast<size_t>(ndim);
+    ok &= std::fwrite(&raw_size, 8, 1, f) == 1;
+    ok &= std::fwrite(&csize, 8, 1, f) == 1;
+    ok &= std::fwrite(comp.data(), 1, csize, f) == csize;
+    ok &= std::fflush(f) == 0;
+    if (!ok) {  // disk full / I/O error: surface via csnap_error()
+      std::lock_guard<std::mutex> lk(mu);
+      error = true;
+    }
   }
 };
 
@@ -117,7 +128,10 @@ extern "C" {
 void* csnap_open(const char* path, int level) {
   FILE* f = std::fopen(path, "ab");
   if (!f) return nullptr;
-  // write magic only for fresh files
+  // write magic only for fresh files; determine emptiness via an explicit
+  // seek-to-end (ftell right after fopen("ab") returning the size is
+  // glibc-specific behavior)
+  std::fseek(f, 0, SEEK_END);
   long pos = std::ftell(f);
   if (pos == 0) std::fwrite("CSNP1\n", 1, 6, f);
   Writer* w = new Writer();
@@ -161,6 +175,15 @@ void csnap_flush(void* handle) {
   if (!w) return;
   std::unique_lock<std::mutex> lk(w->mu);
   w->cv.wait(lk, [&] { return w->queue.empty() && !w->busy; });
+}
+
+// 1 if any record was lost to a compression or I/O failure, else 0
+// (sticky; lets the Python layer raise instead of silently losing data).
+int csnap_error(void* handle) {
+  Writer* w = static_cast<Writer*>(handle);
+  if (!w) return 1;
+  std::lock_guard<std::mutex> lk(w->mu);
+  return w->error ? 1 : 0;
 }
 
 // Number of records not yet written (for backpressure monitoring).

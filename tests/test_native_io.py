@@ -84,3 +84,58 @@ def test_3d_fields(tmp_path):
     r = read_csnap(p)[0]
     assert r["array"].shape == (2, 3, 4)
     np.testing.assert_array_equal(r["array"], arr)
+
+
+def test_read_csnap_truncated_tail(tmp_path):
+    # a record cut mid-write must not lose the complete records before it
+    import warnings
+
+    import numpy as np
+
+    from cfdsim_tpu.io_.native import (
+        NativeSnapshotWriter, NativeUnavailable, read_csnap,
+    )
+
+    try:
+        w = NativeSnapshotWriter(tmp_path / "t.csnap")
+    except NativeUnavailable:
+        import pytest
+
+        pytest.skip("native toolchain unavailable")
+    w.save(0, 0.0, u=np.ones((8, 8), np.float32))
+    w.save(1, 0.5, u=np.full((8, 8), 2.0, np.float32))
+    w.flush()
+    w.close()
+    raw = (tmp_path / "t.csnap").read_bytes()
+    (tmp_path / "t.csnap").write_bytes(raw[:-7])  # chop the tail
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        recs = read_csnap(tmp_path / "t.csnap")
+    assert len(recs) == 1 and recs[0]["step"] == 0
+    assert any("truncated" in str(c.message) for c in caught)
+    import pytest
+
+    with pytest.raises(IOError):
+        read_csnap(tmp_path / "t.csnap", strict=True)
+
+
+def test_reopen_existing_container_no_duplicate_magic(tmp_path):
+    import numpy as np
+
+    from cfdsim_tpu.io_.native import (
+        NativeSnapshotWriter, NativeUnavailable, read_csnap,
+    )
+
+    try:
+        w = NativeSnapshotWriter(tmp_path / "r.csnap")
+    except NativeUnavailable:
+        import pytest
+
+        pytest.skip("native toolchain unavailable")
+    w.save(0, 0.0, u=np.ones((4, 4), np.float32))
+    w.flush(); w.close()
+    w2 = NativeSnapshotWriter(tmp_path / "r.csnap")
+    w2.save(1, 1.0, u=np.zeros((4, 4), np.float32))
+    w2.flush(); w2.close()
+    recs = read_csnap(tmp_path / "r.csnap")
+    assert [r["step"] for r in recs] == [0, 1]

@@ -127,3 +127,32 @@ def test_restore_nested_coupled_state(tmp_path):
     np.testing.assert_array_equal(np.asarray(restored.flow.u), np.asarray(st.flow.u))
     np.testing.assert_array_equal(np.asarray(restored.theta), np.asarray(st.theta))
     assert int(restored.flow.step) == int(st.step)
+
+
+def test_palette_gif(tmp_path):
+    # two-pass palette GIF (reference video_generator.jl:32-79 analog):
+    # one global palette across frames
+    import numpy as np
+    from PIL import Image
+
+    from cfdsim_tpu.viz.video import make_video
+
+    fdir = tmp_path / "frames"
+    fdir.mkdir()
+    for i in range(6):
+        arr = (np.linspace(0, 255, 32 * 32).reshape(32, 32) + 20 * i) % 256
+        Image.fromarray(arr.astype(np.uint8)).convert("RGB").save(
+            fdir / f"f_{i:03d}.png"
+        )
+    out = make_video(fdir, tmp_path / "anim.gif", duration_s=1.0)
+    im = Image.open(out)
+    assert im.format == "GIF"
+    im.seek(0)
+    n = 1
+    try:
+        while True:
+            im.seek(im.tell() + 1)
+            n += 1
+    except EOFError:
+        pass
+    assert n == 6
