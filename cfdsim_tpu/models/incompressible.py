@@ -308,8 +308,11 @@ def make_step(
         # --- pressure projection (v5.py:409-417)
         div_star = divergence(u_star, v_star, dx, dy)
         rhs = div_star / dt
-        if cfg.poisson.bc == "neumann":
-            rhs = rhs - jnp.mean(rhs)  # solvability of the pure-Neumann problem
+        if cfg.poisson.bc == "neumann" and cfg.poisson.method not in ("dct", "fft"):
+            # solvability of the pure-Neumann problem; the direct solvers
+            # discard the k=0 mode in-spectrum, so the two extra HBM passes
+            # here would be redundant for them
+            rhs = rhs - jnp.mean(rhs)
         phi = solve_poisson(p, rhs, dx, dy, cfg.poisson, solid_mask=pois_mask)
         gx, gy = gradient(phi, dx, dy)
         u_new = u_star - dt * gx

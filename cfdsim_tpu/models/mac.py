@@ -359,7 +359,10 @@ def make_step(
         # operator — solved exactly by the DCT backend
         div_star = divergence_mac(u_star, v_star, dx, dy)
         rhs = div_star / dt
-        rhs = rhs - jnp.mean(rhs)  # Neumann solvability
+        if cfg.poisson.method not in ("dct", "fft"):
+            # Neumann solvability for the iterative solvers; the direct
+            # solvers discard the k=0 mode in-spectrum
+            rhs = rhs - jnp.mean(rhs)
         phi = solve_poisson(state.p, rhs, dx, dy, cfg.poisson)
         u_new = u_star.at[:, 1:-1].add(-dt * (phi[:, 1:] - phi[:, :-1]) * (1.0 / dx))
         v_new = v_star.at[1:-1, :].add(-dt * (phi[1:, :] - phi[:-1, :]) * (1.0 / dy))

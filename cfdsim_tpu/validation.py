@@ -57,6 +57,49 @@ GHIA_V = {
 }
 
 
+# Botella & Peyret (1998) spectral benchmark (Chebyshev N=160) for the
+# steady Re=1000 lid-driven cavity: extrema of the centerline profiles.
+# This is the high-accuracy reference — the Ghia tables themselves deviate
+# from it by 5e-3 (u_min) to 1.1e-2 (v_min), which bounds any "error vs
+# Ghia" below ~5e-3 regardless of scheme quality.
+BOTELLA_PEYRET_RE1000 = {
+    "u_min": -0.3885698, "u_min_y": 0.1717,
+    "v_max": 0.3769447, "v_max_x": 0.1578,
+    "v_min": -0.5270771, "v_min_x": 0.9092,
+}
+
+
+def profile_extremum(vals, coords, kind: str):
+    """(value, location) of a profile extremum with parabolic subpixel
+    interpolation through the three points around the discrete extremum."""
+    vals = np.asarray(vals, np.float64)
+    coords = np.asarray(coords, np.float64)
+    i = int(np.argmin(vals) if kind == "min" else np.argmax(vals))
+    if not 0 < i < len(vals) - 1:
+        return float(vals[i]), float(coords[i])
+    a, b, c = vals[i - 1], vals[i], vals[i + 1]
+    denom = a - 2.0 * b + c
+    if denom == 0.0:
+        return float(b), float(coords[i])
+    d = (a - c) / (2.0 * denom)
+    val = b - 0.25 * (a - c) * d
+    return float(val), float(coords[i] + d * (coords[i] - coords[i - 1]))
+
+
+def botella_peyret_errors(u_c, y_u, v_c, x_v):
+    """Absolute errors of the Re=1000 centerline extrema vs the Botella &
+    Peyret spectral values: dict with u_min/v_max/v_min errors."""
+    bp = BOTELLA_PEYRET_RE1000
+    u_min, _ = profile_extremum(u_c, y_u, "min")
+    v_max, _ = profile_extremum(v_c, x_v, "max")
+    v_min, _ = profile_extremum(v_c, x_v, "min")
+    return {
+        "u_min": abs(u_min - bp["u_min"]),
+        "v_max": abs(v_max - bp["v_max"]),
+        "v_min": abs(v_min - bp["v_min"]),
+    }
+
+
 def cavity_centerline_profiles(u, v):
     """Extract (u(y) at x=0.5, v(x) at y=0.5) from (ny, nx) fields."""
     ny, nx = np.asarray(u).shape

@@ -1,0 +1,40 @@
+"""MAC-grid Re=1000 cavity accuracy vs the Botella & Peyret spectral
+benchmark (slow; CFDSIM_SLOW_TESTS=1).
+
+Measured (round 2, t=250): extrema errors vs B&P are 6e-3 at 128²,
+1.6e-3 at 256², 4.3e-4 at 512² — clean 2nd-order convergence to the
+true solution. (Against the Ghia tables the same runs plateau at ~5e-3
+because the tables themselves deviate from B&P by 5e-3..1.1e-2.)"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cfdsim_tpu.cases import lid_cavity_mac
+from cfdsim_tpu.validation import botella_peyret_errors
+
+pytestmark = pytest.mark.skipif(
+    os.environ.get("CFDSIM_SLOW_TESTS") != "1",
+    reason="set CFDSIM_SLOW_TESTS=1 to run the Re=1000 MAC accuracy check",
+)
+
+
+@pytest.mark.parametrize("n,t_end,tol", [(128, 200.0, 0.009), (256, 200.0, 0.0028)])
+def test_mac_cavity_re1000_vs_spectral(n, t_end, tol):
+    case = lid_cavity_mac(n=n, Re=1000.0)
+    f = jax.jit(lambda s: jax.lax.scan(
+        lambda st, _: case.step(st, jnp.float32(1.0)), s, None, length=2000)[0])
+    s = case.state
+    while float(s.t) < t_end:
+        s = f(s)
+    u = np.asarray(s.u)
+    v = np.asarray(s.v)
+    u_c = u[:, n // 2]
+    y_u = (np.arange(n) + 0.5) / n
+    v_c = v[n // 2, :]
+    x_v = (np.arange(n) + 0.5) / n
+    errs = botella_peyret_errors(u_c, y_u, v_c, x_v)
+    assert max(errs.values()) < tol, errs
