@@ -32,6 +32,69 @@ def cylinder_masks(grid: Grid, center: tuple[float, float], radius: float):
     return jnp.asarray(solid), jnp.asarray(ibm, jnp.float32)
 
 
+def _gaussian_shell(dist, radius, dx):
+    sigma = 2.0 * dx
+    shell = np.exp(-(((dist - radius) / sigma) ** 2))
+    return np.where(
+        dist < radius, 1.0, np.where(dist < radius + 5 * dx, shell, 0.0)
+    )
+
+
+def cylinder_masks_mac(grid: Grid, center: tuple[float, float], radius: float):
+    """Face-sampled IBM masks for the staggered (MAC) layout: the same
+    Gaussian-shell profile as ``cylinder_masks`` (reference v5.py:275-283)
+    evaluated at u-face locations (ny, nx+1) and v-face locations
+    (ny+1, nx) of a cell-centered grid."""
+    nx, ny = grid.nx, grid.ny
+    dx, dy = grid.dx, grid.dy
+    xu = grid.x_min + np.arange(nx + 1) * dx
+    yu = grid.y_min + (np.arange(ny) + 0.5) * dy
+    Xu, Yu = np.meshgrid(xu, yu, indexing="xy")
+    xv = grid.x_min + (np.arange(nx) + 0.5) * dx
+    yv = grid.y_min + np.arange(ny + 1) * dy
+    Xv, Yv = np.meshgrid(xv, yv, indexing="xy")
+    du = np.sqrt((Xu - center[0]) ** 2 + (Yu - center[1]) ** 2)
+    dv = np.sqrt((Xv - center[0]) ** 2 + (Yv - center[1]) ** 2)
+    return (
+        jnp.asarray(_gaussian_shell(du, radius, dx), jnp.float32),
+        jnp.asarray(_gaussian_shell(dv, radius, dx), jnp.float32),
+    )
+
+
+def potential_flow_cylinder_mac(
+    grid: Grid, center: tuple[float, float], radius: float, v_inf: float,
+    mask_u, mask_v,
+):
+    """Potential-flow initial condition on MAC faces (face-sampled version
+    of ``potential_flow_cylinder``, reference v5.py:299-314)."""
+    nx, ny = grid.nx, grid.ny
+    dx, dy = grid.dx, grid.dy
+
+    def fields(X, Y):
+        r = np.sqrt((X - center[0]) ** 2 + (Y - center[1]) ** 2)
+        th = np.arctan2(Y - center[1], X - center[0])
+        fac = (radius / np.maximum(r, 1e-10)) ** 2
+        u = v_inf * (1.0 - fac * np.cos(2.0 * th))
+        v = -v_inf * fac * np.sin(2.0 * th)
+        blend = np.minimum(1.0, ((r - radius) / (4.0 * dx)) ** 2)
+        near = r <= radius + 4.0 * dx
+        u = np.where(near, v_inf * blend, u)
+        v = np.where(near, 0.0, v)
+        return u, v
+
+    xu = grid.x_min + np.arange(nx + 1) * dx
+    yu = grid.y_min + (np.arange(ny) + 0.5) * dy
+    Xu, Yu = np.meshgrid(xu, yu, indexing="xy")
+    u0, _ = fields(Xu, Yu)
+    xv = grid.x_min + (np.arange(nx) + 0.5) * dx
+    yv = grid.y_min + np.arange(ny + 1) * dy
+    Xv, Yv = np.meshgrid(xv, yv, indexing="xy")
+    _, v0 = fields(Xv, Yv)
+    u0 = u0 * (1.0 - np.asarray(mask_u))
+    v0 = v0 * (1.0 - np.asarray(mask_v))
+    return jnp.asarray(u0, jnp.float32), jnp.asarray(v0, jnp.float32)
+
+
 def apply_ibm(u, v, ibm_mask, strength):
     """Penalize velocity inside/near the body: q *= (1 − mask·strength).
 

@@ -131,3 +131,22 @@ def test_runner_compatible():
     # the tight div_threshold only holds because the MAC projection is exact
     assert report["stopped_reason"] == ""
     assert float(state.t) >= 0.3
+
+
+def test_cylinder_mac_healthy_with_exact_projection():
+    # face-sampled IBM + TVD + exact projection: divergence stays at
+    # solver precision even with penalization active
+    from cfdsim_tpu.cases import cylinder_mac
+
+    case = cylinder_mac(nx=96, ny=32, Re=100.0, ibm_ramp_steps=20,
+                        perturb_ramp_steps=20)
+    step = jax.jit(case.step)
+    s = case.state
+    for _ in range(80):
+        s, m = step(s, jnp.float32(1.0))
+    assert np.all(np.isfinite(np.asarray(s.u)))
+    assert float(m.div_post) < 1e-4
+    assert float(m.max_vel) < 3.0
+    # the solid core is (nearly) stagnant under full-strength penalization
+    core_u = np.asarray(s.u)[np.asarray(case.extras["ibm_mask_u"]) > 0.99]
+    assert np.abs(core_u).max() < 0.15
