@@ -117,7 +117,7 @@ def lid_cavity_mac(
     step = mac.make_step(cfg, bcs)
     state = mac.init_state(cfg)
     return Case("cavity_mac", cfg, step, state, grid,
-                {"lid_velocity": lid_velocity})
+                {"lid_velocity": lid_velocity, "bcs": bcs})
 
 
 def channel(
@@ -275,7 +275,7 @@ def cavity_stretched(
     grid = Grid(nx=n, ny=n, centering="cell")  # nominal uniform descriptor
     return Case("cavity_stretched", cfg, step, state, grid,
                 {"x_faces": xf, "y_faces": yf, "beta": beta,
-                 "lid_velocity": lid_velocity})
+                 "lid_velocity": lid_velocity, "bcs": bcs})
 
 
 def cylinder_stretched(
@@ -350,7 +350,7 @@ def cylinder_stretched(
         "cylinder_stretched", cfg, step, state, grid,
         {"x_faces": xf, "y_faces": yf, "ibm_mask_u": mask_u,
          "ibm_mask_v": mask_v, "center": center, "radius": radius,
-         "h_near": h_near, "v_inf": v_inf},
+         "h_near": h_near, "v_inf": v_inf, "bcs": bcs},
     )
 
 
@@ -408,7 +408,7 @@ def cylinder_mac(
     return Case(
         "cylinder_mac", cfg, step, state, grid,
         {"ibm_mask_u": mask_u, "ibm_mask_v": mask_v, "center": center,
-         "radius": radius, "v_inf": v_inf},
+         "radius": radius, "v_inf": v_inf, "bcs": bcs},
     )
 
 
