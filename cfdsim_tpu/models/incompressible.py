@@ -54,7 +54,10 @@ class IncompressibleState(NamedTuple):
 
 class StepMetrics(NamedTuple):
     """Per-step diagnostics (the reference's log lines v5.py:410-435 as
-    device scalars, reduced on-chip)."""
+    device scalars, reduced on-chip). ``fx``/``fy`` are the hydrodynamic
+    force components on the immersed body (the momentum the penalization
+    removes from the fluid, per unit density) — 0 when no IBM body is
+    present; drag/lift coefficients = 2·f/(v∞²·D)."""
 
     dt: jax.Array
     div_pre: jax.Array  # max |div u*| before projection
@@ -63,6 +66,8 @@ class StepMetrics(NamedTuple):
     energy: jax.Array  # mean kinetic energy
     vort_max: jax.Array
     poisson_res: jax.Array
+    fx: jax.Array = jnp.float32(0.0)  # body drag force (per unit density)
+    fy: jax.Array = jnp.float32(0.0)  # body lift force
 
 
 @dataclasses.dataclass(frozen=True)
@@ -300,10 +305,17 @@ def make_step(
                 v_star = v_star + dt * forcing[1]
             u_star, v_star = bc_fn(u_star, v_star, state.step, state.t)
 
-        # --- IBM on the predictor (v5.py:405-407)
+        # --- IBM on the predictor (v5.py:405-407). The damped momentum is
+        # the penalization force on the body (drag/lift), accumulated over
+        # both IBM applications.
+        fx_sum = fy_sum = jnp.float32(0.0)
         if ibm_mask is not None:
             strength = ibm_ramp(state.step, cfg.ibm_ramp_steps)
+            u_pre, v_pre = u_star, v_star
             u_star, v_star = apply_ibm(u_star, v_star, ibm_mask, strength)
+            if cfg.compute_metrics:
+                fx_sum = fx_sum + jnp.sum(u_pre - u_star)
+                fy_sum = fy_sum + jnp.sum(v_pre - v_star)
 
         # --- pressure projection (v5.py:409-417)
         div_star = divergence(u_star, v_star, dx, dy)
@@ -323,7 +335,11 @@ def make_step(
             u_new, v_new = _cleanup_divergence(u_new, v_new, dx, dy, cfg.cleanup_iters)
         u_new, v_new = bc_fn(u_new, v_new, state.step, state.t)
         if ibm_mask is not None:
+            u_pre2, v_pre2 = u_new, v_new
             u_new, v_new = apply_ibm(u_new, v_new, ibm_mask, strength)
+            if cfg.compute_metrics:
+                fx_sum = fx_sum + jnp.sum(u_pre2 - u_new)
+                fy_sum = fy_sum + jnp.sum(v_pre2 - v_new)
 
         # --- clipping (v5.py:437-438)
         u_new = jnp.clip(u_new, -cfg.max_velocity, cfg.max_velocity)
@@ -358,6 +374,8 @@ def make_step(
                 poisson_res=poisson_residual(
                     phi, rhs, dx, dy, pois_mask, cfg.poisson.bc
                 ),
+                fx=fx_sum * (dx * dy) / dt,
+                fy=fy_sum * (dx * dy) / dt,
             )
         else:
             zero = jnp.float32(0.0)

@@ -347,12 +347,21 @@ def make_step(
             v_star = v_star + dt * forcing[1]
         u_star, v_star = bcs.set_normal(u_star, v_star, state.step, state.t)
 
+        fx = fy = jnp.float32(0.0)
         if ibm_mask_u is not None:
             from cfdsim_tpu.ibm import ibm_ramp
 
             strength = ibm_ramp(state.step, ibm_ramp_steps)
-            u_star = u_star * (1.0 - strength * ibm_mask_u)
-            v_star = v_star * (1.0 - strength * ibm_mask_v)
+            du_ibm = u_star * (strength * ibm_mask_u)
+            dv_ibm = v_star * (strength * ibm_mask_v)
+            u_star = u_star - du_ibm
+            v_star = v_star - dv_ibm
+            if cfg.compute_metrics:
+                # hydrodynamic force on the body = momentum sink of the
+                # penalization, per unit density: F = Σ Δu·dA / dt
+                cell = dx * dy
+                fx = jnp.sum(du_ibm) * cell / dt
+                fy = jnp.sum(dv_ibm) * cell / dt
 
         # --- exact projection: the MAC divergence/gradient pair is adjoint,
         # so ∇·(u* − dt∇φ) = ∇·u* − dt·L φ with L the clamped-edge 5-point
@@ -390,6 +399,8 @@ def make_step(
                 energy=jnp.mean(0.5 * (ucc * ucc + vcc * vcc)),
                 vort_max=jnp.max(jnp.abs(vort)),
                 poisson_res=poisson_residual(phi, rhs, dx, dy, None, "neumann"),
+                fx=fx,
+                fy=fy,
             )
         else:
             zero = jnp.float32(0.0)

@@ -275,12 +275,21 @@ def make_step(
         v_star = v.at[1:-1, :].add(dt * (cfg.nu * lap_v - conv_v))
         u_star, v_star = bcs.set_normal(u_star, v_star, state.step, state.t)
 
+        fx = fy = jnp.float32(0.0)
         if ibm_mask_u is not None:
             from cfdsim_tpu.ibm import ibm_ramp
 
             strength = ibm_ramp(state.step, ibm_ramp_steps)
-            u_star = u_star * (1.0 - strength * ibm_mask_u)
-            v_star = v_star * (1.0 - strength * ibm_mask_v)
+            du_ibm = u_star * (strength * ibm_mask_u)
+            dv_ibm = v_star * (strength * ibm_mask_v)
+            u_star = u_star - du_ibm
+            v_star = v_star - dv_ibm
+            if cfg.compute_metrics:
+                # momentum sink weighted by each face's control volume
+                area_u = f32(np.outer(my.h, mx.dfull))
+                area_v = f32(np.outer(my.dfull, mx.h))
+                fx = jnp.sum(du_ibm * area_u) / dt
+                fy = jnp.sum(dv_ibm * area_v) / dt
 
         div_star = divergence(u_star, v_star)
         phi = solve_p(div_star / dt)  # exact FDM solve (4 MXU matmuls)
@@ -315,6 +324,8 @@ def make_step(
                 energy=jnp.sum(w * 0.5 * (ucc * ucc + vcc * vcc)) / vol,
                 vort_max=jnp.max(jnp.abs(vort)),
                 poisson_res=jnp.float32(0.0),  # FDM is exact (fp32 matmuls)
+                fx=fx,
+                fy=fy,
             )
         else:
             zero = jnp.float32(0.0)
