@@ -695,6 +695,34 @@ def cavity3d(
     return Case("cavity3d", cfg, step, state, grid)
 
 
+def cavity3d_mac(
+    n: int = 64,
+    Re: float = 400.0,
+    lid_velocity: float = 1.0,
+    poisson=None,
+    **cfg_overrides,
+) -> Case:
+    """3D lid-driven cavity on the staggered MAC grid — exact 3D DCT
+    projection (divergence-free to fp32 roundoff), the 3D member of the
+    accuracy tier; same geometry as ``cavity3d`` (BASELINE config 5)."""
+    from cfdsim_tpu.grid import Grid3D
+    from cfdsim_tpu.models import mac3d
+    from cfdsim_tpu.solvers.poisson3d import Poisson3DConfig
+
+    grid = Grid3D(nx=n, ny=n, nz=n)
+    cfg = mac3d.MAC3DConfig(
+        grid=grid,
+        nu=lid_velocity / Re,
+        poisson=poisson or Poisson3DConfig(method="dct"),
+        max_velocity=5.0 * lid_velocity,
+        **cfg_overrides,
+    )
+    bcs = mac3d.cavity3d_bcs(lid_velocity)
+    step = mac3d.make_step(cfg, bcs)
+    state = mac3d.init_state(cfg)
+    return Case("cavity3d_mac", cfg, step, state, grid, {"bcs": bcs})
+
+
 CASES: dict[str, Callable[..., Case]] = {
     "cavity": lid_cavity,
     "cavity_mac": lid_cavity_mac,
@@ -708,6 +736,7 @@ CASES: dict[str, Callable[..., Case]] = {
     "kolmogorov": kolmogorov,
     "transport": transport,
     "cavity3d": cavity3d,
+    "cavity3d_mac": cavity3d_mac,
 }
 
 

@@ -1,0 +1,251 @@
+"""3D incompressible Navier–Stokes on a staggered (MAC) grid.
+
+The 3D member of the accuracy tier (models/mac.py is the 2D version): face
+velocities u (nz, ny, nx+1) / v (nz, ny+1, nx) / w (nz+1, ny, nx), cell
+pressures, exactly adjoint divergence/gradient pair, and the exact 3D DCT
+projection (``solvers/poisson3d.py`` method="dct") — divergence-free to
+fp32 roundoff, vs the collocated 3D module's approximate projection.
+Conservative central advection in divergence form; the six edge-centered
+flux interpolants are shared pairwise between the three momentum
+equations. Lid at z_hi moving in +x (the ``cavity3d`` convention,
+BASELINE config 5).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from cfdsim_tpu.grid import Grid3D
+from cfdsim_tpu.models.incompressible import StepMetrics
+from cfdsim_tpu.solvers.poisson3d import (
+    Poisson3DConfig,
+    solve_poisson_3d,
+)
+
+
+class MAC3DState(NamedTuple):
+    u: jax.Array  # (nz, ny, nx+1)
+    v: jax.Array  # (nz, ny+1, nx)
+    w: jax.Array  # (nz+1, ny, nx)
+    p: jax.Array  # (nz, ny, nx)
+    t: jax.Array
+    step: jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class MAC3DConfig:
+    grid: Grid3D
+    nu: float
+    poisson: Poisson3DConfig = Poisson3DConfig(method="dct")
+    adaptive_dt: bool = True
+    cfl_target: float = 0.4
+    dt_base: float = 1e-3
+    dt_min: float = 1e-7
+    dt_max: float = 1.0
+    max_velocity: float = 1e3
+    compute_metrics: bool = True
+
+
+def init_state(cfg: MAC3DConfig) -> MAC3DState:
+    g = cfg.grid
+    nz, ny, nx = g.nz, g.ny, g.nx
+    return MAC3DState(
+        u=jnp.zeros((nz, ny, nx + 1), jnp.float32),
+        v=jnp.zeros((nz, ny + 1, nx), jnp.float32),
+        w=jnp.zeros((nz + 1, ny, nx), jnp.float32),
+        p=jnp.zeros((nz, ny, nx), jnp.float32),
+        t=jnp.float32(0.0),
+        step=jnp.int32(0),
+    )
+
+
+class MAC3DBCs(NamedTuple):
+    """set_normal writes the boundary faces of each component;
+    ghosts(u, v, w) returns the six one-sided ghost extensions
+    (u_gy, u_gz, v_gx, v_gz, w_gx, w_gy), each padded by one layer in the
+    named direction with reflective tangential wall values."""
+
+    set_normal: Callable
+    ghosts: Callable
+
+
+def cavity3d_bcs(lid_velocity: float = 1.0) -> MAC3DBCs:
+    """Lid at z_hi moving in +x; no-slip on the other five faces
+    (parity: incompressible3d.lid_cavity3d_bcs)."""
+
+    def set_normal(u, v, w):
+        u = u.at[:, :, 0].set(0.0).at[:, :, -1].set(0.0)
+        v = v.at[:, 0, :].set(0.0).at[:, -1, :].set(0.0)
+        w = w.at[0].set(0.0).at[-1].set(0.0)
+        return u, v, w
+
+    def ghosts(u, v, w):
+        u_gy = jnp.concatenate([-u[:, :1], u, -u[:, -1:]], axis=1)
+        u_gz = jnp.concatenate(
+            [-u[:1], u, 2.0 * lid_velocity - u[-1:]], axis=0
+        )
+        v_gx = jnp.concatenate([-v[:, :, :1], v, -v[:, :, -1:]], axis=2)
+        v_gz = jnp.concatenate([-v[:1], v, -v[-1:]], axis=0)
+        w_gx = jnp.concatenate([-w[:, :, :1], w, -w[:, :, -1:]], axis=2)
+        w_gy = jnp.concatenate([-w[:, :1], w, -w[:, -1:]], axis=1)
+        return u_gy, u_gz, v_gx, v_gz, w_gx, w_gy
+
+    return MAC3DBCs(set_normal, ghosts)
+
+
+def divergence_mac3d(u, v, w, dx, dy, dz):
+    return (
+        (u[:, :, 1:] - u[:, :, :-1]) * (1.0 / dx)
+        + (v[:, 1:, :] - v[:, :-1, :]) * (1.0 / dy)
+        + (w[1:, :, :] - w[:-1, :, :]) * (1.0 / dz)
+    )
+
+
+def center_velocities_3d(u, v, w):
+    return (
+        0.5 * (u[:, :, :-1] + u[:, :, 1:]),
+        0.5 * (v[:, :-1, :] + v[:, 1:, :]),
+        0.5 * (w[:-1] + w[1:]),
+    )
+
+
+def make_step(cfg: MAC3DConfig, bcs: MAC3DBCs) -> Callable:
+    g = cfg.grid
+    dx, dy, dz = g.dx, g.dy, g.dz
+    h = min(dx, dy, dz)
+
+    def step(state: MAC3DState, cfl_scale):
+        u, v, w = bcs.set_normal(state.u, state.v, state.w)
+
+        if cfg.adaptive_dt:
+            vel_max = jnp.maximum(
+                jnp.maximum(jnp.max(jnp.abs(u)), jnp.max(jnp.abs(v))),
+                jnp.maximum(jnp.max(jnp.abs(w)), 1e-10),
+            )
+            dt_cfl = cfg.cfl_target * cfl_scale * h / vel_max
+            dt_visc = 0.125 * h * h / cfg.nu  # 3D bound h²/6ν with margin
+            dt = jnp.clip(
+                jnp.minimum(dt_cfl, dt_visc), cfg.dt_min, cfg.dt_max
+            ).astype(jnp.float32)
+        else:
+            dt = jnp.float32(cfg.dt_base)
+
+        u_gy, u_gz, v_gx, v_gz, w_gx, w_gy = bcs.ghosts(u, v, w)
+
+        # --- shared edge interpolants (each used by two momentum eqs)
+        u_y = 0.5 * (u_gy[:, :-1, :] + u_gy[:, 1:, :])  # (nz, ny+1, nx+1)
+        v_x = 0.5 * (v_gx[:, :, :-1] + v_gx[:, :, 1:])  # (nz, ny+1, nx+1)
+        u_z = 0.5 * (u_gz[:-1] + u_gz[1:])              # (nz+1, ny, nx+1)
+        w_x = 0.5 * (w_gx[:, :, :-1] + w_gx[:, :, 1:])  # (nz+1, ny, nx+1)
+        v_z = 0.5 * (v_gz[:-1] + v_gz[1:])              # (nz+1, ny+1, nx)
+        w_y = 0.5 * (w_gy[:, :-1, :] + w_gy[:, 1:, :])  # (nz+1, ny+1, nx)
+        uc, vc, wc = center_velocities_3d(u, v, w)
+
+        # --- conservative central fluxes
+        F_u = uc * uc
+        G_u = v_x * u_y
+        H_u = w_x * u_z
+        conv_u = (
+            (F_u[:, :, 1:] - F_u[:, :, :-1]) * (1.0 / dx)
+            + (G_u[:, 1:, 1:-1] - G_u[:, :-1, 1:-1]) * (1.0 / dy)
+            + (H_u[1:, :, 1:-1] - H_u[:-1, :, 1:-1]) * (1.0 / dz)
+        )
+        F_v = u_y * v_x
+        G_v = vc * vc
+        H_v = w_y * v_z
+        conv_v = (
+            (F_v[:, 1:-1, 1:] - F_v[:, 1:-1, :-1]) * (1.0 / dx)
+            + (G_v[:, 1:, :] - G_v[:, :-1, :]) * (1.0 / dy)
+            + (H_v[1:, 1:-1, :] - H_v[:-1, 1:-1, :]) * (1.0 / dz)
+        )
+        F_w = u_z * w_x
+        G_w = v_z * w_y
+        H_w = wc * wc
+        conv_w = (
+            (F_w[1:-1, :, 1:] - F_w[1:-1, :, :-1]) * (1.0 / dx)
+            + (G_w[1:-1, 1:, :] - G_w[1:-1, :-1, :]) * (1.0 / dy)
+            + (H_w[1:, :, :] - H_w[:-1, :, :]) * (1.0 / dz)
+        )
+
+        # --- diffusion (7-point, interior faces)
+        ax, ay, az = 1.0 / dx**2, 1.0 / dy**2, 1.0 / dz**2
+
+        def lap_u():
+            d2x = (u[:, :, 2:] - 2 * u[:, :, 1:-1] + u[:, :, :-2]) * ax
+            d2y = (u_gy[:, 2:, 1:-1] - 2 * u[:, :, 1:-1] + u_gy[:, :-2, 1:-1]) * ay
+            d2z = (u_gz[2:, :, 1:-1] - 2 * u[:, :, 1:-1] + u_gz[:-2, :, 1:-1]) * az
+            return d2x + d2y + d2z
+
+        def lap_v():
+            d2x = (v_gx[:, 1:-1, 2:] - 2 * v[:, 1:-1, :] + v_gx[:, 1:-1, :-2]) * ax
+            d2y = (v[:, 2:, :] - 2 * v[:, 1:-1, :] + v[:, :-2, :]) * ay
+            d2z = (v_gz[2:, 1:-1, :] - 2 * v[:, 1:-1, :] + v_gz[:-2, 1:-1, :]) * az
+            return d2x + d2y + d2z
+
+        def lap_w():
+            d2x = (w_gx[1:-1, :, 2:] - 2 * w[1:-1] + w_gx[1:-1, :, :-2]) * ax
+            d2y = (w_gy[1:-1, 2:, :] - 2 * w[1:-1] + w_gy[1:-1, :-2, :]) * ay
+            d2z = (w[2:] - 2 * w[1:-1] + w[:-2]) * az
+            return d2x + d2y + d2z
+
+        u_star = u.at[:, :, 1:-1].add(dt * (cfg.nu * lap_u() - conv_u))
+        v_star = v.at[:, 1:-1, :].add(dt * (cfg.nu * lap_v() - conv_v))
+        w_star = w.at[1:-1].add(dt * (cfg.nu * lap_w() - conv_w))
+        u_star, v_star, w_star = bcs.set_normal(u_star, v_star, w_star)
+
+        # --- exact projection
+        div_star = divergence_mac3d(u_star, v_star, w_star, dx, dy, dz)
+        rhs = div_star / dt
+        if cfg.poisson.method != "dct":
+            rhs = rhs - jnp.mean(rhs)
+        phi = solve_poisson_3d(state.p, rhs, dx, dy, dz, cfg.poisson)
+        u_new = u_star.at[:, :, 1:-1].add(
+            -dt * (phi[:, :, 1:] - phi[:, :, :-1]) * (1.0 / dx)
+        )
+        v_new = v_star.at[:, 1:-1, :].add(
+            -dt * (phi[:, 1:, :] - phi[:, :-1, :]) * (1.0 / dy)
+        )
+        w_new = w_star.at[1:-1].add(
+            -dt * (phi[1:] - phi[:-1]) * (1.0 / dz)
+        )
+        u_new, v_new, w_new = bcs.set_normal(u_new, v_new, w_new)
+        u_new = jnp.clip(u_new, -cfg.max_velocity, cfg.max_velocity)
+        v_new = jnp.clip(v_new, -cfg.max_velocity, cfg.max_velocity)
+        w_new = jnp.clip(w_new, -cfg.max_velocity, cfg.max_velocity)
+
+        new_state = MAC3DState(
+            u=u_new, v=v_new, w=w_new, p=phi,
+            t=state.t + dt, step=state.step + 1,
+        )
+
+        if cfg.compute_metrics:
+            div_post = divergence_mac3d(u_new, v_new, w_new, dx, dy, dz)
+            ucc, vcc, wcc = center_velocities_3d(u_new, v_new, w_new)
+            # ω_x at interior (z-face, y-face) edges — one representative
+            # vorticity component as the rotation diagnostic
+            dwdy = ((w_new[:, 1:, :] - w_new[:, :-1, :]) * (1.0 / dy))[1:-1]
+            dvdz = ((v_new[1:] - v_new[:-1]) * (1.0 / dz))[:, 1:-1, :]
+            metrics = StepMetrics(
+                dt=dt,
+                div_pre=jnp.max(jnp.abs(div_star)),
+                div_post=jnp.max(jnp.abs(div_post)),
+                max_vel=jnp.maximum(
+                    jnp.maximum(jnp.max(jnp.abs(u_new)), jnp.max(jnp.abs(v_new))),
+                    jnp.max(jnp.abs(w_new)),
+                ),
+                energy=jnp.mean(
+                    0.5 * (ucc * ucc + vcc * vcc + wcc * wcc)
+                ),
+                vort_max=jnp.max(jnp.abs(dwdy - dvdz)),
+                poisson_res=jnp.float32(0.0),
+            )
+        else:
+            zero = jnp.float32(0.0)
+            metrics = StepMetrics(dt, zero, zero, zero, zero, zero, zero)
+        return new_state, metrics
+
+    return step
