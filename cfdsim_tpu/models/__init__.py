@@ -9,7 +9,16 @@ from cfdsim_tpu.models.incompressible import (
     make_step,
 )
 
+from cfdsim_tpu.models.mac import MACConfig, MACState
+from cfdsim_tpu.models.mac_stretched import StretchedMACConfig
+from cfdsim_tpu.models.mac3d import MAC3DConfig, MAC3DState
+
 __all__ = [
+    "MACConfig",
+    "MACState",
+    "StretchedMACConfig",
+    "MAC3DConfig",
+    "MAC3DState",
     "IncompressibleConfig",
     "IncompressibleState",
     "StepMetrics",

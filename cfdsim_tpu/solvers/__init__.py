@@ -6,6 +6,8 @@ from cfdsim_tpu.solvers.poisson import (
     solve_poisson,
 )
 from cfdsim_tpu.solvers.poisson3d import Poisson3DConfig, solve_poisson_3d
+from cfdsim_tpu.solvers.helmholtz import solve_helmholtz_dirichlet
+from cfdsim_tpu.solvers.fdm import make_fdm_solver
 from cfdsim_tpu.solvers.riemann import (
     FLUXES,
     cons_to_prim,
@@ -22,6 +24,8 @@ __all__ = [
     "solve_poisson",
     "Poisson3DConfig",
     "solve_poisson_3d",
+    "solve_helmholtz_dirichlet",
+    "make_fdm_solver",
     "FLUXES",
     "cons_to_prim",
     "prim_to_cons",

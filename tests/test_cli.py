@@ -57,3 +57,35 @@ def test_unknown_case_errors():
     r = _cli("run", "definitely_not_a_case", "--t-final", "0.1")
     assert r.returncode != 0
     assert "unknown case" in (r.stderr + r.stdout)
+
+
+def test_every_registered_case_builds_and_steps():
+    # the registry contract: every named case builds with tiny shapes and
+    # advances one step with finite state
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cfdsim_tpu.cases import CASES, build
+
+    tiny = {
+        "cavity": dict(n=16),
+        "cavity_mac": dict(n=16),
+        "cavity_stretched": dict(n=16),
+        "channel": dict(nx=32, ny=16),
+        "cylinder": dict(nx=48, ny=24),
+        "cylinder_mac": dict(nx=48, ny=16),
+        "cylinder_stretched": dict(nx=48, ny=24),
+        "wedge": dict(nx=40, ny=20),
+        "cavity_supersonic": dict(nx=40, ny=16),
+        "kolmogorov": dict(ny=18),
+        "transport": dict(n=16),
+        "cavity3d": dict(n=8),
+        "cavity3d_mac": dict(n=8),
+    }
+    assert set(tiny) == set(CASES), "update the tiny-shape table"
+    for name, kw in tiny.items():
+        case = build(name, **kw)
+        state, metrics = jax.jit(case.step)(case.state, jnp.float32(1.0))
+        leaves = jax.tree_util.tree_leaves(state)
+        assert all(np.all(np.isfinite(np.asarray(x))) for x in leaves), name
