@@ -127,3 +127,33 @@ def test_snapshot_writer_skips_duplicates(tmp_path):
     fields, t = load_step(tmp_path / "d.h5", 0)
     assert t == 0.0
     np.testing.assert_allclose(fields["u"], 1.0)
+
+
+def test_mac_runner_snapshot_restore_roundtrip(tmp_path):
+    # the MAC and 3D-MAC states ride the same runner/io contract: snapshot
+    # mid-run, restore, continue bit-exactly
+    import jax
+
+    from cfdsim_tpu.cases import cavity3d_mac, lid_cavity_mac
+    from cfdsim_tpu.io_ import restore
+
+    for case in (lid_cavity_mac(n=24, Re=100.0), cavity3d_mac(n=8, Re=100.0)):
+        step = jax.jit(case.step)
+        s = case.state
+        for _ in range(8):
+            s, _ = step(s, jnp.float32(1.0))
+        w = SnapshotWriter(tmp_path / f"{case.name}.h5")
+        fields = {k: getattr(s, k) for k in s._fields
+                  if hasattr(getattr(s, k), "ndim") and getattr(s, k).ndim >= 2}
+        w.save(int(s.step), float(s.t), **fields)
+        s_cont = s
+        for _ in range(4):
+            s_cont, _ = step(s_cont, jnp.float32(1.0))
+        s_res = restore(case.state, tmp_path / f"{case.name}.h5")
+        for _ in range(4):
+            s_res, _ = step(s_res, jnp.float32(1.0))
+        for k in fields:
+            np.testing.assert_array_equal(
+                np.asarray(getattr(s_cont, k)), np.asarray(getattr(s_res, k)),
+                err_msg=f"{case.name}.{k}",
+            )
