@@ -108,6 +108,34 @@ def cavity_centerline_profiles(u, v):
     return u_c, v_c
 
 
+def energy_spectrum(u, v, lx: float = 1.0, ly: float = 1.0, n_bins=None):
+    """Radially binned kinetic-energy spectrum E(k) of a periodic 2D
+    velocity field (the turbulence diagnostic for the Kolmogorov solver;
+    the reference only eyeballs vorticity frames, SURVEY.md §4).
+
+    Returns (k_centers, E): Σ_bins E·Δk equals the mean kinetic energy
+    (Parseval). k is the angular wavenumber magnitude."""
+    u = np.asarray(u, np.float64)
+    v = np.asarray(v, np.float64)
+    ny, nx = u.shape
+    uh = np.fft.fft2(u) / (nx * ny)
+    vh = np.fft.fft2(v) / (nx * ny)
+    e_modes = 0.5 * (np.abs(uh) ** 2 + np.abs(vh) ** 2)  # per-mode energy
+    kx = 2.0 * np.pi * np.fft.fftfreq(nx, d=lx / nx)
+    ky = 2.0 * np.pi * np.fft.fftfreq(ny, d=ly / ny)
+    kmag = np.sqrt(kx[None, :] ** 2 + ky[:, None] ** 2)
+    if n_bins is None:
+        n_bins = min(nx, ny) // 2
+    k_max = min(np.abs(kx).max(), np.abs(ky).max())
+    edges = np.linspace(0.0, k_max, n_bins + 1)
+    dk = edges[1] - edges[0]
+    which = np.digitize(kmag.ravel(), edges) - 1
+    E = np.zeros(n_bins)
+    for b in range(n_bins):
+        E[b] = e_modes.ravel()[which == b].sum() / dk
+    return 0.5 * (edges[:-1] + edges[1:]), E
+
+
 def dominant_frequency(signal, sample_dt: float) -> float:
     """Frequency (Hz) of the strongest non-DC component of a time series."""
     s = np.asarray(signal, dtype=np.float64)

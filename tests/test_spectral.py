@@ -96,3 +96,36 @@ def test_reference_parity_wavenumbers_run():
     state = spec.init_state(cfg)
     state, m = _run(step, state, 50)
     assert bool(jnp.all(jnp.isfinite(state.u)))
+
+
+def test_energy_spectrum_parseval_and_peak():
+    # validation.energy_spectrum: Parseval closure and correct peak k for
+    # a single-mode field
+    from cfdsim_tpu.validation import energy_spectrum
+
+    n = 96
+    x = np.linspace(0, 1, n, endpoint=False)
+    X, Y = np.meshgrid(x, x, indexing="xy")
+    k0 = 6  # cycles across the unit box -> angular wavenumber 2*pi*6
+    u = np.sin(2 * np.pi * k0 * Y)
+    v = np.cos(2 * np.pi * k0 * X)
+    k, E = energy_spectrum(u, v, 1.0, 1.0)
+    dk = k[1] - k[0]
+    total = (E * dk).sum()
+    mean_ke = 0.5 * (u**2 + v**2).mean()
+    assert abs(total - mean_ke) < 0.05 * mean_ke
+    assert abs(k[np.argmax(E)] - 2 * np.pi * k0) < 2 * dk
+
+
+def test_kolmogorov_spectrum_decays_at_high_k():
+    # developed Kolmogorov flow: energy concentrated at/below the forcing
+    # band, decaying toward the grid scale (spectrum sanity, SURVEY.md §4)
+    from cfdsim_tpu.validation import energy_spectrum
+
+    case = kolmogorov(ny=96, aspect=1.0, nu=2e-3, dt=0.01)
+    state, _ = _run(case.step, case.state, 300)
+    k, E = energy_spectrum(np.asarray(state.u), np.asarray(state.v),
+                           case.cfg.lx, 1.0)
+    lo = E[(k > 0) & (k < 2 * np.pi * 12)].sum()
+    hi = E[k > 2 * np.pi * 30].sum()
+    assert lo > 10.0 * hi, (lo, hi)
