@@ -723,6 +723,66 @@ def cavity3d_mac(
     return Case("cavity3d_mac", cfg, step, state, grid, {"bcs": bcs})
 
 
+def blast3d(
+    n: int = 64,
+    gamma: float = 1.4,
+    p_ratio: float = 10.0,
+    r0: float = 0.15,
+    flux: str = "hllc",
+    reconstruction: str = "muscl",
+    cfl: float = 0.3,
+    **cfg_overrides,
+) -> Case:
+    """3D spherical blast in a closed reflective box — the 3D compressible
+    demo (the reference's shock family is 2D only): a high-pressure sphere
+    of radius ``r0`` at the box center drives an expanding spherical shock.
+    Axis-isotropy of the dimension-split solver is testable by comparing
+    the three axis profiles through the center."""
+    import numpy as np
+
+    from cfdsim_tpu.grid import Grid3D
+    from cfdsim_tpu.models import compressible3d as c3
+
+    grid = Grid3D(nx=n, ny=n, nz=n)
+    cfg = c3.Compressible3DConfig(
+        grid=grid, gamma=gamma, flux=flux, reconstruction=reconstruction,
+        cfl=cfl, **cfg_overrides,
+    )
+    h = 1.0 / n
+    c = (np.arange(n) + 0.5) * h
+    Z, Y, X = np.meshgrid(c, c, c, indexing="ij")
+    r = np.sqrt((X - 0.5) ** 2 + (Y - 0.5) ** 2 + (Z - 0.5) ** 2)
+    p0 = np.where(r <= r0, p_ratio, 1.0).astype(np.float32)
+    rho0 = np.ones_like(p0)
+    zero = np.zeros_like(p0)
+    U0 = c3.prim_to_cons_3d(
+        jnp.asarray(rho0), jnp.asarray(zero), jnp.asarray(zero),
+        jnp.asarray(zero), jnp.asarray(p0), gamma,
+    )
+
+    def bc(U, step, t):
+        # reflective on all six faces: copy the adjacent interior layer
+        # and flip the normal momentum
+        for arr_axis, mom in ((1, 3), (2, 2), (3, 1)):  # z,y,x → ρw,ρv,ρu
+            lo_src = jax.lax.slice_in_dim(U, 1, 2, axis=arr_axis)
+            hi_src = jax.lax.slice_in_dim(
+                U, U.shape[arr_axis] - 2, U.shape[arr_axis] - 1, axis=arr_axis
+            )
+            lo = lo_src.at[mom].mul(-1.0)
+            hi = hi_src.at[mom].mul(-1.0)
+            mid = jax.lax.slice_in_dim(
+                U, 1, U.shape[arr_axis] - 1, axis=arr_axis
+            )
+            U = jnp.concatenate([lo, mid, hi], axis=arr_axis)
+        return U
+
+    import jax
+
+    step = c3.make_step(cfg, bc)
+    state = c3.init_state(cfg, U0)
+    return Case("blast3d", cfg, step, state, grid, {"r0": r0, "p_ratio": p_ratio})
+
+
 CASES: dict[str, Callable[..., Case]] = {
     "cavity": lid_cavity,
     "cavity_mac": lid_cavity_mac,
@@ -737,6 +797,7 @@ CASES: dict[str, Callable[..., Case]] = {
     "transport": transport,
     "cavity3d": cavity3d,
     "cavity3d_mac": cavity3d_mac,
+    "blast3d": blast3d,
 }
 
 

@@ -254,3 +254,94 @@ FLUXES = {
     "roe": roe_flux,
     "roe_ref": roe_ref_flux,
 }
+
+
+# ---------------------------------------------------------------------------
+# dimension-generic solvers (any number of velocity components) — the 3D
+# extension the reference never had; the 2D solvers above stay untouched
+# for parity, and the *_nd versions are tested to match them exactly in 2D
+# ---------------------------------------------------------------------------
+
+def cons_to_prim_nd(U, gamma: float, eps: float = 1e-8, max_val: float = 1e3):
+    """Primitive recovery for U = (ρ, ρu_1..ρu_d, ρE): (ρ, [u_i], p)."""
+    nv = U.shape[0] - 2
+    rho = jnp.maximum(U[0], eps)
+    inv = 1.0 / rho
+    vels = [jnp.clip(U[1 + i] * inv, -max_val, max_val) for i in range(nv)]
+    E = jnp.clip(U[-1] * inv, eps, max_val)
+    ke = sum(w * w for w in vels) * 0.5
+    p = jnp.maximum((gamma - 1.0) * rho * (E - ke), eps)
+    return rho, vels, p
+
+
+def euler_flux_nd(U, gamma: float, vaxis: int, eps: float = 1e-8,
+                  max_val: float = 1e3):
+    """Physical flux along velocity component ``vaxis`` (0-based)."""
+    rho, vels, p = cons_to_prim_nd(U, gamma, eps, max_val)
+    E = jnp.clip(U[-1] / rho, eps, max_val)
+    q = vels[vaxis]
+    comps = [rho * q]
+    for i, w in enumerate(vels):
+        comps.append(rho * w * q + (p if i == vaxis else 0.0))
+    comps.append(rho * q * (E + p / rho))
+    return jnp.stack(comps)
+
+
+def rusanov_flux_nd(UL, UR, gamma: float, vaxis: int, eps: float = 1e-8,
+                    max_val: float = 1e3):
+    rL, vL, pL = cons_to_prim_nd(UL, gamma, eps, max_val)
+    rR, vR, pR = cons_to_prim_nd(UR, gamma, eps, max_val)
+    aL = sound_speed(rL, pL, gamma, eps)
+    aR = sound_speed(rR, pR, gamma, eps)
+    lam = jnp.maximum(jnp.abs(vL[vaxis]) + aL, jnp.abs(vR[vaxis]) + aR)
+    FL = euler_flux_nd(UL, gamma, vaxis, eps, max_val)
+    FR = euler_flux_nd(UR, gamma, vaxis, eps, max_val)
+    return 0.5 * (FL + FR) - 0.5 * lam[None] * (UR - UL)
+
+
+def hllc_flux_nd(UL, UR, gamma: float, vaxis: int, eps: float = 1e-8,
+                 max_val: float = 1e3):
+    """HLLC with star states for any velocity dimension: the normal
+    component jumps to s_M in the star region, tangentials are advected
+    (same structure as the validated 2D ``hllc_flux``)."""
+    rL, vL, pL = cons_to_prim_nd(UL, gamma, eps, max_val)
+    rR, vR, pR = cons_to_prim_nd(UR, gamma, eps, max_val)
+    EL = jnp.clip(UL[-1] / jnp.maximum(UL[0], eps), eps, max_val)
+    ER = jnp.clip(UR[-1] / jnp.maximum(UR[0], eps), eps, max_val)
+    qL, qR = vL[vaxis], vR[vaxis]
+    aL = sound_speed(rL, pL, gamma, eps)
+    aR = sound_speed(rR, pR, gamma, eps)
+    sL = jnp.minimum(qL - aL, qR - aR)
+    sR = jnp.maximum(qL + aL, qR + aR)
+    sM = (rR * qR * (sR - qR) - rL * qL * (sL - qL) + pL - pR) / (
+        rR * (sR - qR) - rL * (sL - qL) + eps
+    )
+    FL = euler_flux_nd(UL, gamma, vaxis, eps, max_val)
+    FR = euler_flux_nd(UR, gamma, vaxis, eps, max_val)
+
+    def star(rho, q, s, E, p, vels):
+        coef = rho * (s - q) / (s - sM + eps)
+        p_star = rho * (q - s) * (q - sM) + p
+        e_star = E + (p_star * sM - p * q) / (rho * (s - q) + eps)
+        comps = [coef]
+        for i, w in enumerate(vels):
+            comps.append(coef * (sM if i == vaxis else w))
+        comps.append(coef * e_star)
+        return jnp.stack(comps)
+
+    UsL = star(rL, qL, sL, EL, pL, vL)
+    UsR = star(rR, qR, sR, ER, pR, vR)
+    F_star_L = FL + sL[None] * (UsL - UL)
+    F_star_R = FR + sR[None] * (UsR - UR)
+    return jnp.where(
+        (sL >= 0)[None],
+        FL,
+        jnp.where(
+            (sR <= 0)[None],
+            FR,
+            jnp.where((sM >= 0)[None], F_star_L, F_star_R),
+        ),
+    )
+
+
+FLUXES_ND = {"rusanov": rusanov_flux_nd, "hllc": hllc_flux_nd}
