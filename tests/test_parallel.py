@@ -221,3 +221,29 @@ def test_stretched_mac_sharded_runs():
     assert len(t.u.sharding.device_set) == 8
     assert bool(jnp.all(jnp.isfinite(t.u)))
     assert float(m.div_post) < 1e-3
+
+
+def test_compressible3d_sharded_matches_single_device():
+    # the 3D FV state (5, nz, ny, nx) decomposes evenly over the (y, x)
+    # mesh; GSPMD inserts the halo collectives for the dimension-split
+    # flux sweeps
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from cfdsim_tpu.cases import blast3d
+    from cfdsim_tpu.parallel.mesh import make_grid_mesh
+
+    mesh = make_grid_mesh(8, topology=(2, 4))
+    case = blast3d(n=16)
+    step = jax.jit(case.step)
+    ref = case.state
+    sh = case.state._replace(
+        U=jax.device_put(case.state.U,
+                         NamedSharding(mesh, P(None, None, "y", "x")))
+    )
+    for _ in range(5):
+        ref, _ = step(ref, jnp.float32(1.0))
+        sh, m = step(sh, jnp.float32(1.0))
+    assert len(sh.U.sharding.device_set) == 8
+    np.testing.assert_allclose(np.asarray(sh.U), np.asarray(ref.U),
+                               rtol=1e-4, atol=1e-5)
