@@ -21,11 +21,12 @@ full Chorin projection step runs on local blocks:
 
 The step is option-for-option equal to ``models.incompressible.make_step``
 — every scheme (central/upwind/tvd/supg/supg_refparity), LES, implicit
-(Jacobi) diffusion, divergence cleanup, IBM damping, masked Poisson, and
-the full metrics set including vort_max and poisson_res — and matches the
-single-device step exactly (verified in tests/test_explicit_step.py).
-The only make_step option without an explicit-comm counterpart is
-``implicit_solver="dst"`` (a global transform; use the GSPMD path for it).
+diffusion (both the damped-Jacobi path and the exact DST Helmholtz, the
+latter via the pencil-decomposed distributed transform in
+``parallel/transforms.py``), divergence cleanup, IBM damping, masked
+Poisson, and the full metrics set including vort_max and poisson_res —
+and matches the single-device step exactly (verified in
+tests/test_explicit_step.py).
 """
 
 from __future__ import annotations
@@ -87,11 +88,6 @@ def make_explicit_step(
     - ``y_b``: P("y")-sharded global y-coordinate vector (``needs_y``)
     - ``fluid_b``: P("y","x")-sharded fluid mask (``cfg.masked_poisson``)
     """
-    if cfg.diffusion == "implicit" and cfg.implicit_solver == "dst":
-        raise ValueError(
-            "the explicit shard_map path has no distributed DST; use "
-            "implicit_solver='jacobi' or the GSPMD make_sharded_step"
-        )
     g = cfg.grid
     dx, dy = g.dx, g.dy
     ax, ay = 1.0 / (dx * dx), 1.0 / (dy * dy)
@@ -235,7 +231,30 @@ def make_explicit_step(
             raise ValueError(f"unknown scheme {cfg.scheme!r}")
 
         # --- diffusion + predictor (v5.py:400-403)
-        if cfg.diffusion == "implicit":
+        use_dst = cfg.diffusion == "implicit" and (
+            cfg.implicit_solver == "dst"
+            or (cfg.implicit_solver == "auto" and not cfg.use_les)
+        )
+        if use_dst:
+            # exact distributed Dirichlet Helmholtz: pencil-decomposed
+            # DST-I over the mesh (parallel/transforms.py) — the same
+            # dispatch the single-device step makes (incompressible.py
+            # implicit_solver="dst"/"auto")
+            from cfdsim_tpu.parallel.transforms import dst_helmholtz_local
+
+            if cfg.use_les:
+                raise ValueError(
+                    "implicit_solver='dst' needs scalar viscosity; "
+                    "use 'jacobi' with LES"
+                )
+            bu = u - dt * conv_u
+            bv = v - dt * conv_v
+            coeff = dt * (cfg.nu + cfg.artificial_viscosity)
+            bu, bv = bc(bu, bv)
+            u_star = dst_helmholtz_local(bu, coeff, dx, dy, py, px)
+            v_star = dst_helmholtz_local(bv, coeff, dx, dy, py, px)
+            u_star, v_star = bc(u_star, v_star)
+        elif cfg.diffusion == "implicit":
             bu = u - dt * conv_u
             bv = v - dt * conv_v
             coeff = dt * nu_eff

@@ -189,14 +189,17 @@ def test_explicit_cleanup_and_masked_poisson_cylinder_matches():
     )
 
 
-def test_explicit_dst_rejected():
+def test_explicit_implicit_dst_cavity_matches():
+    # the exact DST Helmholtz now distributes via the pencil-decomposed
+    # transforms (parallel/transforms.py) — full make_step option parity
     mesh = make_grid_mesh(8, topology=(2, 4))
     case = lid_cavity(
-        n=32, Re=100.0, diffusion="implicit", implicit_solver="dst",
-        poisson=PoissonConfig(method="rbsor", iters=10),
+        n=32, Re=100.0, scheme="central", diffusion="implicit",
+        implicit_solver="dst",
+        poisson=PoissonConfig(method="rbsor", iters=25, omega=1.7),
     )
-    with pytest.raises(ValueError, match="DST"):
-        make_cavity_explicit_step(case.cfg, mesh)
+    step_ex = make_cavity_explicit_step(case.cfg, mesh)
+    _equality_check(case, step_ex, mesh=mesh)
 
 
 def test_explicit_runner_soak_with_snapshots(tmp_path):
