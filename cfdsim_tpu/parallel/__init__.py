@@ -16,6 +16,21 @@ Two complementary paths:
 from cfdsim_tpu.parallel.mesh import make_grid_mesh, field_sharding
 from cfdsim_tpu.parallel.halo import halo_exchange
 from cfdsim_tpu.parallel.sharded import shard_state, make_sharded_step
+from cfdsim_tpu.parallel.mac_explicit import (
+    make_cavity_mac_explicit_step,
+    make_cylinder_mac_explicit_step,
+    make_mac_explicit_step,
+    trim_face_masks,
+)
+from cfdsim_tpu.parallel.mac_sharded import (
+    shard_trimmed_state,
+    trim_state,
+    untrim_state,
+)
+from cfdsim_tpu.parallel.transforms import (
+    dct_poisson_local,
+    dst_helmholtz_local,
+)
 
 __all__ = [
     "make_grid_mesh",
@@ -23,4 +38,13 @@ __all__ = [
     "halo_exchange",
     "shard_state",
     "make_sharded_step",
+    "make_mac_explicit_step",
+    "make_cavity_mac_explicit_step",
+    "make_cylinder_mac_explicit_step",
+    "trim_face_masks",
+    "trim_state",
+    "untrim_state",
+    "shard_trimmed_state",
+    "dct_poisson_local",
+    "dst_helmholtz_local",
 ]
