@@ -709,7 +709,10 @@ def cavity3d_mac(
     from cfdsim_tpu.models import mac3d
     from cfdsim_tpu.solvers.poisson3d import Poisson3DConfig
 
-    grid = Grid3D(nx=n, ny=n, nz=n)
+    # cell centering: the MAC arrays hold n CELLS per axis, so dx must be
+    # 1/n for the cavity to be exactly [0,1]³ (node centering would make
+    # the domain n/(n−1) wide — fixed round 2)
+    grid = Grid3D(nx=n, ny=n, nz=n, centering="cell")
     cfg = mac3d.MAC3DConfig(
         grid=grid,
         nu=lid_velocity / Re,
@@ -721,6 +724,43 @@ def cavity3d_mac(
     step = mac3d.make_step(cfg, bcs)
     state = mac3d.init_state(cfg)
     return Case("cavity3d_mac", cfg, step, state, grid, {"bcs": bcs})
+
+
+def cavity3d_stretched(
+    n: int = 48,
+    Re: float = 400.0,
+    lid_velocity: float = 1.0,
+    beta: float = 1.5,
+    **cfg_overrides,
+) -> Case:
+    """3D lid-driven cavity on a tanh wall-clustered stretched MAC grid
+    with the exact 3D fast-diagonalization (MXU matmul) pressure solve —
+    the 3D member of the stretched tier (cavity_stretched is 2D); lid at
+    z_hi moving in +x as in cavity3d (BASELINE config 5)."""
+    from cfdsim_tpu.grid import Grid3D
+    from cfdsim_tpu.models import mac_stretched3d as ms3
+    from cfdsim_tpu.models.mac_stretched import wall_clustered_faces
+
+    xf = wall_clustered_faces(n, 1.0, beta=beta)
+    yf = wall_clustered_faces(n, 1.0, beta=beta)
+    zf = wall_clustered_faces(n, 1.0, beta=beta)
+    h_min = float((xf[1:] - xf[:-1]).min())
+    defaults = dict(
+        cfl_target=0.4,
+        dt_max=0.4 * h_min / max(lid_velocity, 1e-10),
+        max_velocity=5.0 * lid_velocity,
+    )
+    defaults.update(cfg_overrides)
+    cfg = ms3.StretchedMAC3DConfig(
+        nx=n, ny=n, nz=n, nu=lid_velocity / Re, **defaults
+    )
+    bcs = ms3.cavity3d_bcs(lid_velocity)
+    step = ms3.make_step(cfg, bcs, xf, yf, zf)
+    state = ms3.init_state(cfg)
+    grid = Grid3D(nx=n, ny=n, nz=n)  # nominal uniform descriptor
+    return Case("cavity3d_stretched", cfg, step, state, grid,
+                {"x_faces": xf, "y_faces": yf, "z_faces": zf, "beta": beta,
+                 "lid_velocity": lid_velocity, "bcs": bcs})
 
 
 def blast3d(
@@ -797,6 +837,7 @@ CASES: dict[str, Callable[..., Case]] = {
     "transport": transport,
     "cavity3d": cavity3d,
     "cavity3d_mac": cavity3d_mac,
+    "cavity3d_stretched": cavity3d_stretched,
     "blast3d": blast3d,
 }
 

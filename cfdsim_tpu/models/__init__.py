@@ -11,6 +11,7 @@ from cfdsim_tpu.models.incompressible import (
 
 from cfdsim_tpu.models.mac import MACConfig, MACState
 from cfdsim_tpu.models.mac_stretched import StretchedMACConfig
+from cfdsim_tpu.models.mac_stretched3d import StretchedMAC3DConfig
 from cfdsim_tpu.models.mac3d import MAC3DConfig, MAC3DState
 
 __all__ = [

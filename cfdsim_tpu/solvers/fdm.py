@@ -81,3 +81,39 @@ def make_fdm_solver(hx, hy, nullspace_tol: float = 1e-10):
         return (Vy_c @ qhat @ VxT_c).astype(rhs.dtype)
 
     return solve
+
+
+def make_fdm_solver_3d(hx, hy, hz, nullspace_tol: float = 1e-10):
+    """3D fast-diagonalization Neumann Poisson solver on a stretched
+    cell-centered grid: L = Lz ⊕ Ly ⊕ Lx, solved by six dense eigenbasis
+    matmuls (MXU) + one elementwise spectral division — the 3D analog of
+    ``make_fdm_solver`` and the stretched analog of the 3D DCT solve
+    (solvers/poisson3d.py)."""
+    hx = np.asarray(hx, np.float64)
+    hy = np.asarray(hy, np.float64)
+    hz = np.asarray(hz, np.float64)
+    lx, Vx, Vxi = _eig_similar_symmetric(neumann_operator_1d(hx), hx)
+    ly, Vy, Vyi = _eig_similar_symmetric(neumann_operator_1d(hy), hy)
+    lz, Vz, Vzi = _eig_similar_symmetric(neumann_operator_1d(hz), hz)
+    lam = lz[:, None, None] + ly[None, :, None] + lx[None, None, :]
+    scale = max(np.abs(lam).max(), 1.0)
+    inv_lam = np.where(np.abs(lam) < nullspace_tol * scale, 0.0, 1.0 / lam)
+
+    VxT_c = jnp.asarray(Vx.T, jnp.float32)
+    VxiT_c = jnp.asarray(Vxi.T, jnp.float32)
+    Vy_c = jnp.asarray(Vy, jnp.float32)
+    Vyi_c = jnp.asarray(Vyi, jnp.float32)
+    Vz_c = jnp.asarray(Vz, jnp.float32)
+    Vzi_c = jnp.asarray(Vzi, jnp.float32)
+    inv_lam_c = jnp.asarray(inv_lam, jnp.float32)
+
+    def solve(rhs):
+        t = rhs @ VxiT_c                                   # x-transform
+        t = jnp.einsum("ab,zbx->zax", Vyi_c, t)            # y-transform
+        t = jnp.einsum("ab,byx->ayx", Vzi_c, t)            # z-transform
+        t = t * inv_lam_c
+        t = jnp.einsum("ab,byx->ayx", Vz_c, t)
+        t = jnp.einsum("ab,zbx->zax", Vy_c, t)
+        return (t @ VxT_c).astype(rhs.dtype)
+
+    return solve
