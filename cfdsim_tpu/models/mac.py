@@ -126,6 +126,31 @@ def cavity_bcs(lid_velocity: float = 1.0) -> MACBCs:
     return MACBCs(set_normal, extend)
 
 
+def free_slip_bcs() -> MACBCs:
+    """Free-slip (symmetry) box: zero normal velocity, zero tangential
+    shear on all four walls. The Taylor–Green vortex on [0, π]² satisfies
+    these exactly (u = sin x cos y, v = −cos x sin y: normal components
+    and tangential gradients vanish on the walls), making this the
+    analytic-solution convergence harness for the MAC discretization
+    (tests/test_taylor_green.py)."""
+
+    def set_normal(u, v, step=None, t=None):
+        u = u.at[:, 0].set(0.0).at[:, -1].set(0.0)
+        v = v.at[0, :].set(0.0).at[-1, :].set(0.0)
+        return u, v
+
+    def extend(u, v, step=None, t=None):
+        ue = jnp.pad(u, ((1, 1), (0, 0)))
+        ue = ue.at[0, :].set(u[0, :])  # ∂u/∂y = 0
+        ue = ue.at[-1, :].set(u[-1, :])
+        ve = jnp.pad(v, ((0, 0), (1, 1)))
+        ve = ve.at[:, 0].set(v[:, 0])  # ∂v/∂x = 0
+        ve = ve.at[:, -1].set(v[:, -1])
+        return ue, ve
+
+    return MACBCs(set_normal, extend)
+
+
 def channel_bcs(u_in: float = 1.0, profile=None) -> MACBCs:
     """Channel: Dirichlet inflow at x_lo (uniform or a (ny,) profile at
     u-row centers), zero-gradient outflow at x_hi, no-slip walls."""
