@@ -27,9 +27,15 @@ from cfdsim_tpu.parallel.mac_sharded import (
     trim_state,
     untrim_state,
 )
+from cfdsim_tpu.parallel.mac_stretched_explicit import (
+    make_cavity_stretched_explicit_step,
+    make_cylinder_stretched_explicit_step,
+    make_stretched_mac_explicit_step,
+)
 from cfdsim_tpu.parallel.transforms import (
     dct_poisson_local,
     dst_helmholtz_local,
+    make_fdm_poisson_local,
 )
 
 __all__ = [
@@ -47,4 +53,8 @@ __all__ = [
     "shard_trimmed_state",
     "dct_poisson_local",
     "dst_helmholtz_local",
+    "make_fdm_poisson_local",
+    "make_stretched_mac_explicit_step",
+    "make_cavity_stretched_explicit_step",
+    "make_cylinder_stretched_explicit_step",
 ]

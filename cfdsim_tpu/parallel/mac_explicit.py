@@ -123,15 +123,35 @@ def external_flow_mac_local_bcs(
     v_inf: float,
     perturb_amp: float = 0.01,
     perturb_ramp_steps: int = 1000,
+    y_centers=None,
 ) -> MACLocalBCs:
     """Masked-write form of mac.external_flow_bcs: perturbed inflow at
     x_lo, mass-consistent zero-gradient outflow at x_hi, free-slip
     top/bottom. The inflow profile is recomputed from the global row index
     with the exact expression cases.cylinder_mac feeds the single-device
-    BCs, so the two paths agree bitwise."""
+    BCs, so the two paths agree bitwise. For stretched grids pass the
+    u-row center coordinates as ``y_centers`` (a length-ny vector; looked
+    up by global row index instead of the uniform (g+½)·dy formula)."""
+    if y_centers is None:
+        yc_pad = None
+    else:
+        # edge-padded for dynamic_slice by global row offset — gathers
+        # inside shard_map miscompile on this XLA CPU build (see
+        # mac_stretched_explicit._lut), so the lookup is a 1D slice: the
+        # row indices of every BC grid are affine in the local iota
+        import numpy as _np
+
+        _pad = 4
+        yc_pad = jnp.asarray(
+            _np.pad(_np.asarray(y_centers, _np.float32), _pad, mode="edge")
+        )
 
     def _inflow(gr, step):
-        y = y_min + (gr.astype(jnp.float32) + 0.5) * dy
+        if yc_pad is None:
+            y = y_min + (gr.astype(jnp.float32) + 0.5) * dy
+        else:
+            start = gr[0, 0] + 4  # gr rows are gy0−w + iota; +_pad offset
+            y = lax.dynamic_slice(yc_pad, (start,), (gr.shape[0],))[:, None]
         scale = jnp.minimum(1.0, step / perturb_ramp_steps) * perturb_amp
         pert = scale * jnp.sin(2.0 * jnp.pi * y / y_max + 0.02 * step)
         return v_inf * (1.0 + pert)

@@ -139,6 +139,66 @@ def dct_poisson_local(rhs_b, dx: float, dy: float, py: int, px: int):
     return from_x_pencil(t, px).astype(rhs_b.dtype)
 
 
+def make_fdm_poisson_local(hx, hy, py: int, px: int,
+                           nullspace_tol: float = 1e-10):
+    """Distributed fast-diagonalization Poisson solve for *stretched*
+    grids (solvers/fdm.py made multi-chip): returns ``solve(rhs_b)`` for
+    use inside shard_map over ("y","x"). The dense eigenbasis matmuls run
+    on locally-complete pencil axes (MXU work), with the same six
+    all_to_alls as ``dct_poisson_local``; the eigenvalue division happens
+    in the y-pencil layout at global spectral indices."""
+    import numpy as np
+
+    from cfdsim_tpu.solvers.fdm import (
+        _eig_similar_symmetric,
+        neumann_operator_1d,
+    )
+
+    hx = np.asarray(hx, np.float64)
+    hy = np.asarray(hy, np.float64)
+    lx, Vx, Vxi = _eig_similar_symmetric(neumann_operator_1d(hx), hx)
+    ly, Vy, Vyi = _eig_similar_symmetric(neumann_operator_1d(hy), hy)
+    scale = max(np.abs(ly[:, None] + lx[None, :]).max(), 1.0)
+    tol = nullspace_tol * scale
+
+    VxT_c = jnp.asarray(Vx.T, jnp.float32)
+    VxiT_c = jnp.asarray(Vxi.T, jnp.float32)
+    Vy_c = jnp.asarray(Vy, jnp.float32)
+    Vyi_c = jnp.asarray(Vyi, jnp.float32)
+    lx_c = jnp.asarray(lx, jnp.float32)
+    ly_c = jnp.asarray(ly, jnp.float32)
+    nx_g = len(hx)
+
+    def solve(rhs_b):
+        _check_pencil(rhs_b.shape, py, px)
+        ny_l, nx_l = rhs_b.shape
+        q = nx_l // max(py, 1)
+        iy = lax.axis_index("y")
+        ix = lax.axis_index("x")
+
+        t = to_x_pencil(rhs_b, px)
+        t = t @ VxiT_c
+        t = from_x_pencil(t, px)
+        t = to_y_pencil(t, py)
+        t = Vyi_c @ t
+
+        # spectral division: rows = all ky, cols = lx slice owned by this
+        # pencil (global col offset ix·nx_l + iy·q)
+        lx_loc = lax.dynamic_slice(lx_c, (ix * nx_l + iy * q,), (q,))
+        lam = ly_c[:, None] + lx_loc[None, :]
+        small = jnp.abs(lam) < tol
+        t = t * jnp.where(small, 0.0, 1.0 / jnp.where(small, 1.0, lam))
+
+        t = Vy_c @ t
+        t = from_y_pencil(t, py)
+        t = to_x_pencil(t, px)
+        t = t @ VxT_c
+        return from_x_pencil(t, px).astype(rhs_b.dtype)
+
+    del nx_g
+    return solve
+
+
 def dst_helmholtz_local(b_b, coeff, dx: float, dy: float, py: int, px: int):
     """Exact distributed solve of (I − coeff·∇²) u = b with the one-node
     Dirichlet boundary frame of ``b`` preserved (the distributed

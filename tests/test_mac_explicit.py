@@ -145,6 +145,34 @@ def test_mac_explicit_soak_healthy(mesh):
     assert float(np.asarray(m.max_vel)[-1]) <= 1.0 + 1e-3
 
 
+def test_mac_explicit_runner_soak_with_snapshots(mesh, tmp_path):
+    # runner-driven multi-device MAC soak: chunked scan + periodic
+    # snapshots of the sharded trimmed state + health checks
+    from cfdsim_tpu.io_ import SnapshotWriter, list_steps
+    from cfdsim_tpu.runner import RunnerConfig, Simulation
+
+    case = lid_cavity_mac(
+        n=32, Re=100.0, scheme="central", poisson=PoissonConfig(method="dct"),
+    )
+    step_ex = make_cavity_mac_explicit_step(case.cfg, mesh)
+    writer = SnapshotWriter(tmp_path / "mac_soak.h5")
+
+    def snapshot(state, step, t):
+        writer.save(step, t, u=state.u, v=state.v, p=state.p)
+
+    cfg = RunnerConfig(
+        t_final=1e9, max_steps=600, chunk_steps=100, snapshot_interval=200,
+        div_threshold=1e-2,  # the staggered projection is exact
+    )
+    t0 = shard_trimmed_state(trim_state(case.state), mesh)
+    sim = Simulation(step_ex, t0, cfg, n_cells=32 * 32, snapshot_fn=snapshot)
+    state, report = sim.run()
+    assert int(state.step) == 600
+    assert report["stopped_reason"] == ""
+    assert len(list_steps(tmp_path / "mac_soak.h5")) >= 3
+    assert len(state.u.sharding.device_set) == 8
+
+
 def test_trim_face_masks_rejects_boundary_body():
     from cfdsim_tpu.grid import Grid
     from cfdsim_tpu.ibm import cylinder_masks_mac

@@ -80,6 +80,21 @@ def test_distributed_dst_helmholtz_matches_single_device(mesh):
     np.testing.assert_array_equal(got[:, -1], b[:, -1])
 
 
+def test_distributed_fdm_matches_single_device(mesh):
+    from cfdsim_tpu.models.mac_stretched import wall_clustered_faces
+    from cfdsim_tpu.parallel.transforms import make_fdm_poisson_local
+    from cfdsim_tpu.solvers.fdm import make_fdm_solver
+
+    hx = np.diff(wall_clustered_faces(64, 1.0, beta=1.7))
+    hy = np.diff(wall_clustered_faces(32, 1.0, beta=1.3))
+    solve_loc = make_fdm_poisson_local(hx, hy, 2, 4)
+    rng = np.random.default_rng(4)
+    rhs = rng.standard_normal((32, 64)).astype(np.float32)
+    got = _sharded(mesh, solve_loc, rhs)
+    want = np.asarray(make_fdm_solver(hx, hy)(jnp.asarray(rhs)))
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-6)
+
+
 def test_pencil_shape_validation(mesh):
     # 8 rows over a (2,4) mesh → local rows 4, not divisible by px=4 after
     # the y-split? rows_l=4 divisible by 4; cols 12 → cols_l=3 not
