@@ -139,6 +139,62 @@ def dct_poisson_local(rhs_b, dx: float, dy: float, py: int, px: int):
     return from_x_pencil(t, px).astype(rhs_b.dtype)
 
 
+def dct_poisson3d_local(rhs_b, dx: float, dy: float, dz: float,
+                        py: int, px: int):
+    """Exact distributed 3D clamped-edge (Neumann) Poisson solve on
+    P(None, "y", "x") blocks (nz, ny_l, nx_l) — the z axis stays local
+    (the cavity3d layout); x and y transforms ride the same pencil
+    all_to_alls as the 2D solve (solvers/poisson3d.py method="dct" made
+    multi-chip)."""
+    nz, ny_l, nx_l = rhs_b.shape
+    if ny_l % max(px, 1) != 0 or nx_l % max(py, 1) != 0:
+        raise ValueError(
+            f"3D pencil decomposition needs block {rhs_b.shape} with y "
+            f"divisible by px={px} and x divisible by py={py}"
+        )
+    ny_g = ny_l * py
+    nx_g = nx_l * px
+
+    def a2a(t, name, split, concat, n):
+        if n == 1:
+            return t
+        return lax.all_to_all(t, name, split_axis=split, concat_axis=concat,
+                              tiled=True)
+
+    # z transform: fully local
+    t = _dct_fwd(rhs_b, axis=0)
+    # x transform: x-pencil (nz, ny_l/px, nx_g)
+    t = a2a(t, "x", 1, 2, px)
+    t = _dct_fwd(t, axis=2)
+    t = a2a(t, "x", 2, 1, px)
+    # y transform → y-pencil (nz, ny_g, nx_l/py)
+    t = a2a(t, "y", 2, 1, py)
+    t = _dct_fwd(t, axis=1)
+
+    iy = lax.axis_index("y")
+    ix = lax.axis_index("x")
+    q = nx_l // max(py, 1)
+    kz = lax.broadcasted_iota(jnp.int32, t.shape, 0)
+    ky = lax.broadcasted_iota(jnp.int32, t.shape, 1)
+    kx = ix * nx_l + iy * q + lax.broadcasted_iota(jnp.int32, t.shape, 2)
+    lam = (
+        (2.0 * jnp.cos(jnp.pi * kz.astype(jnp.float32) / nz) - 2.0) / (dz * dz)
+        + (2.0 * jnp.cos(jnp.pi * ky.astype(jnp.float32) / ny_g) - 2.0)
+        / (dy * dy)
+        + (2.0 * jnp.cos(jnp.pi * kx.astype(jnp.float32) / nx_g) - 2.0)
+        / (dx * dx)
+    )
+    zero_mode = (kz == 0) & (ky == 0) & (kx == 0)
+    t = t * jnp.where(zero_mode, 0.0, 1.0 / jnp.where(zero_mode, 1.0, lam))
+
+    t = _dct_inv(t, axis=1)
+    t = a2a(t, "y", 1, 2, py)
+    t = a2a(t, "x", 1, 2, px)
+    t = _dct_inv(t, axis=2)
+    t = a2a(t, "x", 2, 1, px)
+    return _dct_inv(t, axis=0).astype(rhs_b.dtype)
+
+
 def make_fdm_poisson_local(hx, hy, py: int, px: int,
                            nullspace_tol: float = 1e-10):
     """Distributed fast-diagonalization Poisson solve for *stretched*

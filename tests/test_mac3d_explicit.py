@@ -1,0 +1,71 @@
+"""The explicit shard_map 3D MAC step (trimmed state, y/x ppermute halos,
+distributed 3D DCT projection) must match the single-device mac3d step on
+an 8-device mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cfdsim_tpu.cases import cavity3d_mac
+from cfdsim_tpu.parallel.mac3d_explicit import (
+    make_cavity3d_mac_explicit_step,
+    shard_trimmed_state3d,
+    trim_state3d,
+)
+from cfdsim_tpu.parallel.mesh import make_grid_mesh
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return make_grid_mesh(8, topology=(2, 4))
+
+
+def test_mac3d_explicit_matches_single_device(mesh):
+    n = 16
+    case = cavity3d_mac(n=n, Re=100.0)
+    rng = np.random.default_rng(0)
+    s_ref = case.state._replace(
+        u=jnp.asarray(0.1 * rng.standard_normal((n, n, n + 1)), jnp.float32),
+        v=jnp.asarray(0.1 * rng.standard_normal((n, n + 1, n)), jnp.float32),
+        w=jnp.asarray(0.1 * rng.standard_normal((n + 1, n, n)), jnp.float32),
+    )
+    step_ref = jax.jit(case.step)
+    step_ex = make_cavity3d_mac_explicit_step(case.cfg, mesh)
+    t = shard_trimmed_state3d(trim_state3d(s_ref), mesh)
+    r = s_ref
+    for _ in range(4):
+        t, m_ex = step_ex(t, jnp.float32(1.0))
+        r, m_ref = step_ref(r, jnp.float32(1.0))
+    np.testing.assert_allclose(np.asarray(t.u), np.asarray(r.u)[:, :, :-1],
+                               rtol=0, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(t.v), np.asarray(r.v)[:, :-1, :],
+                               rtol=0, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(t.w), np.asarray(r.w)[:-1],
+                               rtol=0, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(t.p), np.asarray(r.p),
+                               rtol=0, atol=2e-4)
+    np.testing.assert_allclose(float(m_ex.dt), float(m_ref.dt), rtol=1e-6)
+    np.testing.assert_allclose(float(m_ex.energy), float(m_ref.energy),
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(m_ex.max_vel), float(m_ref.max_vel),
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(m_ex.vort_max), float(m_ref.vort_max),
+                               rtol=1e-4, atol=1e-4)
+    assert float(m_ex.div_post) < 1e-3  # exact distributed 3D projection
+    assert len(t.u.sharding.device_set) == 8
+
+
+def test_mac3d_explicit_cavity_develops(mesh):
+    # 30 steps from rest: lid-driven flow develops, divergence-free, no
+    # blow-up (z-ghost lid handling + projection under sharding)
+    case = cavity3d_mac(n=16, Re=400.0)
+    step_ex = make_cavity3d_mac_explicit_step(case.cfg, mesh)
+    f = jax.jit(lambda s, c: jax.lax.scan(
+        lambda st, _: step_ex(st, c), s, None, length=30))
+    t = shard_trimmed_state3d(trim_state3d(case.state), mesh)
+    t, m = f(t, jnp.float32(1.0))
+    assert bool(jnp.all(jnp.isfinite(t.u)))
+    assert float(np.asarray(m.div_post)[-1]) < 1e-3
+    assert 0.0 < float(np.asarray(m.energy)[-1]) < 0.5
+    assert float(np.asarray(m.max_vel)[-1]) <= 1.0 + 1e-3

@@ -95,6 +95,27 @@ def test_distributed_fdm_matches_single_device(mesh):
     np.testing.assert_allclose(got, want, rtol=0, atol=1e-6)
 
 
+def test_distributed_dct_poisson3d_matches_single_device(mesh):
+    from functools import partial as _partial
+
+    from cfdsim_tpu.parallel.transforms import dct_poisson3d_local
+    from cfdsim_tpu.solvers.poisson3d import Poisson3DConfig, solve_poisson_3d
+
+    rng = np.random.default_rng(5)
+    rhs = rng.standard_normal((8, 16, 16)).astype(np.float32)
+    f = jax.shard_map(
+        lambda b: dct_poisson3d_local(b, 0.1, 0.2, 0.3, 2, 4),
+        mesh=mesh, in_specs=P(None, "y", "x"), out_specs=P(None, "y", "x"),
+    )
+    xs = jax.device_put(jnp.asarray(rhs), NamedSharding(mesh, P(None, "y", "x")))
+    got = np.asarray(jax.jit(f)(xs))
+    want = np.asarray(solve_poisson_3d(
+        jnp.zeros_like(jnp.asarray(rhs)), jnp.asarray(rhs), 0.1, 0.2, 0.3,
+        Poisson3DConfig(method="dct"),
+    ))
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-5)
+
+
 def test_pencil_shape_validation(mesh):
     # 8 rows over a (2,4) mesh → local rows 4, not divisible by px=4 after
     # the y-split? rows_l=4 divisible by 4; cols 12 → cols_l=3 not
