@@ -38,10 +38,14 @@ from cfdsim_tpu.parallel.mac3d_explicit import (
     trim_state3d,
     untrim_state3d,
 )
+from cfdsim_tpu.parallel.mac_stretched3d_explicit import (
+    make_cavity3d_stretched_explicit_step,
+)
 from cfdsim_tpu.parallel.transforms import (
     dct_poisson3d_local,
     dct_poisson_local,
     dst_helmholtz_local,
+    make_fdm_poisson3d_local,
     make_fdm_poisson_local,
 )
 
@@ -65,6 +69,8 @@ __all__ = [
     "make_cavity_stretched_explicit_step",
     "make_cylinder_stretched_explicit_step",
     "make_cavity3d_mac_explicit_step",
+    "make_cavity3d_stretched_explicit_step",
+    "make_fdm_poisson3d_local",
     "trim_state3d",
     "untrim_state3d",
     "shard_trimmed_state3d",

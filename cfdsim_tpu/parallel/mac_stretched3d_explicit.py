@@ -1,0 +1,313 @@
+"""Explicit shard_map step for the 3D *stretched* MAC solver — the last
+cell of the multi-chip solver matrix ({2D, 3D} × {uniform, stretched}).
+
+Same layout as ``parallel/mac3d_explicit.py`` (trimmed state, z local,
+width-1 y/x ppermute halos, masked-write cavity BCs) with the metric
+machinery of ``parallel/mac_stretched_explicit.py``: every y/x metric
+coefficient enters as a ``lax.dynamic_slice`` of an edge-padded global
+vector (never a gather — backend miscompile, see CLAUDE.md), z metrics
+are plain local constants, and the projection is the exact distributed
+3D fast-diagonalization solve (``transforms.make_fdm_poisson3d_local`` —
+MXU eigenbasis matmuls between all_to_alls).
+
+Equality with the single-device ``mac_stretched3d.make_step`` on an
+8-device mesh: tests/test_mac3d_explicit.py (stretched section).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from cfdsim_tpu.models.incompressible import StepMetrics
+from cfdsim_tpu.models.mac3d import MAC3DState
+from cfdsim_tpu.models.mac_stretched import _metrics
+from cfdsim_tpu.models.mac_stretched3d import StretchedMAC3DConfig
+from cfdsim_tpu.parallel.halo import _exchange_axis
+from cfdsim_tpu.parallel.mac_explicit import _pmax, _psum
+from cfdsim_tpu.parallel.mac3d_explicit import _halo_yx
+from cfdsim_tpu.parallel.transforms import make_fdm_poisson3d_local
+
+_PAD = 4
+
+
+def _lut3(vec, axis: int):
+    """y (axis 1) / x (axis 2) metric line by dynamic slice of an
+    edge-padded global vector; broadcastable over the other two axes."""
+    v = np.asarray(vec, np.float32)
+    vp = jnp.asarray(np.pad(v, _PAD, mode="edge"))
+
+    def at(start, length: int):
+        s = lax.dynamic_slice(vp, (start + _PAD,), (length,))
+        return s[None, :, None] if axis == 1 else s[None, None, :]
+
+    return at
+
+
+def _zc(vec):
+    """Local (replicated) z metric line, shape (len, 1, 1)."""
+    return jnp.asarray(np.asarray(vec, np.float32))[:, None, None]
+
+
+def make_cavity3d_stretched_explicit_step(
+    cfg: StretchedMAC3DConfig,
+    mesh: Mesh,
+    x_faces,
+    y_faces,
+    z_faces,
+    lid_velocity: float = 1.0,
+):
+    """Build ``step(tstate, cfl_scale) -> (tstate, StepMetrics)`` on the
+    trimmed 3D representation, P(None, "y", "x")-sharded."""
+    mx = _metrics(x_faces)
+    my = _metrics(y_faces)
+    mz = _metrics(z_faces)
+    nx, ny, nz = cfg.nx, cfg.ny, cfg.nz
+    py = mesh.shape["y"]
+    px = mesh.shape["x"]
+    ny_l, nx_l = ny // py, nx // px
+    if ny % py or nx % px:
+        raise ValueError(f"grid {ny}x{nx} not divisible by mesh {py}x{px}")
+    if ny_l < 2 or nx_l < 2:
+        raise ValueError("local blocks must be at least 2x2 for width-1 halos")
+
+    # y/x metric lines (sliced per shard at trace... at run time by iy/ix)
+    inv_hx = _lut3(1.0 / mx.h, 2)
+    inv_hy = _lut3(1.0 / my.h, 1)
+    inv_dcx = _lut3(1.0 / mx.dc, 2)
+    inv_dcy = _lut3(1.0 / my.dc, 1)
+    inv_dfx = _lut3(1.0 / mx.dfull, 2)
+    inv_dfy = _lut3(1.0 / my.dfull, 1)
+    wcx = _lut3(np.concatenate([[0.5], mx.wf, [0.5]]), 2)
+    wcy = _lut3(np.concatenate([[0.5], my.wf, [0.5]]), 1)
+    hx_at = _lut3(mx.h, 2)
+    hy_at = _lut3(my.h, 1)
+    # z metric lines (local constants)
+    inv_hz = _zc(1.0 / mz.h)
+    inv_dcz = _zc(1.0 / mz.dc)
+    inv_dfz = _zc(1.0 / mz.dfull)
+    wcz = _zc(np.concatenate([[0.5], mz.wf, [0.5]]))
+    hz_c = _zc(mz.h)
+    h_min = float(min(mx.h.min(), my.h.min(), mz.h.min()))
+    vol = float(np.sum(mx.h) * np.sum(my.h) * np.sum(mz.h))
+
+    solve_p = make_fdm_poisson3d_local(mx.h, my.h, mz.h, py, px)
+
+    spec = P(None, "y", "x")
+    state_spec = MAC3DState(u=spec, v=spec, w=spec, p=spec, t=P(), step=P())
+    metric_spec = StepMetrics(*([P()] * len(StepMetrics._fields)))
+
+    def step_local(ts: MAC3DState, cfl_scale):
+        iy = lax.axis_index("y")
+        ix = lax.axis_index("x")
+        gy0 = iy * ny_l
+        gx0 = ix * nx_l
+        ro = gy0 + lax.broadcasted_iota(jnp.int32, (ny_l, nx_l), 0)[None]
+        co = gx0 + lax.broadcasted_iota(jnp.int32, (ny_l, nx_l), 1)[None]
+        shp_p = (ny_l + 2, nx_l + 2)
+        rp = gy0 - 1 + lax.broadcasted_iota(jnp.int32, shp_p, 0)[None]
+        cp = gx0 - 1 + lax.broadcasted_iota(jnp.int32, shp_p, 1)[None]
+
+        def set_normal(u_t, v_t, w_t):
+            u_t = jnp.where(co == 0, 0.0, u_t)
+            v_t = jnp.where(ro == 0, 0.0, v_t)
+            w_t = w_t.at[0].set(0.0)
+            return u_t, v_t, w_t
+
+        def pad(u_t, v_t, w_t):
+            U = _halo_yx(u_t, py, px)
+            V = _halo_yx(v_t, py, px)
+            W = _halo_yx(w_t, py, px)
+            U = jnp.where(cp == nx, 0.0, U)
+            V = jnp.where(rp == ny, 0.0, V)
+            Wz = jnp.concatenate([W, jnp.zeros_like(W[:1])], axis=0)
+            U = jnp.where(rp == -1, -jnp.roll(U, -1, axis=1), U)
+            U = jnp.where(rp == ny, -jnp.roll(U, 1, axis=1), U)
+            V = jnp.where(cp == -1, -jnp.roll(V, -1, axis=2), V)
+            V = jnp.where(cp == nx, -jnp.roll(V, 1, axis=2), V)
+            Wz = jnp.where(rp == -1, -jnp.roll(Wz, -1, axis=1), Wz)
+            Wz = jnp.where(rp == ny, -jnp.roll(Wz, 1, axis=1), Wz)
+            Wz = jnp.where(cp == -1, -jnp.roll(Wz, -1, axis=2), Wz)
+            Wz = jnp.where(cp == nx, -jnp.roll(Wz, 1, axis=2), Wz)
+            return U, V, Wz
+
+        u_t, v_t, w_t = set_normal(ts.u, ts.v, ts.w)
+        U, V, Wz = pad(u_t, v_t, w_t)
+        UZG = jnp.concatenate(
+            [-U[:1], U, 2.0 * lid_velocity - U[-1:]], axis=0
+        )
+        VZG = jnp.concatenate([-V[:1], V, -V[-1:]], axis=0)
+
+        if cfg.adaptive_dt:
+            vel_max = _pmax(
+                jnp.maximum(
+                    jnp.maximum(jnp.max(jnp.abs(u_t)), jnp.max(jnp.abs(v_t))),
+                    jnp.maximum(jnp.max(jnp.abs(w_t)), 1e-10),
+                )
+            )
+            dt_cfl = cfg.cfl_target * cfl_scale * h_min / vel_max
+            dt_visc = 0.125 * h_min * h_min / cfg.nu
+            dt = jnp.clip(
+                jnp.minimum(dt_cfl, dt_visc), cfg.dt_min, cfg.dt_max
+            ).astype(jnp.float32)
+        else:
+            dt = jnp.float32(cfg.dt_base)
+
+        # --- edge interpolants with metric corner weights
+        # (mac_stretched3d.make_step; corner alignment as mac3d_explicit)
+        wy = wcy(gy0, ny_l + 1)          # corner rows gy0 .. gy0+ny_l
+        wx = wcx(gx0, nx_l + 1)          # corner cols gx0 .. gx0+nx_l
+        UC = 0.5 * (U[:, :, :-1] + U[:, :, 1:])
+        VCC = 0.5 * (V[:, :-1, :] + V[:, 1:, :])
+        WCC = 0.5 * (Wz[:-1] + Wz[1:])
+        UY = (1.0 - wy) * U[:, :-1, :] + wy * U[:, 1:, :]
+        VX = (1.0 - wx) * V[:, :, :-1] + wx * V[:, :, 1:]
+        UZ = (1.0 - wcz) * UZG[:-1] + wcz * UZG[1:]
+        WX = (1.0 - wx) * Wz[:, :, :-1] + wx * Wz[:, :, 1:]
+        VZ = (1.0 - wcz) * VZG[:-1] + wcz * VZG[1:]
+        WY = (1.0 - wy) * Wz[:, :-1, :] + wy * Wz[:, 1:, :]
+
+        dcx_f = inv_dcx(gx0 - 1, nx_l)
+        dcy_f = inv_dcy(gy0 - 1, ny_l)
+        hx_own = inv_hx(gx0, nx_l)
+        hy_own = inv_hy(gy0, ny_l)
+
+        # --- conservative central fluxes with per-axis gaps
+        FU = UC * UC
+        GU = VX[:, 1:, :] * UY[:, :, 1:]
+        HU = WX[:, 1:-1, :] * UZ[:, 1:-1, 1:]
+        conv_u = (
+            (FU[:, 1 : 1 + ny_l, 1:] - FU[:, 1 : 1 + ny_l, :-1]) * dcx_f
+        )[:, :, :nx_l] + (
+            (GU[:, 1:, :] - GU[:, :-1, :]) * hy_own
+        )[:, :, :nx_l] + (
+            (HU[1:] - HU[:-1]) * inv_hz
+        )[:, :, :nx_l]
+
+        GVC = VCC * VCC
+        HV = WY[:, :ny_l, 1 : 1 + nx_l] * VZ[:, 1 : 1 + ny_l, 1 : 1 + nx_l]
+        conv_v = (
+            (GU[:, :, 1:] - GU[:, :, :-1]) * hx_own
+        )[:, :ny_l, :] + (
+            (GVC[:, 1:, :] - GVC[:, :-1, :]) * dcy_f
+        )[:, :ny_l, 1 : 1 + nx_l] + (HV[1:] - HV[:-1]) * inv_hz
+
+        FW = UZ[:, 1:-1, 1:] * WX[:, 1:-1, :]
+        GW = VZ[:, 1:, 1 : 1 + nx_l] * WY[:, :, 1 : 1 + nx_l]
+        HWC = WCC * WCC
+        dHW = jnp.pad(
+            (HWC[1:] - HWC[:-1]) * inv_dcz, ((1, 0), (0, 0), (0, 0))
+        )
+        conv_w = (
+            (FW[:, :, 1:] - FW[:, :, :-1]) * hx_own
+        )[:nz] + (
+            (GW[:, 1:, :] - GW[:, :-1, :]) * hy_own
+        )[:nz] + dHW[:, 1 : 1 + ny_l, 1 : 1 + nx_l]
+
+        # --- flux-form diffusion (mac_stretched3d.make_step)
+        dux = (U[:, 1:-1, 1:] - U[:, 1:-1, :-1]) * inv_hx(gx0 - 1, nx_l + 1)
+        lap_u_x = (dux[:, :, 1:] - dux[:, :, :-1]) * dcx_f
+        duy = (U[:, 1:, 1:-1] - U[:, :-1, 1:-1]) * inv_dfy(gy0, ny_l + 1)
+        lap_u_y = (duy[:, 1:, :] - duy[:, :-1, :]) * hy_own
+        duz = (UZG[1:, 1:-1, 1:-1] - UZG[:-1, 1:-1, 1:-1]) * inv_dfz
+        lap_u_z = (duz[1:] - duz[:-1]) * inv_hz
+        lap_u = lap_u_x + lap_u_y + lap_u_z
+
+        dvy = (V[:, 1:, 1:-1] - V[:, :-1, 1:-1]) * inv_hy(gy0 - 1, ny_l + 1)
+        lap_v_y = (dvy[:, 1:, :] - dvy[:, :-1, :]) * dcy_f
+        dvx = (V[:, 1:-1, 1:] - V[:, 1:-1, :-1]) * inv_dfx(gx0, nx_l + 1)
+        lap_v_x = (dvx[:, :, 1:] - dvx[:, :, :-1]) * hx_own
+        dvz = (VZG[1:, 1:-1, 1:-1] - VZG[:-1, 1:-1, 1:-1]) * inv_dfz
+        lap_v_z = (dvz[1:] - dvz[:-1]) * inv_hz
+        lap_v = lap_v_x + lap_v_y + lap_v_z
+
+        Wp = Wz[:nz]
+        dwx = (Wp[:, 1:-1, 1:] - Wp[:, 1:-1, :-1]) * inv_dfx(gx0, nx_l + 1)
+        lap_w_x = (dwx[:, :, 1:] - dwx[:, :, :-1]) * hx_own
+        dwy = (Wp[:, 1:, 1:-1] - Wp[:, :-1, 1:-1]) * inv_dfy(gy0, ny_l + 1)
+        lap_w_y = (dwy[:, 1:, :] - dwy[:, :-1, :]) * hy_own
+        dwz = (Wz[1:, 1:-1, 1:-1] - Wz[:-1, 1:-1, 1:-1]) * inv_hz  # at cells
+        lap_w_z = jnp.pad(
+            (dwz[1:] - dwz[:-1]) * inv_dcz, ((1, 0), (0, 0), (0, 0))
+        )
+        lap_w = lap_w_x + lap_w_y + lap_w_z
+
+        u_star = u_t + jnp.where(co >= 1, dt * (cfg.nu * lap_u - conv_u), 0.0)
+        v_star = v_t + jnp.where(ro >= 1, dt * (cfg.nu * lap_v - conv_v), 0.0)
+        w_star = w_t.at[1:].add(dt * (cfg.nu * lap_w - conv_w)[1:])
+        u_star, v_star, w_star = set_normal(u_star, v_star, w_star)
+
+        # --- exact distributed 3D FDM projection
+        US, VS, WSz = pad(u_star, v_star, w_star)
+        div_star = (
+            (US[:, 1:-1, 2:] - US[:, 1:-1, 1:-1]) * hx_own
+            + (VS[:, 2:, 1:-1] - VS[:, 1:-1, 1:-1]) * hy_own
+            + (WSz[1:, 1:-1, 1:-1] - WSz[:-1, 1:-1, 1:-1]) * inv_hz
+        )
+        phi = solve_p(div_star / dt)
+        PH = _halo_yx(phi, py, px)
+        gx = (PH[:, 1:-1, 1:-1] - PH[:, 1:-1, :-2]) * dcx_f
+        gy_ = (PH[:, 1:-1, 1:-1] - PH[:, :-2, 1:-1]) * dcy_f
+        u_new = u_star - jnp.where(co >= 1, dt * gx, 0.0)
+        v_new = v_star - jnp.where(ro >= 1, dt * gy_, 0.0)
+        w_new = w_star.at[1:].add(-dt * (phi[1:] - phi[:-1]) * inv_dcz)
+        u_new, v_new, w_new = set_normal(u_new, v_new, w_new)
+        u_new = jnp.clip(u_new, -cfg.max_velocity, cfg.max_velocity)
+        v_new = jnp.clip(v_new, -cfg.max_velocity, cfg.max_velocity)
+        w_new = jnp.clip(w_new, -cfg.max_velocity, cfg.max_velocity)
+
+        new_ts = MAC3DState(
+            u=u_new, v=v_new, w=w_new, p=phi,
+            t=ts.t + dt, step=ts.step + 1,
+        )
+
+        if cfg.compute_metrics:
+            UN, VN, WNz = pad(u_new, v_new, w_new)
+            div_post = (
+                (UN[:, 1:-1, 2:] - UN[:, 1:-1, 1:-1]) * hx_own
+                + (VN[:, 2:, 1:-1] - VN[:, 1:-1, 1:-1]) * hy_own
+                + (WNz[1:, 1:-1, 1:-1] - WNz[:-1, 1:-1, 1:-1]) * inv_hz
+            )
+            ucc = 0.5 * (UN[:, 1:-1, 1:-1] + UN[:, 1:-1, 2:])
+            vcc = 0.5 * (VN[:, 1:-1, 1:-1] + VN[:, 2:, 1:-1])
+            wcc = 0.5 * (WNz[:-1, 1:-1, 1:-1] + WNz[1:, 1:-1, 1:-1])
+            w_cell = hz_c * hy_at(gy0, ny_l) * hx_at(gx0, nx_l)
+            dwdy = (
+                (WNz[:, 1 : 1 + ny_l, 1 : 1 + nx_l]
+                 - WNz[:, 0:ny_l, 1 : 1 + nx_l]) * dcy_f
+            )[1:nz]
+            dvdz = (
+                VN[1:, 1 : 1 + ny_l, 1 : 1 + nx_l]
+                - VN[:-1, 1 : 1 + ny_l, 1 : 1 + nx_l]
+            ) * inv_dcz
+            vort = jnp.where((ro >= 1), dwdy - dvdz, 0.0)
+            metrics = StepMetrics(
+                dt=dt,
+                div_pre=_pmax(jnp.max(jnp.abs(div_star))),
+                div_post=_pmax(jnp.max(jnp.abs(div_post))),
+                max_vel=_pmax(
+                    jnp.maximum(
+                        jnp.maximum(jnp.max(jnp.abs(u_new)), jnp.max(jnp.abs(v_new))),
+                        jnp.max(jnp.abs(w_new)),
+                    )
+                ),
+                energy=_psum(
+                    jnp.sum(w_cell * 0.5 * (ucc * ucc + vcc * vcc + wcc * wcc))
+                ) / vol,
+                vort_max=_pmax(jnp.max(jnp.abs(vort))),
+                poisson_res=jnp.float32(0.0),  # FDM is exact
+            )
+        else:
+            zero = jnp.float32(0.0)
+            metrics = StepMetrics(dt, zero, zero, zero, zero, zero, zero)
+        return new_ts, metrics
+
+    return jax.jit(jax.shard_map(
+        step_local,
+        mesh=mesh,
+        in_specs=(state_spec, P()),
+        out_specs=(state_spec, metric_spec),
+    ))

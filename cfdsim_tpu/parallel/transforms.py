@@ -255,6 +255,82 @@ def make_fdm_poisson_local(hx, hy, py: int, px: int,
     return solve
 
 
+def make_fdm_poisson3d_local(hx, hy, hz, py: int, px: int,
+                             nullspace_tol: float = 1e-10):
+    """Distributed 3D fast-diagonalization Neumann Poisson solve for
+    stretched grids on P(None, "y", "x") blocks (nz, ny_l, nx_l): the z
+    eigenbasis matmul is fully local, x/y ride the pencil all_to_alls
+    (solvers/fdm.py make_fdm_solver_3d made multi-chip)."""
+    import numpy as np
+
+    from cfdsim_tpu.solvers.fdm import (
+        _eig_similar_symmetric,
+        neumann_operator_1d,
+    )
+
+    hx = np.asarray(hx, np.float64)
+    hy = np.asarray(hy, np.float64)
+    hz = np.asarray(hz, np.float64)
+    lx, Vx, Vxi = _eig_similar_symmetric(neumann_operator_1d(hx), hx)
+    ly, Vy, Vyi = _eig_similar_symmetric(neumann_operator_1d(hy), hy)
+    lz, Vz, Vzi = _eig_similar_symmetric(neumann_operator_1d(hz), hz)
+    scale = max(
+        np.abs(lz[:, None, None] + ly[None, :, None] + lx[None, None, :]).max(),
+        1.0,
+    )
+    tol = nullspace_tol * scale
+
+    VxT_c = jnp.asarray(Vx.T, jnp.float32)
+    VxiT_c = jnp.asarray(Vxi.T, jnp.float32)
+    Vy_c = jnp.asarray(Vy, jnp.float32)
+    Vyi_c = jnp.asarray(Vyi, jnp.float32)
+    Vz_c = jnp.asarray(Vz, jnp.float32)
+    Vzi_c = jnp.asarray(Vzi, jnp.float32)
+    lx_c = jnp.asarray(lx, jnp.float32)
+    ly_c = jnp.asarray(ly, jnp.float32)
+    lz_c = jnp.asarray(lz, jnp.float32)
+
+    def a2a(t, name, split, concat, n):
+        if n == 1:
+            return t
+        return lax.all_to_all(t, name, split_axis=split, concat_axis=concat,
+                              tiled=True)
+
+    def solve(rhs_b):
+        nz, ny_l, nx_l = rhs_b.shape
+        if ny_l % max(px, 1) != 0 or nx_l % max(py, 1) != 0:
+            raise ValueError(
+                f"3D pencil decomposition needs block {rhs_b.shape} with y "
+                f"divisible by px={px} and x divisible by py={py}"
+            )
+        q = nx_l // max(py, 1)
+        iy = lax.axis_index("y")
+        ix = lax.axis_index("x")
+
+        t = jnp.einsum("ab,byx->ayx", Vzi_c, rhs_b)       # z (local)
+        t = a2a(t, "x", 1, 2, px)
+        t = t @ VxiT_c                                     # x (pencil)
+        t = a2a(t, "x", 2, 1, px)
+        t = a2a(t, "y", 2, 1, py)
+        t = jnp.einsum("ab,zbx->zax", Vyi_c, t)            # y (pencil)
+
+        lx_loc = lax.dynamic_slice(lx_c, (ix * nx_l + iy * q,), (q,))
+        lam = (
+            lz_c[:, None, None] + ly_c[None, :, None] + lx_loc[None, None, :]
+        )
+        small = jnp.abs(lam) < tol
+        t = t * jnp.where(small, 0.0, 1.0 / jnp.where(small, 1.0, lam))
+
+        t = jnp.einsum("ab,zbx->zax", Vy_c, t)
+        t = a2a(t, "y", 1, 2, py)
+        t = a2a(t, "x", 1, 2, px)
+        t = t @ VxT_c
+        t = a2a(t, "x", 2, 1, px)
+        return jnp.einsum("ab,byx->ayx", Vz_c, t).astype(rhs_b.dtype)
+
+    return solve
+
+
 def dst_helmholtz_local(b_b, coeff, dx: float, dy: float, py: int, px: int):
     """Exact distributed solve of (I − coeff·∇²) u = b with the one-node
     Dirichlet boundary frame of ``b`` preserved (the distributed

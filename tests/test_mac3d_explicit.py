@@ -69,3 +69,44 @@ def test_mac3d_explicit_cavity_develops(mesh):
     assert float(np.asarray(m.div_post)[-1]) < 1e-3
     assert 0.0 < float(np.asarray(m.energy)[-1]) < 0.5
     assert float(np.asarray(m.max_vel)[-1]) <= 1.0 + 1e-3
+
+
+def test_mac3d_stretched_explicit_matches_single_device(mesh):
+    # the last cell of the multi-chip solver matrix: 3D wall-clustered
+    # stretched MAC with the distributed 3D FDM projection
+    from cfdsim_tpu.cases import cavity3d_stretched
+    from cfdsim_tpu.parallel.mac_stretched3d_explicit import (
+        make_cavity3d_stretched_explicit_step,
+    )
+
+    n = 16
+    case = cavity3d_stretched(n=n, Re=100.0, beta=1.5)
+    rng = np.random.default_rng(1)
+    s_ref = case.state._replace(
+        u=jnp.asarray(0.1 * rng.standard_normal((n, n, n + 1)), jnp.float32),
+        v=jnp.asarray(0.1 * rng.standard_normal((n, n + 1, n)), jnp.float32),
+        w=jnp.asarray(0.1 * rng.standard_normal((n + 1, n, n)), jnp.float32),
+    )
+    step_ref = jax.jit(case.step)
+    step_ex = make_cavity3d_stretched_explicit_step(
+        case.cfg, mesh,
+        case.extras["x_faces"], case.extras["y_faces"], case.extras["z_faces"],
+    )
+    t = shard_trimmed_state3d(trim_state3d(s_ref), mesh)
+    r = s_ref
+    for _ in range(4):
+        t, m_ex = step_ex(t, jnp.float32(1.0))
+        r, m_ref = step_ref(r, jnp.float32(1.0))
+    np.testing.assert_allclose(np.asarray(t.u), np.asarray(r.u)[:, :, :-1],
+                               rtol=0, atol=3e-5)
+    np.testing.assert_allclose(np.asarray(t.v), np.asarray(r.v)[:, :-1, :],
+                               rtol=0, atol=3e-5)
+    np.testing.assert_allclose(np.asarray(t.w), np.asarray(r.w)[:-1],
+                               rtol=0, atol=3e-5)
+    np.testing.assert_allclose(float(m_ex.dt), float(m_ref.dt), rtol=1e-6)
+    np.testing.assert_allclose(float(m_ex.energy), float(m_ref.energy),
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(m_ex.vort_max), float(m_ref.vort_max),
+                               rtol=1e-4, atol=1e-4)
+    assert float(m_ex.div_post) < 5e-3  # exact distributed FDM projection
+    assert len(t.u.sharding.device_set) == 8
