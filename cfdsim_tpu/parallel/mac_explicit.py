@@ -37,7 +37,6 @@ asserted in tests/test_mac_explicit.py.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, NamedTuple
 
 import jax

@@ -26,7 +26,6 @@ from cfdsim_tpu.models.incompressible import StepMetrics
 from cfdsim_tpu.models.mac3d import MAC3DState
 from cfdsim_tpu.models.mac_stretched import _metrics
 from cfdsim_tpu.models.mac_stretched3d import StretchedMAC3DConfig
-from cfdsim_tpu.parallel.halo import _exchange_axis
 from cfdsim_tpu.parallel.mac_explicit import _pmax, _psum
 from cfdsim_tpu.parallel.mac3d_explicit import _halo_yx
 from cfdsim_tpu.parallel.transforms import make_fdm_poisson3d_local
@@ -74,7 +73,7 @@ def make_cavity3d_stretched_explicit_step(
     if ny_l < 2 or nx_l < 2:
         raise ValueError("local blocks must be at least 2x2 for width-1 halos")
 
-    # y/x metric lines (sliced per shard at trace... at run time by iy/ix)
+    # y/x metric lines (dynamic-sliced per shard by iy/ix at run time)
     inv_hx = _lut3(1.0 / mx.h, 2)
     inv_hy = _lut3(1.0 / my.h, 1)
     inv_dcx = _lut3(1.0 / mx.dc, 2)
