@@ -181,3 +181,23 @@ def test_trim_face_masks_rejects_boundary_body():
     mu, mv = cylinder_masks_mac(g, center=(0.5, 4.0), radius=0.5)
     with pytest.raises(ValueError, match="boundary"):
         trim_face_masks(mu, mv)
+
+
+@pytest.mark.parametrize("topo", [(1, 8), (8, 1), (4, 2)])
+def test_mac_explicit_other_topologies(topo):
+    # guard the x-split/y-split asymmetry bug class (the gather
+    # miscompile surfaced only under x-splitting): every topology must
+    # match the single-device step
+    py, px = topo
+    mesh = make_grid_mesh(8, topology=topo)
+    case = lid_cavity_mac(
+        n=32, Re=100.0, scheme="tvd", poisson=PoissonConfig(method="dct"),
+    )
+    step_ex = make_cavity_mac_explicit_step(case.cfg, mesh)
+    t, m_ex, r, m_ref = _run_pair(case, step_ex, mesh, seed=3, n_steps=3)
+    np.testing.assert_allclose(np.asarray(t.u), np.asarray(r.u)[:, :-1],
+                               rtol=0, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(t.v), np.asarray(r.v)[:-1, :],
+                               rtol=0, atol=2e-5)
+    np.testing.assert_allclose(float(m_ex.energy), float(m_ref.energy),
+                               rtol=1e-5)

@@ -109,3 +109,19 @@ def test_stretched_explicit_cylinder_matches(mesh):
                                rtol=1e-4, atol=1e-6)
     np.testing.assert_allclose(float(m_ex.fy), float(m_ref.fy),
                                rtol=1e-4, atol=1e-6)
+
+
+@pytest.mark.parametrize("topo", [(1, 8), (8, 1), (4, 2)])
+def test_stretched_explicit_other_topologies(topo):
+    mesh = make_grid_mesh(8, topology=topo)
+    case = cavity_stretched(n=32, Re=100.0, beta=1.5, scheme="central")
+    step_ex = make_cavity_stretched_explicit_step(
+        case.cfg, mesh, case.extras["x_faces"], case.extras["y_faces"]
+    )
+    t, m_ex, r, m_ref = _run_pair(case, step_ex, mesh, seed=4, n_steps=3)
+    np.testing.assert_allclose(np.asarray(t.u), np.asarray(r.u)[:, :-1],
+                               rtol=0, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(t.v), np.asarray(r.v)[:-1, :],
+                               rtol=0, atol=2e-5)
+    np.testing.assert_allclose(float(m_ex.energy), float(m_ref.energy),
+                               rtol=1e-5)
