@@ -63,6 +63,13 @@ class MACConfig:
     grid: Grid
     nu: float
     scheme: str = "central"  # central | upwind | tvd
+    # Smagorinsky LES on the staggered layout (the reference's LES,
+    # v5.py:96-110, paired with the exactly divergence-free solver):
+    # |S| is assembled on natural MAC locations — normal strains at cell
+    # centers, the shear at corners — and the variable-ν diffusion runs
+    # in flux form, so the scheme stays conservative
+    use_les: bool = False
+    smagorinsky_constant: float = 0.17
     poisson: PoissonConfig = PoissonConfig(method="dct")
     adaptive_dt: bool = True
     cfl_target: float = 0.5
@@ -286,6 +293,43 @@ def _advect(u, v, ue, ve, dx: float, dy: float, scheme: str):
     return conv_u, conv_v
 
 
+def smagorinsky_viscosity_mac(u, v, ue, ve, dx: float, dy: float, cs: float):
+    """ν_t = (C_s Δ)²|S| at cell centers from MAC face velocities:
+    the normal strains live naturally at centers, the shear at corners
+    (averaged back to centers). Reference physics v5.py:96-110 on the
+    staggered layout."""
+    delta = (dx * dy) ** 0.5
+    dudx = (u[:, 1:] - u[:, :-1]) * (1.0 / dx)          # (ny, nx) centers
+    dvdy = (v[1:, :] - v[:-1, :]) * (1.0 / dy)
+    dudy = (ue[1:, :] - ue[:-1, :]) * (1.0 / dy)        # (ny+1, nx+1) corners
+    dvdx = (ve[:, 1:] - ve[:, :-1]) * (1.0 / dx)
+    sh = dudy + dvdx                                    # 2·S12 at corners
+    sh_c = 0.25 * (sh[:-1, :-1] + sh[:-1, 1:] + sh[1:, :-1] + sh[1:, 1:])
+    s_mag = jnp.sqrt(2.0 * (dudx * dudx + dvdy * dvdy) + sh_c * sh_c)
+    return (cs * delta) ** 2 * s_mag
+
+
+def _diffuse_les(ue, ve, nu_eff_c, dx: float, dy: float):
+    """Flux-form variable-ν diffusion: ∇·(ν_eff ∇u) on interior u-faces
+    (ny, nx−1) / v-faces (ny−1, nx). ν_eff lives at cell centers; the
+    cross-derivative fluxes use corner-averaged ν (edge-clamped)."""
+    nu_e = jnp.pad(nu_eff_c, 1, mode="edge")
+    nu_k = 0.25 * (
+        nu_e[:-1, :-1] + nu_e[:-1, 1:] + nu_e[1:, :-1] + nu_e[1:, 1:]
+    )  # (ny+1, nx+1) corners
+    # u: d/dx(ν du/dx) + d/dy(ν du/dy)
+    fux = nu_eff_c * (ue[1:-1, 1:] - ue[1:-1, :-1]) * (1.0 / dx)  # centers
+    lap_u_x = (fux[:, 1:] - fux[:, :-1]) * (1.0 / dx)
+    fuy = nu_k * (ue[1:, :] - ue[:-1, :]) * (1.0 / dy)            # corners
+    lap_u_y = (fuy[1:, 1:-1] - fuy[:-1, 1:-1]) * (1.0 / dy)
+    # v: d/dx(ν dv/dx) + d/dy(ν dv/dy)
+    fvy = nu_eff_c * (ve[1:, 1:-1] - ve[:-1, 1:-1]) * (1.0 / dy)
+    lap_v_y = (fvy[1:, :] - fvy[:-1, :]) * (1.0 / dy)
+    fvx = nu_k * (ve[:, 1:] - ve[:, :-1]) * (1.0 / dx)
+    lap_v_x = (fvx[1:-1, 1:] - fvx[1:-1, :-1]) * (1.0 / dx)
+    return lap_u_x + lap_u_y, lap_v_x + lap_v_y
+
+
 def _diffuse(ue, ve, dx: float, dy: float):
     """5-point Laplacians on interior u-faces (ny, nx−1) / v-faces (ny−1, nx)
     using the ghost-extended arrays for tangential wall values."""
@@ -322,9 +366,11 @@ def center_velocities(u, v):
 # step builder
 # ---------------------------------------------------------------------------
 
-def _adaptive_dt(cfg: MACConfig, u, v, step, cfl_scale):
+def _adaptive_dt(cfg: MACConfig, u, v, step, cfl_scale, nu_total=None):
     """CFL + explicit-viscous dt (same policy as the collocated module,
-    reference adaptive_time_step v5.py:316-326)."""
+    reference adaptive_time_step v5.py:316-326). ``nu_total`` overrides
+    the molecular viscosity in the viscous bound (LES: ν + mean ν_t,
+    the collocated module's convention)."""
     if not cfg.adaptive_dt:
         return jnp.float32(cfg.dt_base)
     h = min(cfg.grid.dx, cfg.grid.dy)
@@ -332,7 +378,7 @@ def _adaptive_dt(cfg: MACConfig, u, v, step, cfl_scale):
         jnp.maximum(jnp.max(jnp.abs(u)), jnp.max(jnp.abs(v))), 1e-10
     )
     dt_cfl = cfg.cfl_target * cfl_scale * h / vel_max
-    dt_visc = 0.2 * h * h / cfg.nu
+    dt_visc = 0.2 * h * h / (cfg.nu if nu_total is None else nu_total)
     dt = jnp.clip(jnp.minimum(dt_cfl, dt_visc), cfg.dt_min, cfg.dt_max)
     if cfg.warmup_steps > 0:
         dt = jnp.where(step < cfg.warmup_steps, jnp.float32(cfg.warmup_dt), dt)
@@ -359,14 +405,26 @@ def make_step(
 
     def step(state: MACState, cfl_scale):
         u, v = bcs.set_normal(state.u, state.v, state.step, state.t)
-        dt = _adaptive_dt(cfg, u, v, state.step, cfl_scale)
         ue, ve = bcs.extend(u, v, state.step, state.t)
+        if cfg.use_les:
+            nu_t = smagorinsky_viscosity_mac(
+                u, v, ue, ve, dx, dy, cfg.smagorinsky_constant
+            )
+            nu_total = cfg.nu + jnp.mean(nu_t)
+        else:
+            nu_t = None
+            nu_total = None
+        dt = _adaptive_dt(cfg, u, v, state.step, cfl_scale, nu_total)
 
         conv_u, conv_v = _advect(u, v, ue, ve, dx, dy, cfg.scheme)
-        lap_u, lap_v = _diffuse(ue, ve, dx, dy)
+        if cfg.use_les:
+            visc_u, visc_v = _diffuse_les(ue, ve, cfg.nu + nu_t, dx, dy)
+        else:
+            lap_u, lap_v = _diffuse(ue, ve, dx, dy)
+            visc_u, visc_v = cfg.nu * lap_u, cfg.nu * lap_v
 
-        u_star = u.at[:, 1:-1].add(dt * (cfg.nu * lap_u - conv_u))
-        v_star = v.at[1:-1, :].add(dt * (cfg.nu * lap_v - conv_v))
+        u_star = u.at[:, 1:-1].add(dt * (visc_u - conv_u))
+        v_star = v.at[1:-1, :].add(dt * (visc_v - conv_v))
         if forcing is not None:
             u_star = u_star + dt * forcing[0]
             v_star = v_star + dt * forcing[1]
