@@ -225,6 +225,11 @@ def make_mac_explicit_step(
         raise ValueError(
             "explicit MAC step supports poisson method 'rbsor' or 'dct'"
         )
+    if getattr(cfg, "use_les", False):
+        raise ValueError(
+            "the explicit sharded MAC step has no LES yet; use the "
+            "single-device mac.make_step (or GSPMD for even shapes)"
+        )
     if cfg.poisson.method == "rbsor" and cfg.poisson.tol > 0.0:
         raise ValueError("explicit MAC rbsor runs a fixed sweep budget (tol=0)")
 
