@@ -94,6 +94,10 @@ def make_explicit_step(
     py = mesh.shape["y"]
     px = mesh.shape["x"]
     n_global = float(g.nx * g.ny)
+    # the distributed DST needs pencil-splittable local blocks; under
+    # implicit_solver="auto" fall back to Jacobi when they are not (an
+    # explicit "dst" request still surfaces the pencil error)
+    _pencil_ok = (g.ny // py) % max(px, 1) == 0 and (g.nx // px) % max(py, 1) == 0
     spec = P("y", "x")
     state_spec = IncompressibleState(u=spec, v=spec, p=spec, t=P(), step=P())
     metric_spec = StepMetrics(*([P()] * len(StepMetrics._fields)))
@@ -233,7 +237,8 @@ def make_explicit_step(
         # --- diffusion + predictor (v5.py:400-403)
         use_dst = cfg.diffusion == "implicit" and (
             cfg.implicit_solver == "dst"
-            or (cfg.implicit_solver == "auto" and not cfg.use_les)
+            or (cfg.implicit_solver == "auto" and not cfg.use_les
+                and _pencil_ok)
         )
         if use_dst:
             # exact distributed Dirichlet Helmholtz: pencil-decomposed

@@ -68,37 +68,18 @@ def _halo_yx(block, py: int, px: int, w: int = 1):
     return jnp.concatenate([lo, block, hi], axis=2)
 
 
-def make_cavity3d_mac_explicit_step(cfg: MAC3DConfig, mesh: Mesh,
-                                    lid_velocity: float = 1.0):
-    """Build ``step(tstate, cfl_scale) -> (tstate, StepMetrics)`` on the
-    trimmed 3D representation, P(None, "y", "x")-sharded."""
-    g = cfg.grid
-    nx, ny, nz = g.nx, g.ny, g.nz
-    dx, dy, dz = g.dx, g.dy, g.dz
-    ax, ay, az = 1.0 / dx**2, 1.0 / dy**2, 1.0 / dz**2
-    h = min(dx, dy, dz)
-    py = mesh.shape["y"]
-    px = mesh.shape["x"]
-    ny_l, nx_l = ny // py, nx // px
-    if ny % py or nx % px:
-        raise ValueError(f"grid {ny}x{nx} not divisible by mesh {py}x{px}")
-    if ny_l < 2 or nx_l < 2:
-        raise ValueError("local blocks must be at least 2x2 for width-1 halos")
-    if cfg.poisson.method != "dct":
-        raise ValueError("explicit 3D MAC step supports poisson method 'dct'")
+def cavity3d_bc_kit(nx: int, ny: int, py: int, px: int,
+                    ny_l: int, nx_l: int):
+    """Shared trimmed-state cavity BC machinery for the 3D explicit steps
+    (uniform and stretched): ``build(iy, ix)`` → (ro, co, rp, cp,
+    set_normal, pad), where ``set_normal`` applies the in-trimmed-array
+    normal-face writes and ``pad`` halo-pads + writes the dropped boundary
+    faces and tangential ghosts (no-slip side walls; the z-direction lid
+    ghosts are applied by the caller since they carry the lid velocity)."""
 
-    from cfdsim_tpu.parallel.transforms import dct_poisson3d_local
-
-    spec = P(None, "y", "x")
-    state_spec = MAC3DState(u=spec, v=spec, w=spec, p=spec, t=P(), step=P())
-    metric_spec = StepMetrics(*([P()] * len(StepMetrics._fields)))
-
-    def step_local(ts: MAC3DState, cfl_scale):
-        iy = lax.axis_index("y")
-        ix = lax.axis_index("x")
+    def build(iy, ix):
         gy0 = iy * ny_l
         gx0 = ix * nx_l
-        # 2D global index grids, broadcast over z in the masked writes
         ro = gy0 + lax.broadcasted_iota(jnp.int32, (ny_l, nx_l), 0)[None]
         co = gx0 + lax.broadcasted_iota(jnp.int32, (ny_l, nx_l), 1)[None]
         shp_p = (ny_l + 2, nx_l + 2)
@@ -134,6 +115,43 @@ def make_cavity3d_mac_explicit_step(cfg: MAC3DConfig, mesh: Mesh,
             Wz = jnp.where(cp == -1, -jnp.roll(Wz, -1, axis=2), Wz)
             Wz = jnp.where(cp == nx, -jnp.roll(Wz, 1, axis=2), Wz)
             return U, V, Wz
+
+        return ro, co, rp, cp, set_normal, pad
+
+    return build
+
+
+def make_cavity3d_mac_explicit_step(cfg: MAC3DConfig, mesh: Mesh,
+                                    lid_velocity: float = 1.0):
+    """Build ``step(tstate, cfl_scale) -> (tstate, StepMetrics)`` on the
+    trimmed 3D representation, P(None, "y", "x")-sharded."""
+    g = cfg.grid
+    nx, ny, nz = g.nx, g.ny, g.nz
+    dx, dy, dz = g.dx, g.dy, g.dz
+    ax, ay, az = 1.0 / dx**2, 1.0 / dy**2, 1.0 / dz**2
+    h = min(dx, dy, dz)
+    py = mesh.shape["y"]
+    px = mesh.shape["x"]
+    ny_l, nx_l = ny // py, nx // px
+    if ny % py or nx % px:
+        raise ValueError(f"grid {ny}x{nx} not divisible by mesh {py}x{px}")
+    if ny_l < 2 or nx_l < 2:
+        raise ValueError("local blocks must be at least 2x2 for width-1 halos")
+    if cfg.poisson.method != "dct":
+        raise ValueError("explicit 3D MAC step supports poisson method 'dct'")
+
+    from cfdsim_tpu.parallel.transforms import dct_poisson3d_local
+
+    spec = P(None, "y", "x")
+    state_spec = MAC3DState(u=spec, v=spec, w=spec, p=spec, t=P(), step=P())
+    metric_spec = StepMetrics(*([P()] * len(StepMetrics._fields)))
+
+    bc_kit = cavity3d_bc_kit(nx, ny, py, px, ny_l, nx_l)
+
+    def step_local(ts: MAC3DState, cfl_scale):
+        iy = lax.axis_index("y")
+        ix = lax.axis_index("x")
+        ro, co, rp, cp, set_normal, pad = bc_kit(iy, ix)
 
         u_t, v_t, w_t = set_normal(ts.u, ts.v, ts.w)
         U, V, Wz = pad(u_t, v_t, w_t)

@@ -149,7 +149,7 @@ def external_flow_mac_local_bcs(
         if yc_pad is None:
             y = y_min + (gr.astype(jnp.float32) + 0.5) * dy
         else:
-            start = gr[0, 0] + 4  # gr rows are gy0−w + iota; +_pad offset
+            start = gr[0, 0] + _pad  # gr rows are gy0−w + iota
             y = lax.dynamic_slice(yc_pad, (start,), (gr.shape[0],))[:, None]
         scale = jnp.minimum(1.0, step / perturb_ramp_steps) * perturb_amp
         pert = scale * jnp.sin(2.0 * jnp.pi * y / y_max + 0.02 * step)
@@ -363,8 +363,9 @@ def make_mac_explicit_step(
             dudy = (UN[1:-1, 1:-1] - UN[:-2, 1:-1]) * (1.0 / dy)
             corner_ok = (gr0 >= 1) & (gc0 >= 1)  # global corners 1..n−1
             vort = jnp.where(corner_ok, dvdx - dudy, 0.0)
-            # poisson_res: |lap_neumann(phi) − rhs| over all cells
-            PP = clamp_global_edges(halo_exchange(phi, py, px, width=1), width=1)
+            # poisson_res: |lap_neumann(phi) − rhs| over all cells (PH
+            # already holds the width-1 exchange from the correction)
+            PP = clamp_global_edges(PH, width=1)
             lap_n = (
                 ax * (PP[1:-1, 2:] + PP[1:-1, :-2])
                 + ay * (PP[2:, 1:-1] + PP[:-2, 1:-1])

@@ -27,7 +27,7 @@ from cfdsim_tpu.models.mac3d import MAC3DState
 from cfdsim_tpu.models.mac_stretched import _metrics
 from cfdsim_tpu.models.mac_stretched3d import StretchedMAC3DConfig
 from cfdsim_tpu.parallel.mac_explicit import _pmax, _psum
-from cfdsim_tpu.parallel.mac3d_explicit import _halo_yx
+from cfdsim_tpu.parallel.mac3d_explicit import _halo_yx, cavity3d_bc_kit
 from cfdsim_tpu.parallel.transforms import make_fdm_poisson3d_local
 
 _PAD = 4
@@ -99,39 +99,15 @@ def make_cavity3d_stretched_explicit_step(
     state_spec = MAC3DState(u=spec, v=spec, w=spec, p=spec, t=P(), step=P())
     metric_spec = StepMetrics(*([P()] * len(StepMetrics._fields)))
 
+    bc_kit = cavity3d_bc_kit(nx, ny, py, px, ny_l, nx_l)
+
     def step_local(ts: MAC3DState, cfl_scale):
         iy = lax.axis_index("y")
         ix = lax.axis_index("x")
         gy0 = iy * ny_l
         gx0 = ix * nx_l
-        ro = gy0 + lax.broadcasted_iota(jnp.int32, (ny_l, nx_l), 0)[None]
-        co = gx0 + lax.broadcasted_iota(jnp.int32, (ny_l, nx_l), 1)[None]
-        shp_p = (ny_l + 2, nx_l + 2)
-        rp = gy0 - 1 + lax.broadcasted_iota(jnp.int32, shp_p, 0)[None]
-        cp = gx0 - 1 + lax.broadcasted_iota(jnp.int32, shp_p, 1)[None]
-
-        def set_normal(u_t, v_t, w_t):
-            u_t = jnp.where(co == 0, 0.0, u_t)
-            v_t = jnp.where(ro == 0, 0.0, v_t)
-            w_t = w_t.at[0].set(0.0)
-            return u_t, v_t, w_t
-
-        def pad(u_t, v_t, w_t):
-            U = _halo_yx(u_t, py, px)
-            V = _halo_yx(v_t, py, px)
-            W = _halo_yx(w_t, py, px)
-            U = jnp.where(cp == nx, 0.0, U)
-            V = jnp.where(rp == ny, 0.0, V)
-            Wz = jnp.concatenate([W, jnp.zeros_like(W[:1])], axis=0)
-            U = jnp.where(rp == -1, -jnp.roll(U, -1, axis=1), U)
-            U = jnp.where(rp == ny, -jnp.roll(U, 1, axis=1), U)
-            V = jnp.where(cp == -1, -jnp.roll(V, -1, axis=2), V)
-            V = jnp.where(cp == nx, -jnp.roll(V, 1, axis=2), V)
-            Wz = jnp.where(rp == -1, -jnp.roll(Wz, -1, axis=1), Wz)
-            Wz = jnp.where(rp == ny, -jnp.roll(Wz, 1, axis=1), Wz)
-            Wz = jnp.where(cp == -1, -jnp.roll(Wz, -1, axis=2), Wz)
-            Wz = jnp.where(cp == nx, -jnp.roll(Wz, 1, axis=2), Wz)
-            return U, V, Wz
+        ro, co, rp, cp, set_normal, pad = bc_kit(iy, ix)
+        del rp, cp  # only the trimmed-grid masks are used below
 
         u_t, v_t, w_t = set_normal(ts.u, ts.v, ts.w)
         U, V, Wz = pad(u_t, v_t, w_t)

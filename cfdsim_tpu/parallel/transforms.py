@@ -45,6 +45,14 @@ def _check_pencil(shape, py: int, px: int):
         )
 
 
+def _a2a(t, name: str, split: int, concat: int, n: int):
+    """tiled all_to_all along mesh axis ``name`` (identity when n == 1)."""
+    if n == 1:
+        return t
+    return lax.all_to_all(t, name, split_axis=split, concat_axis=concat,
+                          tiled=True)
+
+
 def to_x_pencil(block, px: int):
     """Block (ny_l, nx_l) → x-pencil (ny_l/px, nx_g): each device in an
     x-group keeps a slice of its rows but gains the full global x extent."""
@@ -155,20 +163,14 @@ def dct_poisson3d_local(rhs_b, dx: float, dy: float, dz: float,
     ny_g = ny_l * py
     nx_g = nx_l * px
 
-    def a2a(t, name, split, concat, n):
-        if n == 1:
-            return t
-        return lax.all_to_all(t, name, split_axis=split, concat_axis=concat,
-                              tiled=True)
-
     # z transform: fully local
     t = _dct_fwd(rhs_b, axis=0)
     # x transform: x-pencil (nz, ny_l/px, nx_g)
-    t = a2a(t, "x", 1, 2, px)
+    t = _a2a(t, "x", 1, 2, px)
     t = _dct_fwd(t, axis=2)
-    t = a2a(t, "x", 2, 1, px)
+    t = _a2a(t, "x", 2, 1, px)
     # y transform → y-pencil (nz, ny_g, nx_l/py)
-    t = a2a(t, "y", 2, 1, py)
+    t = _a2a(t, "y", 2, 1, py)
     t = _dct_fwd(t, axis=1)
 
     iy = lax.axis_index("y")
@@ -188,10 +190,10 @@ def dct_poisson3d_local(rhs_b, dx: float, dy: float, dz: float,
     t = t * jnp.where(zero_mode, 0.0, 1.0 / jnp.where(zero_mode, 1.0, lam))
 
     t = _dct_inv(t, axis=1)
-    t = a2a(t, "y", 1, 2, py)
-    t = a2a(t, "x", 1, 2, px)
+    t = _a2a(t, "y", 1, 2, py)
+    t = _a2a(t, "x", 1, 2, px)
     t = _dct_inv(t, axis=2)
-    t = a2a(t, "x", 2, 1, px)
+    t = _a2a(t, "x", 2, 1, px)
     return _dct_inv(t, axis=0).astype(rhs_b.dtype)
 
 
@@ -223,7 +225,6 @@ def make_fdm_poisson_local(hx, hy, py: int, px: int,
     Vyi_c = jnp.asarray(Vyi, jnp.float32)
     lx_c = jnp.asarray(lx, jnp.float32)
     ly_c = jnp.asarray(ly, jnp.float32)
-    nx_g = len(hx)
 
     def solve(rhs_b):
         _check_pencil(rhs_b.shape, py, px)
@@ -251,7 +252,6 @@ def make_fdm_poisson_local(hx, hy, py: int, px: int,
         t = t @ VxT_c
         return from_x_pencil(t, px).astype(rhs_b.dtype)
 
-    del nx_g
     return solve
 
 
@@ -290,12 +290,6 @@ def make_fdm_poisson3d_local(hx, hy, hz, py: int, px: int,
     ly_c = jnp.asarray(ly, jnp.float32)
     lz_c = jnp.asarray(lz, jnp.float32)
 
-    def a2a(t, name, split, concat, n):
-        if n == 1:
-            return t
-        return lax.all_to_all(t, name, split_axis=split, concat_axis=concat,
-                              tiled=True)
-
     def solve(rhs_b):
         nz, ny_l, nx_l = rhs_b.shape
         if ny_l % max(px, 1) != 0 or nx_l % max(py, 1) != 0:
@@ -308,10 +302,10 @@ def make_fdm_poisson3d_local(hx, hy, hz, py: int, px: int,
         ix = lax.axis_index("x")
 
         t = jnp.einsum("ab,byx->ayx", Vzi_c, rhs_b)       # z (local)
-        t = a2a(t, "x", 1, 2, px)
+        t = _a2a(t, "x", 1, 2, px)
         t = t @ VxiT_c                                     # x (pencil)
-        t = a2a(t, "x", 2, 1, px)
-        t = a2a(t, "y", 2, 1, py)
+        t = _a2a(t, "x", 2, 1, px)
+        t = _a2a(t, "y", 2, 1, py)
         t = jnp.einsum("ab,zbx->zax", Vyi_c, t)            # y (pencil)
 
         lx_loc = lax.dynamic_slice(lx_c, (ix * nx_l + iy * q,), (q,))
@@ -322,10 +316,10 @@ def make_fdm_poisson3d_local(hx, hy, hz, py: int, px: int,
         t = t * jnp.where(small, 0.0, 1.0 / jnp.where(small, 1.0, lam))
 
         t = jnp.einsum("ab,zbx->zax", Vy_c, t)
-        t = a2a(t, "y", 1, 2, py)
-        t = a2a(t, "x", 1, 2, px)
+        t = _a2a(t, "y", 1, 2, py)
+        t = _a2a(t, "x", 1, 2, px)
         t = t @ VxT_c
-        t = a2a(t, "x", 2, 1, px)
+        t = _a2a(t, "x", 2, 1, px)
         return jnp.einsum("ab,byx->ayx", Vz_c, t).astype(rhs_b.dtype)
 
     return solve

@@ -231,3 +231,19 @@ def test_explicit_runner_soak_with_snapshots(tmp_path):
     assert len(state.u.sharding.device_set) == 8
     assert len(list_steps(tmp_path / "soak.h5")) >= 3
     assert bool(jnp.all(jnp.isfinite(state.u)))
+
+
+def test_explicit_implicit_auto_falls_back_when_not_pencil_splittable():
+    # 36² on a (2,4) mesh: local blocks (18, 9) are mesh-divisible but NOT
+    # pencil-splittable (18 % 4 ≠ 0) — implicit_solver="auto" must fall
+    # back to the Jacobi branch instead of raising at trace time
+    mesh = make_grid_mesh(8, topology=(2, 4))
+    case = lid_cavity(
+        n=36, Re=100.0, scheme="central", diffusion="implicit",
+        implicit_solver="auto", implicit_iters=8,
+        poisson=PoissonConfig(method="rbsor", iters=20, omega=1.7),
+    )
+    step_ex = jax.jit(make_cavity_explicit_step(case.cfg, mesh))
+    s = shard_state(case.state, mesh)
+    s, m = step_ex(s, jnp.float32(1.0))
+    assert bool(jnp.all(jnp.isfinite(s.u)))
