@@ -225,11 +225,6 @@ def make_mac_explicit_step(
         raise ValueError(
             "explicit MAC step supports poisson method 'rbsor' or 'dct'"
         )
-    if getattr(cfg, "use_les", False):
-        raise ValueError(
-            "the explicit sharded MAC step has no LES yet; use the "
-            "single-device mac.make_step (or GSPMD for even shapes)"
-        )
     if cfg.poisson.method == "rbsor" and cfg.poisson.tol > 0.0:
         raise ValueError("explicit MAC rbsor runs a fixed sweep budget (tol=0)")
 
@@ -265,6 +260,39 @@ def make_mac_explicit_step(
         u_t, v_t, a = set_normal(tstate.u, tstate.v)
         U, V, (grU, gfU, grV, gcV) = pad(u_t, v_t, a, w=2)
 
+        # --- staggered Smagorinsky LES (mac.smagorinsky_viscosity_mac /
+        # _diffuse_les on the padded blocks): ν_t at a width-1 cell window
+        # around the owned cells, with the single-device edge-padding of
+        # ν reproduced by global-index roll substitutions at domain edges
+        if cfg.use_les:
+            idx = 1.0 / dx
+            idy = 1.0 / dy
+            DUX0 = (U[:, 1:] - U[:, :-1]) * idx      # cells (gy0−2+r, gx0−2+c)
+            DVY0 = (V[1:, :] - V[:-1, :]) * idy
+            DUDY = (U[1:, :] - U[:-1, :]) * idy      # corners (gy0−1+r, ·)
+            DVDX = (V[:, 1:] - V[:, :-1]) * idx      # corners (·, gx0−1+c)
+            SH = DUDY[:, 1:] + DVDX[1:, :]           # canonical corners
+            SHC = 0.25 * (
+                SH[:-1, :-1] + SH[:-1, 1:] + SH[1:, :-1] + SH[1:, 1:]
+            )  # cells (gy0−1+i, gx0−1+j), (ny_l+2, nx_l+2)
+            DUXw = DUX0[1:-1, 1:]
+            DVYw = DVY0[1:, 1:-1]
+            s_mag = jnp.sqrt(
+                2.0 * (DUXw * DUXw + DVYw * DVYw) + SHC * SHC
+            )
+            cs_d2 = (cfg.smagorinsky_constant * (dx * dy) ** 0.5) ** 2
+            NUT = cs_d2 * s_mag
+            gri = gr0[0, 0] - 1 + lax.broadcasted_iota(jnp.int32, NUT.shape, 0)
+            gci = gc0[0, 0] - 1 + lax.broadcasted_iota(jnp.int32, NUT.shape, 1)
+            NUT = jnp.where(gri == -1, jnp.roll(NUT, -1, axis=0), NUT)
+            NUT = jnp.where(gri == ny, jnp.roll(NUT, 1, axis=0), NUT)
+            NUT = jnp.where(gci == -1, jnp.roll(NUT, -1, axis=1), NUT)
+            NUT = jnp.where(gci == nx, jnp.roll(NUT, 1, axis=1), NUT)
+            nu_mean = _psum(jnp.sum(NUT[1:-1, 1:-1])) / float(ny * nx)
+            nu_total = cfg.nu + nu_mean
+        else:
+            nu_total = None
+
         # --- adaptive dt (mac.py _adaptive_dt); max is association-free so
         # the duplicated halo faces cost nothing
         real_u = (grU >= 0) & (grU < ny) & (gfU >= 0) & (gfU <= nx)
@@ -279,7 +307,7 @@ def make_mac_explicit_step(
             vel_max = jnp.maximum(vel_max, 1e-10)
             h = min(dx, dy)
             dt_cfl = cfg.cfl_target * cfl_scale * h / vel_max
-            dt_visc = 0.2 * h * h / cfg.nu
+            dt_visc = 0.2 * h * h / (cfg.nu if nu_total is None else nu_total)
             dt = jnp.clip(jnp.minimum(dt_cfl, dt_visc), cfg.dt_min, cfg.dt_max)
             if cfg.warmup_steps > 0:
                 dt = jnp.where(
@@ -294,16 +322,37 @@ def make_mac_explicit_step(
         conv_u, conv_v = _advect_local(
             U, V, grU, gfU, grV, gcV, ny, nx, dx, dy, cfg.scheme
         )
-        lap_u = (U[2:-2, 3:-1] - 2.0 * U[2:-2, 2:-2] + U[2:-2, 1:-3]) * ax + (
-            U[3:-1, 2:-2] - 2.0 * U[2:-2, 2:-2] + U[1:-3, 2:-2]
-        ) * ay
-        lap_v = (V[2:-2, 3:-1] - 2.0 * V[2:-2, 2:-2] + V[2:-2, 1:-3]) * ax + (
-            V[3:-1, 2:-2] - 2.0 * V[2:-2, 2:-2] + V[1:-3, 2:-2]
-        ) * ay
+        if cfg.use_les:
+            # flux-form variable-ν diffusion (mac._diffuse_les sharded)
+            NUE = cfg.nu + NUT
+            NU_K = 0.25 * (
+                NUE[:-1, :-1] + NUE[:-1, 1:] + NUE[1:, :-1] + NUE[1:, 1:]
+            )  # corners (gy0+a, gx0+b), (ny_l+1, nx_l+1)
+            FUX = NUE[1:-1, :] * DUXw[1:-1, :]
+            lap_u_x = (FUX[:, 1 : 1 + nx_l] - FUX[:, 0:nx_l]) * (1.0 / dx)
+            DUDYc = DUDY[:, 1:][1 : ny_l + 2, 1 : nx_l + 2]
+            FUY = NU_K * DUDYc
+            lap_u_y = ((FUY[1:, :] - FUY[:-1, :]) * (1.0 / dy))[:, :nx_l]
+            visc_u = lap_u_x + lap_u_y
+            FVY = NUE[:, 1:-1] * DVYw[:, 1:-1]
+            lap_v_y = (FVY[1 : 1 + ny_l, :] - FVY[0:ny_l, :]) * (1.0 / dy)
+            DVDXc = DVDX[1:, :][1 : ny_l + 2, 1 : nx_l + 2]
+            FVX = NU_K * DVDXc
+            lap_v_x = (FVX[:ny_l, 1:] - FVX[:ny_l, :-1]) * (1.0 / dx)
+            visc_v = lap_v_x + lap_v_y
+        else:
+            lap_u = (U[2:-2, 3:-1] - 2.0 * U[2:-2, 2:-2] + U[2:-2, 1:-3]) * ax + (
+                U[3:-1, 2:-2] - 2.0 * U[2:-2, 2:-2] + U[1:-3, 2:-2]
+            ) * ay
+            lap_v = (V[2:-2, 3:-1] - 2.0 * V[2:-2, 2:-2] + V[2:-2, 1:-3]) * ax + (
+                V[3:-1, 2:-2] - 2.0 * V[2:-2, 2:-2] + V[1:-3, 2:-2]
+            ) * ay
+            visc_u = cfg.nu * lap_u
+            visc_v = cfg.nu * lap_v
 
         # predictor on interior faces only (mac.py u.at[:,1:-1] / v.at[1:-1])
-        u_star = u_t + jnp.where(gc0 >= 1, dt * (cfg.nu * lap_u - conv_u), 0.0)
-        v_star = v_t + jnp.where(gr0 >= 1, dt * (cfg.nu * lap_v - conv_v), 0.0)
+        u_star = u_t + jnp.where(gc0 >= 1, dt * (visc_u - conv_u), 0.0)
+        v_star = v_t + jnp.where(gr0 >= 1, dt * (visc_v - conv_v), 0.0)
         u_star, v_star, a = set_normal(u_star, v_star)
 
         # --- IBM penalization + body force (mac.py make_step ibm block)

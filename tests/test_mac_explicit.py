@@ -201,3 +201,22 @@ def test_mac_explicit_other_topologies(topo):
                                rtol=0, atol=2e-5)
     np.testing.assert_allclose(float(m_ex.energy), float(m_ref.energy),
                                rtol=1e-5)
+
+
+def test_mac_explicit_cavity_les_matches(mesh):
+    # staggered Smagorinsky under sharding: ν_t window assembly, edge
+    # replication, corner-ν averaging, flux-form diffusion, ν-aware dt
+    case = lid_cavity_mac(
+        n=32, Re=2000.0, scheme="tvd", use_les=True,
+        poisson=PoissonConfig(method="dct"),
+    )
+    step_ex = make_cavity_mac_explicit_step(case.cfg, mesh)
+    t, m_ex, r, m_ref = _run_pair(case, step_ex, mesh, seed=5)
+    np.testing.assert_allclose(np.asarray(t.u), np.asarray(r.u)[:, :-1],
+                               rtol=0, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(t.v), np.asarray(r.v)[:-1, :],
+                               rtol=0, atol=2e-5)
+    # dt is ν_t-mean-dependent → psum reassociation tolerance
+    np.testing.assert_allclose(float(m_ex.dt), float(m_ref.dt), rtol=1e-5)
+    np.testing.assert_allclose(float(m_ex.energy), float(m_ref.energy),
+                               rtol=1e-5)
