@@ -115,6 +115,27 @@ def run_secondary(n=1024):
         p, rhs, h, h, PoissonConfig(method="dct")))
     results.append({"metric": "poisson_dct_solves_per_sec_1024", "value": 1.0 / m,
                     "unit": "solves/s"})
+
+    # solver-tier throughputs (BENCHNOTES "Headline" table): the staggered
+    # accuracy tier and the stretched FDM tier
+    from cfdsim_tpu.cases import cavity_stretched, lid_cavity_mac
+
+    case = lid_cavity_mac(n=n, Re=1000.0, poisson=PoissonConfig(method="dct"),
+                          compute_metrics=False)
+    t1, _ = _timed_chunk(case, case.state, 100)
+    t2, _ = _timed_chunk(case, case.state, 600)
+    results.append({
+        "metric": f"cell_updates_per_sec_cavity_mac{n}",
+        "value": n * n * 500 / (t2 - t1), "unit": "cells/s",
+    })
+    ns = n // 2
+    case = cavity_stretched(n=ns, Re=1000.0, beta=1.5, compute_metrics=False)
+    t1, _ = _timed_chunk(case, case.state, 100)
+    t2, _ = _timed_chunk(case, case.state, 600)
+    results.append({
+        "metric": f"cell_updates_per_sec_cavity_stretched{ns}",
+        "value": ns * ns * 500 / (t2 - t1), "unit": "cells/s",
+    })
     return results
 
 
