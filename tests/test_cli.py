@@ -83,6 +83,7 @@ def test_every_registered_case_builds_and_steps():
         "cavity3d": dict(n=8),
         "cavity3d_mac": dict(n=8),
         "cavity3d_stretched": dict(n=8),
+        "heated_cavity": dict(n=16),
         "blast3d": dict(n=12),
     }
     assert set(tiny) == set(CASES), "update the tiny-shape table"
