@@ -37,7 +37,7 @@ class Compressible3DState(NamedTuple):
 class Compressible3DConfig:
     grid: Grid3D
     gamma: float = 1.4
-    flux: str = "hllc"  # rusanov | hllc
+    flux: str = "hllc"  # rusanov | hllc | roe
     reconstruction: str = "none"  # none | muscl
     limiter: str = "minmod"
     cfl: float = 0.3

@@ -344,4 +344,79 @@ def hllc_flux_nd(UL, UR, gamma: float, vaxis: int, eps: float = 1e-8,
     )
 
 
-FLUXES_ND = {"rusanov": rusanov_flux_nd, "hllc": hllc_flux_nd}
+def roe_flux_nd(UL, UR, gamma: float, vaxis: int, eps: float = 1e-8,
+                max_val: float = 1e3):
+    """Textbook Roe flux for any velocity dimension: characteristic
+    decomposition (acoustic pair + entropy wave + D−1 shear waves) with
+    the Harten entropy fix — the dimension-generic form of the validated
+    2D ``roe_flux`` (reference intent: v1_shock.py:97-145)."""
+    rL, vL, pL = cons_to_prim_nd(UL, gamma, eps, max_val)
+    rR, vR, pR = cons_to_prim_nd(UR, gamma, eps, max_val)
+    ndim = len(vL)
+    wL = jnp.sqrt(jnp.maximum(rL, eps))
+    wR = jnp.sqrt(jnp.maximum(rR, eps))
+    inv_w = 1.0 / (wL + wR)
+    v_roe = [(wL * vL[i] + wR * vR[i]) * inv_w for i in range(ndim)]
+    EL = jnp.clip(UL[-1] / jnp.maximum(UL[0], eps), eps, max_val)
+    ER = jnp.clip(UR[-1] / jnp.maximum(UR[0], eps), eps, max_val)
+    hL = EL + pL / jnp.maximum(rL, eps)
+    hR = ER + pR / jnp.maximum(rR, eps)
+    h_roe = (wL * hL + wR * hR) * inv_w
+    ke_roe = 0.5 * sum(c * c for c in v_roe)
+    a_roe = jnp.sqrt(jnp.maximum((gamma - 1.0) * (h_roe - ke_roe), eps))
+    rho_roe = wL * wR
+
+    q_roe = v_roe[vaxis]
+    dq = vR[vaxis] - vL[vaxis]
+    drho = rR - rL
+    dp = pR - pL
+    a2_inv = 1.0 / (a_roe * a_roe)
+    alpha1 = 0.5 * (dp - rho_roe * a_roe * dq) * a2_inv
+    alpha2 = drho - dp * a2_inv
+    alpha3 = 0.5 * (dp + rho_roe * a_roe * dq) * a2_inv
+
+    def harten(lam):
+        delta = 0.1 * a_roe
+        return jnp.where(
+            jnp.abs(lam) < delta, lam * lam / (2.0 * delta) + 0.5 * delta,
+            jnp.abs(lam),
+        )
+
+    l1 = harten(q_roe - a_roe)
+    l2 = jnp.abs(q_roe)
+    l3 = harten(q_roe + a_roe)
+
+    one = jnp.ones_like(q_roe)
+    zero = jnp.zeros_like(q_roe)
+
+    def eigvec(vel_normal, energy):
+        return jnp.stack(
+            [one]
+            + [vel_normal if i == vaxis else v_roe[i] for i in range(ndim)]
+            + [energy]
+        )
+
+    r1 = eigvec(q_roe - a_roe, h_roe - q_roe * a_roe)
+    r3 = eigvec(q_roe + a_roe, h_roe + q_roe * a_roe)
+    r2 = jnp.stack([one] + list(v_roe) + [ke_roe])
+    diss = (
+        (alpha1 * l1)[None] * r1
+        + (alpha2 * l2)[None] * r2
+        + (alpha3 * l3)[None] * r3
+    )
+    for i in range(ndim):
+        if i == vaxis:
+            continue
+        alpha_s = rho_roe * (vR[i] - vL[i])
+        r_s = jnp.stack(
+            [zero] + [one if j == i else zero for j in range(ndim)] + [v_roe[i]]
+        )
+        diss = diss + (alpha_s * l2)[None] * r_s
+
+    FL = euler_flux_nd(UL, gamma, vaxis, eps, max_val)
+    FR = euler_flux_nd(UR, gamma, vaxis, eps, max_val)
+    return 0.5 * (FL + FR) - 0.5 * diss
+
+
+FLUXES_ND = {"rusanov": rusanov_flux_nd, "hllc": hllc_flux_nd,
+             "roe": roe_flux_nd}

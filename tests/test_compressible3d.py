@@ -61,7 +61,7 @@ def test_nd_flux_consistency():
             )
 
 
-def _sod3d_along(axis: int, n=200):
+def _sod3d_along(axis: int, n=200, flux="hllc"):
     """Sod tube along one spatial axis of a thin 3D box."""
     shape = [6, 6, 6]
     shape[axis] = n
@@ -70,7 +70,8 @@ def _sod3d_along(axis: int, n=200):
                   x_max=1.0 if axis == 2 else 0.03 * nx,
                   y_max=1.0 if axis == 1 else 0.03 * ny,
                   z_max=1.0 if axis == 0 else 0.03 * nz)
-    cfg = c3.Compressible3DConfig(grid=grid, cfl=0.3, reconstruction="muscl")
+    cfg = c3.Compressible3DConfig(grid=grid, cfl=0.3, reconstruction="muscl",
+                                  flux=flux)
     coords = (np.arange(shape[axis]) + 0.5) / shape[axis]
     left = coords < 0.5
     bshape = [1, 1, 1]
@@ -145,3 +146,18 @@ def test_blast3d_spherical_and_conservative():
     pz = rho[:, c, c]
     assert np.abs(px - py).max() < 0.02
     assert np.abs(px - pz).max() < 0.02
+
+
+@pytest.mark.parametrize("axis", [0, 1, 2])
+def test_sod3d_roe_every_axis(axis):
+    # dimension-generic textbook Roe (characteristic decomposition +
+    # Harten fix): same star states along every axis
+    x, rho = _sod3d_along(axis, flux="roe")
+
+    def mean_in(lo, hi):
+        sel = (x > lo) & (x < hi)
+        return rho[sel].mean()
+
+    assert mean_in(0.55, 0.65) == pytest.approx(0.42632, rel=0.04)
+    assert mean_in(0.72, 0.82) == pytest.approx(0.26557, rel=0.04)
+    assert mean_in(0.02, 0.15) == pytest.approx(1.0, rel=0.01)
