@@ -56,3 +56,39 @@ def test_heated_cavity_zero_ra_stays_conductive():
     assert float(jnp.max(jnp.abs(s.u))) < 1e-6
     np.testing.assert_allclose(float(np.asarray(ms.nu_hot_wall)[-1]), 1.0,
                                rtol=1e-3)
+
+
+def test_heated_cavity_explicit_sharded_matches():
+    # multi-chip natural convection: trimmed MAC faces + θ halos + exact
+    # distributed DCT projection must match the single-device step
+    from cfdsim_tpu.parallel.boussinesq_explicit import (
+        make_heated_cavity_explicit_step,
+        shard_boussinesq_state,
+        trim_boussinesq_state,
+    )
+    from cfdsim_tpu.parallel.mesh import make_grid_mesh
+
+    mesh = make_grid_mesh(8, topology=(2, 4))
+    case = heated_cavity(n=32, Ra=1e4)
+    step_ex = make_heated_cavity_explicit_step(case.cfg, mesh)
+    step_ref = jax.jit(case.step)
+    t = shard_boussinesq_state(trim_boussinesq_state(case.state), mesh)
+    r = case.state
+    m_ex = m_ref = None
+    for _ in range(40):
+        t, m_ex = step_ex(t, jnp.float32(1.0))
+        r, m_ref = step_ref(r, jnp.float32(1.0))
+    np.testing.assert_allclose(np.asarray(t.u), np.asarray(r.u)[:, :-1],
+                               rtol=0, atol=3e-5)
+    np.testing.assert_allclose(np.asarray(t.v), np.asarray(r.v)[:-1, :],
+                               rtol=0, atol=3e-5)
+    np.testing.assert_allclose(np.asarray(t.theta), np.asarray(r.theta),
+                               rtol=0, atol=3e-5)
+    np.testing.assert_allclose(float(m_ex.dt), float(m_ref.dt), rtol=1e-6)
+    np.testing.assert_allclose(float(m_ex.nu_hot_wall),
+                               float(m_ref.nu_hot_wall), rtol=1e-4)
+    np.testing.assert_allclose(float(m_ex.nu_mid), float(m_ref.nu_mid),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(float(m_ex.energy), float(m_ref.energy),
+                               rtol=1e-5)
+    assert len(t.u.sharding.device_set) == 8
