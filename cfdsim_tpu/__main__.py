@@ -137,7 +137,13 @@ def cmd_run(args, extra):
             h5 = csnap_to_hdf5(snap_path, out / "snapshots.h5")
         from cfdsim_tpu.viz import render_frames_from_hdf5
 
-        render_frames_from_hdf5(h5, out / "frames", grid=case.grid)
+        fields = ("velocity", "vorticity")
+        if hasattr(case.state, "theta") or hasattr(
+            getattr(case.state, "flow", None), "_fields"
+        ):
+            fields = ("velocity", "vorticity", "temperature")
+        render_frames_from_hdf5(h5, out / "frames", grid=case.grid,
+                                fields=fields)
         print(f"frames in {out / 'frames'}")
 
 

@@ -67,6 +67,12 @@ def render_frames_from_hdf5(
         }
         if "u" in data and "v" in data:
             u, v = data["u"], data["v"]
+            if u.shape != v.shape:
+                # staggered (MAC) snapshot: average faces to cell centers
+                if u.shape[1] == v.shape[1] + 1:
+                    u = 0.5 * (u[:, :-1] + u[:, 1:])
+                if v.shape[0] == u.shape[0] + 1:
+                    v = 0.5 * (v[:-1, :] + v[1:, :])
         elif "U" in data:
             U = data["U"]
             rho = np.maximum(U[0], 1e-8)
@@ -109,6 +115,16 @@ def render_frames_from_hdf5(
                 cf = ax.contourf(X, Y, w, levels=levels, cmap="inferno",
                                  extend="both")
                 fig.colorbar(cf, ax=ax, label="ω", shrink=0.8)
+            elif field == "temperature" and "theta" in data:
+                # Boussinesq / transport scalar frames (θ ∈ [cold, hot])
+                cf = ax.contourf(X, Y, data["theta"], levels=31,
+                                 cmap="coolwarm")
+                fig.colorbar(cf, ax=ax, label="θ", shrink=0.8)
+                try:
+                    ax.streamplot(X, Y, u, v, color="black", linewidth=0.4,
+                                  density=0.7)
+                except Exception:
+                    pass
             elif field == "density" and "U" in data:
                 cf = ax.contourf(X, Y, data["U"][0], levels=31, cmap="plasma")
                 fig.colorbar(cf, ax=ax, label="ρ", shrink=0.8)
