@@ -788,6 +788,41 @@ def heated_cavity(
                 {"Ra": Ra, "Pr": Pr})
 
 
+def rayleigh_benard(
+    ny: int = 48,
+    aspect: float = 2.0,
+    Ra: float = 3000.0,
+    Pr: float = 0.71,
+    perturb: float = 1e-3,
+    seed: int = 0,
+    **cfg_overrides,
+) -> Case:
+    """Rayleigh–Bénard convection: heated from below in an aspect-ratio
+    box with adiabatic side walls. Linear-stability validation: the
+    conducting state is stable below the critical Rayleigh number
+    Ra_c = 1708 (rigid-rigid) and convection rolls grow above it
+    (tests/test_boussinesq.py brackets the onset). ``perturb`` seeds the
+    instability with a small random θ disturbance."""
+    import numpy as np
+
+    from cfdsim_tpu.models import boussinesq as bq
+
+    nx = int(round(ny * aspect))
+    grid = Grid(nx=nx, ny=ny, x_max=aspect, y_max=1.0, centering="cell")
+    cfg = bq.BoussinesqConfig(
+        grid=grid, rayleigh=Ra, prandtl=Pr, heated_axis="y", **cfg_overrides
+    )
+    step = bq.make_step(cfg)
+    rng = np.random.default_rng(seed)
+    state = bq.init_state(cfg)
+    theta0 = np.asarray(state.theta) + perturb * rng.standard_normal(
+        (ny, nx)
+    ).astype(np.float32)
+    state = bq.init_state(cfg, theta0=theta0)
+    return Case("rayleigh_benard", cfg, step, state, grid,
+                {"Ra": Ra, "Pr": Pr, "aspect": aspect})
+
+
 def blast3d(
     n: int = 64,
     gamma: float = 1.4,
@@ -864,6 +899,7 @@ CASES: dict[str, Callable[..., Case]] = {
     "cavity3d_mac": cavity3d_mac,
     "cavity3d_stretched": cavity3d_stretched,
     "heated_cavity": heated_cavity,
+    "rayleigh_benard": rayleigh_benard,
     "blast3d": blast3d,
 }
 

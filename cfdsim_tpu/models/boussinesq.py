@@ -80,32 +80,56 @@ class BoussinesqConfig:
     dt_max: float = 1.0
     theta_hot: float = 1.0
     theta_cold: float = 0.0
+    # "x": differentially heated side walls (hot at x=0 — the de Vahl
+    # Davis cavity); "y": heated from below (hot at y=0 — Rayleigh–Bénard,
+    # critical Ra = 1708 for rigid-rigid boundaries)
+    heated_axis: str = "x"
 
 
-def init_state(cfg: BoussinesqConfig) -> BoussinesqState:
+def init_state(cfg: BoussinesqConfig, theta0=None) -> BoussinesqState:
     g = cfg.grid
     ny, nx = g.ny, g.nx
-    # conducting initial temperature profile (linear hot→cold)
-    xc = (jnp.arange(nx, dtype=jnp.float32) + 0.5) * g.dx / (g.x_max - g.x_min)
-    theta0 = cfg.theta_hot + (cfg.theta_cold - cfg.theta_hot) * xc
+    if theta0 is None:
+        # conducting initial temperature profile (linear hot→cold along
+        # the heated axis)
+        if cfg.heated_axis == "x":
+            c = (jnp.arange(nx, dtype=jnp.float32) + 0.5) * g.dx / (
+                g.x_max - g.x_min
+            )
+            prof = cfg.theta_hot + (cfg.theta_cold - cfg.theta_hot) * c
+            theta0 = jnp.broadcast_to(prof[None, :], (ny, nx))
+        else:
+            c = (jnp.arange(ny, dtype=jnp.float32) + 0.5) * g.dy / (
+                g.y_max - g.y_min
+            )
+            prof = cfg.theta_hot + (cfg.theta_cold - cfg.theta_hot) * c
+            theta0 = jnp.broadcast_to(prof[:, None], (ny, nx))
     return BoussinesqState(
         u=jnp.zeros((ny, nx + 1), jnp.float32),
         v=jnp.zeros((ny + 1, nx), jnp.float32),
         p=jnp.zeros((ny, nx), jnp.float32),
-        theta=jnp.broadcast_to(theta0[None, :], (ny, nx)).astype(jnp.float32),
+        theta=jnp.asarray(theta0, jnp.float32),
         t=jnp.float32(0.0),
         step=jnp.int32(0),
     )
 
 
-def _theta_ghost(theta, hot: float, cold: float):
-    """(ny+2, nx+2) ghost-extended θ: Dirichlet left/right walls (ghost =
-    2θ_wall − interior, cell-centered mirror), adiabatic top/bottom."""
+def _theta_ghost(theta, hot: float, cold: float, heated_axis: str = "x"):
+    """(ny+2, nx+2) ghost-extended θ: Dirichlet on the heated pair of
+    walls (ghost = 2θ_wall − interior, cell-centered mirror), adiabatic
+    on the other pair. heated_axis="x": hot left / cold right (de Vahl
+    Davis); "y": hot bottom / cold top (Rayleigh–Bénard)."""
     te = jnp.pad(theta, ((1, 1), (1, 1)))
-    te = te.at[1:-1, 0].set(2.0 * hot - theta[:, 0])
-    te = te.at[1:-1, -1].set(2.0 * cold - theta[:, -1])
-    te = te.at[0, :].set(te[1, :])      # adiabatic bottom
-    te = te.at[-1, :].set(te[-2, :])    # adiabatic top
+    if heated_axis == "x":
+        te = te.at[1:-1, 0].set(2.0 * hot - theta[:, 0])
+        te = te.at[1:-1, -1].set(2.0 * cold - theta[:, -1])
+        te = te.at[0, :].set(te[1, :])      # adiabatic bottom
+        te = te.at[-1, :].set(te[-2, :])    # adiabatic top
+    else:
+        te = te.at[0, 1:-1].set(2.0 * hot - theta[0, :])
+        te = te.at[-1, 1:-1].set(2.0 * cold - theta[-1, :])
+        te = te.at[:, 0].set(te[:, 1])      # adiabatic left
+        te = te.at[:, -1].set(te[:, -2])    # adiabatic right
     return te
 
 
@@ -162,7 +186,8 @@ def make_step(cfg: BoussinesqConfig) -> Callable:
 
         # --- temperature: conservative FV advection with the projected
         # face velocities + diffusion (κ = 1)
-        te = _theta_ghost(theta, cfg.theta_hot, cfg.theta_cold)
+        te = _theta_ghost(theta, cfg.theta_hot, cfg.theta_cold,
+                          cfg.heated_axis)
         if cfg.theta_scheme == "upwind":
             thx = jnp.where(u_new >= 0.0, te[1:-1, :-1], te[1:-1, 1:])
             thy = jnp.where(v_new >= 0.0, te[:-1, 1:-1], te[1:, 1:-1])
@@ -185,17 +210,35 @@ def make_step(cfg: BoussinesqConfig) -> Callable:
         )
 
         # --- diagnostics: average Nusselt at the hot wall (ghost-gradient)
-        # and through the x=1/2 plane (2nd-order: Nu = Σ(uθ − ∂θ/∂x)dy)
+        # and through the domain mid-plane (2nd-order flux integral)
         div_post = mac.divergence_mac(u_new, v_new, dx, dy)
-        nu_hot = jnp.mean(2.0 * (cfg.theta_hot - theta_new[:, 0]) / dx) / (
-            cfg.theta_hot - cfg.theta_cold
-        )
-        i_mid = g.nx // 2  # u-face index at x = 1/2 (even nx)
-        th_mid = 0.5 * (theta_new[:, i_mid - 1] + theta_new[:, i_mid])
-        dthdx_mid = (theta_new[:, i_mid] - theta_new[:, i_mid - 1]) * (1.0 / dx)
-        nu_mid = jnp.sum(u_new[:, i_mid] * th_mid - dthdx_mid) * dy / (
-            cfg.theta_hot - cfg.theta_cold
-        )
+        dT = cfg.theta_hot - cfg.theta_cold
+        if cfg.heated_axis == "x":
+            nu_hot = jnp.mean(
+                2.0 * (cfg.theta_hot - theta_new[:, 0]) / dx
+            ) / dT
+            i_mid = g.nx // 2  # u-face index at x = 1/2 (even nx)
+            th_mid = 0.5 * (theta_new[:, i_mid - 1] + theta_new[:, i_mid])
+            dth_mid = (theta_new[:, i_mid] - theta_new[:, i_mid - 1]) * (
+                1.0 / dx
+            )
+            ly = g.y_max - g.y_min
+            nu_mid = jnp.sum(u_new[:, i_mid] * th_mid - dth_mid) * dy / (
+                dT * ly
+            )
+        else:
+            nu_hot = jnp.mean(
+                2.0 * (cfg.theta_hot - theta_new[0, :]) / dy
+            ) / dT
+            j_mid = g.ny // 2  # v-face row at y = 1/2
+            th_mid = 0.5 * (theta_new[j_mid - 1, :] + theta_new[j_mid, :])
+            dth_mid = (theta_new[j_mid, :] - theta_new[j_mid - 1, :]) * (
+                1.0 / dy
+            )
+            lx = g.x_max - g.x_min
+            nu_mid = jnp.sum(v_new[j_mid, :] * th_mid - dth_mid) * dx / (
+                dT * lx
+            )
         ucc, vcc = mac.center_velocities(u_new, v_new)
         metrics = BoussinesqMetrics(
             dt=dt,

@@ -75,6 +75,11 @@ def make_heated_cavity_explicit_step(cfg: BoussinesqConfig, mesh: Mesh):
         raise ValueError("local blocks must be at least 4x4 for width-2 halos")
     if cfg.poisson.method != "dct":
         raise ValueError("explicit heated-cavity step supports poisson 'dct'")
+    if cfg.heated_axis != "x":
+        raise ValueError(
+            "the explicit sharded step implements the side-heated cavity "
+            "(heated_axis='x'); run Rayleigh-Benard single-device"
+        )
 
     bcs = cavity_mac_local_bcs(ny, nx, lid_velocity=0.0)
     spec = P("y", "x")
@@ -217,7 +222,7 @@ def make_heated_cavity_explicit_step(cfg: BoussinesqConfig, mesh: Mesh):
         # uf col for face i_mid exists on exactly one shard's owned range
         nu_mid = _psum(jnp.sum(jnp.where(
             col_sel, uf[:, :nx_l] * th_mid[:, :nx_l] - dthdx[:, :nx_l], 0.0
-        ))) * dy / dT
+        ))) * dy / (dT * (g.y_max - g.y_min))
         ucc = 0.5 * (UN[1:-1, 1:-1] + UN[1:-1, 2:])
         vcc = 0.5 * (VN[1:-1, 1:-1] + VN[2:, 1:-1])
         metrics = BoussinesqMetrics(

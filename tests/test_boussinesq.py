@@ -92,3 +92,33 @@ def test_heated_cavity_explicit_sharded_matches():
     np.testing.assert_allclose(float(m_ex.energy), float(m_ref.energy),
                                rtol=1e-5)
     assert len(t.u.sharding.device_set) == 8
+
+
+def test_rayleigh_benard_onset_bracket():
+    # linear stability: the conducting state decays below the critical
+    # Rayleigh number (Ra_c = 1708, rigid-rigid) and convection rolls
+    # grow and saturate above it
+    from cfdsim_tpu.cases import rayleigh_benard
+
+    def run(Ra, t_end):
+        case = rayleigh_benard(ny=32, aspect=2.0, Ra=Ra)
+        f = jax.jit(lambda s0: jax.lax.scan(
+            lambda st, _: case.step(st, jnp.float32(1.0)), s0, None,
+            length=1000))
+        s = case.state
+        ms = None
+        while float(s.t) < t_end:
+            s, ms = f(s)
+        return (float(np.asarray(ms.max_vel)[-1]),
+                float(np.asarray(ms.nu_hot_wall)[-1]),
+                float(np.asarray(ms.nu_mid)[-1]))
+
+    vel_sub, nu_sub, _ = run(1200.0, 1.0)
+    assert vel_sub < 1e-3          # subcritical: perturbation decays
+    np.testing.assert_allclose(nu_sub, 1.0, rtol=1e-3)  # pure conduction
+
+    vel_super, nu_super, nu_mid = run(3000.0, 5.0)
+    assert vel_super > 5.0         # supercritical: rolls saturate
+    assert nu_super > 1.3          # convective heat-transport enhancement
+    # steady state: wall and mid-plane Nusselt agree (flux conservation)
+    np.testing.assert_allclose(nu_super, nu_mid, rtol=0.02)
