@@ -122,3 +122,20 @@ def test_rayleigh_benard_onset_bracket():
     assert nu_super > 1.3          # convective heat-transport enhancement
     # steady state: wall and mid-plane Nusselt agree (flux conservation)
     np.testing.assert_allclose(nu_super, nu_mid, rtol=0.02)
+
+
+def test_heated_cavity_snapshot_restore_roundtrip(tmp_path):
+    from cfdsim_tpu.io_ import SnapshotWriter, restore
+
+    case = heated_cavity(n=16, Ra=1e3)
+    s, _ = _run(case, 0.02)
+    writer = SnapshotWriter(tmp_path / "bq.h5")
+    writer.save(int(s.step), float(s.t), u=s.u, v=s.v, p=s.p, theta=s.theta)
+    restored = restore(case.state, tmp_path / "bq.h5")
+    np.testing.assert_array_equal(np.asarray(restored.theta),
+                                  np.asarray(s.theta))
+    np.testing.assert_array_equal(np.asarray(restored.u), np.asarray(s.u))
+    assert int(restored.step) == int(s.step)
+    # and it keeps stepping from the restored state
+    s2, _ = case.step(restored, jnp.float32(1.0))
+    assert bool(jnp.all(jnp.isfinite(s2.theta)))
