@@ -2,15 +2,24 @@
 mesh (SURVEY.md §2.6 — the reference has no distributed compute at all;
 this module is the ICI-native scaling story).
 
-Two complementary paths:
+Complementary paths:
 
 - ``sharded``: GSPMD auto-partitioning — jit the *same* single-device step
   with ``NamedSharding(P("y", "x"))`` annotations and let XLA insert the
   halo collectives (the scaling-book recipe).
-- ``halo``: explicit ``shard_map`` + ``lax.ppermute`` halo exchange for the
-  inner hot loops where manual comm scheduling matters (ghost-cell swaps =
+- ``halo`` + ``explicit``: explicit ``shard_map`` + ``lax.ppermute`` halo
+  exchange with hand-placed collectives — the full collocated NS step,
+  option-for-option equal to the single-device one (ghost-cell swaps =
   the reference's NG=2 ghost layout, cavity_flow_v1.py:258-262, made
   inter-chip).
+- ``transforms``: pencil-decomposed distributed direct solvers via
+  ``lax.all_to_all`` — exact DCT Poisson (2D/3D), DST Helmholtz, and
+  stretched-grid fast-diagonalization (2D/3D).
+- ``mac_explicit`` / ``mac_stretched_explicit`` / ``mac3d_explicit`` /
+  ``mac_stretched3d_explicit`` / ``boussinesq_explicit``: the staggered
+  tiers multi-chip on the trimmed face representation (XLA's SPMD
+  partitioner miscompiles the uneven MAC shapes — see CLAUDE.md), each
+  exact-equality-tested against its single-device step.
 """
 
 from cfdsim_tpu.parallel.mesh import make_grid_mesh, field_sharding
