@@ -138,9 +138,7 @@ def cmd_run(args, extra):
         from cfdsim_tpu.viz import render_frames_from_hdf5
 
         fields = ("velocity", "vorticity")
-        if hasattr(case.state, "theta") or hasattr(
-            getattr(case.state, "flow", None), "_fields"
-        ):
+        if hasattr(case.state, "theta"):  # scalar-coupled states
             fields = ("velocity", "vorticity", "temperature")
         render_frames_from_hdf5(h5, out / "frames", grid=case.grid,
                                 fields=fields)

@@ -814,10 +814,11 @@ def rayleigh_benard(
     )
     step = bq.make_step(cfg)
     rng = np.random.default_rng(seed)
-    state = bq.init_state(cfg)
-    theta0 = np.asarray(state.theta) + perturb * rng.standard_normal(
-        (ny, nx)
-    ).astype(np.float32)
+    yc = (np.arange(ny, dtype=np.float32) + 0.5) / ny
+    conducting = (1.0 - yc)[:, None] * np.ones((ny, nx), np.float32)
+    theta0 = conducting + perturb * rng.standard_normal((ny, nx)).astype(
+        np.float32
+    )
     state = bq.init_state(cfg, theta0=theta0)
     return Case("rayleigh_benard", cfg, step, state, grid,
                 {"Ra": Ra, "Pr": Pr, "aspect": aspect})

@@ -134,6 +134,10 @@ def _theta_ghost(theta, hot: float, cold: float, heated_axis: str = "x"):
 
 
 def make_step(cfg: BoussinesqConfig) -> Callable:
+    if cfg.theta_scheme not in ("central", "upwind"):
+        raise ValueError(f"unknown theta_scheme {cfg.theta_scheme!r}")
+    if cfg.heated_axis not in ("x", "y"):
+        raise ValueError(f"unknown heated_axis {cfg.heated_axis!r}")
     g = cfg.grid
     dx, dy = g.dx, g.dy
     nu = cfg.prandtl            # Pr in α-units
@@ -213,30 +217,32 @@ def make_step(cfg: BoussinesqConfig) -> Callable:
         # and through the domain mid-plane (2nd-order flux integral)
         div_post = mac.divergence_mac(u_new, v_new, dx, dy)
         dT = cfg.theta_hot - cfg.theta_cold
+        # normalize by the conduction flux dT/L of the heated axis so
+        # Nu = 1 in pure conduction for ANY domain extents
+        lx = g.x_max - g.x_min
+        ly = g.y_max - g.y_min
         if cfg.heated_axis == "x":
             nu_hot = jnp.mean(
                 2.0 * (cfg.theta_hot - theta_new[:, 0]) / dx
-            ) / dT
-            i_mid = g.nx // 2  # u-face index at x = 1/2 (even nx)
+            ) * lx / dT
+            i_mid = g.nx // 2  # u-face index at mid-x (even nx)
             th_mid = 0.5 * (theta_new[:, i_mid - 1] + theta_new[:, i_mid])
             dth_mid = (theta_new[:, i_mid] - theta_new[:, i_mid - 1]) * (
                 1.0 / dx
             )
-            ly = g.y_max - g.y_min
-            nu_mid = jnp.sum(u_new[:, i_mid] * th_mid - dth_mid) * dy / (
+            nu_mid = jnp.sum(u_new[:, i_mid] * th_mid - dth_mid) * dy * lx / (
                 dT * ly
             )
         else:
             nu_hot = jnp.mean(
                 2.0 * (cfg.theta_hot - theta_new[0, :]) / dy
-            ) / dT
-            j_mid = g.ny // 2  # v-face row at y = 1/2
+            ) * ly / dT
+            j_mid = g.ny // 2  # v-face row at mid-y
             th_mid = 0.5 * (theta_new[j_mid - 1, :] + theta_new[j_mid, :])
             dth_mid = (theta_new[j_mid, :] - theta_new[j_mid - 1, :]) * (
                 1.0 / dy
             )
-            lx = g.x_max - g.x_min
-            nu_mid = jnp.sum(v_new[j_mid, :] * th_mid - dth_mid) * dx / (
+            nu_mid = jnp.sum(v_new[j_mid, :] * th_mid - dth_mid) * dx * ly / (
                 dT * lx
             )
         ucc, vcc = mac.center_velocities(u_new, v_new)

@@ -80,6 +80,8 @@ def make_heated_cavity_explicit_step(cfg: BoussinesqConfig, mesh: Mesh):
             "the explicit sharded step implements the side-heated cavity "
             "(heated_axis='x'); run Rayleigh-Benard single-device"
         )
+    if cfg.theta_scheme not in ("central", "upwind"):
+        raise ValueError(f"unknown theta_scheme {cfg.theta_scheme!r}")
 
     bcs = cavity_mac_local_bcs(ny, nx, lid_velocity=0.0)
     spec = P("y", "x")
@@ -209,9 +211,10 @@ def make_heated_cavity_explicit_step(cfg: BoussinesqConfig, mesh: Mesh):
             VN[2:, 1:-1] - VN[1:-1, 1:-1]
         ) * (1.0 / dy)
         dT = cfg.theta_hot - cfg.theta_cold
+        lx = g.x_max - g.x_min
         nu_hot = _psum(jnp.sum(jnp.where(
             gc0 == 0, 2.0 * (cfg.theta_hot - theta_new) / dx, 0.0
-        ))) / (float(ny) * dT)
+        ))) * lx / (float(ny) * dT)
         # mid-plane Nusselt at the u-face column gx0..: face index nx//2
         TEn = theta_ghost(theta_new)
         i_mid = nx // 2
@@ -222,7 +225,7 @@ def make_heated_cavity_explicit_step(cfg: BoussinesqConfig, mesh: Mesh):
         # uf col for face i_mid exists on exactly one shard's owned range
         nu_mid = _psum(jnp.sum(jnp.where(
             col_sel, uf[:, :nx_l] * th_mid[:, :nx_l] - dthdx[:, :nx_l], 0.0
-        ))) * dy / (dT * (g.y_max - g.y_min))
+        ))) * dy * lx / (dT * (g.y_max - g.y_min))
         ucc = 0.5 * (UN[1:-1, 1:-1] + UN[1:-1, 2:])
         vcc = 0.5 * (VN[1:-1, 1:-1] + VN[2:, 1:-1])
         metrics = BoussinesqMetrics(
