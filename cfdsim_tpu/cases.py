@@ -824,6 +824,31 @@ def rayleigh_benard(
                 {"Ra": Ra, "Pr": Pr, "aspect": aspect})
 
 
+def heated_cube(
+    n: int = 48,
+    Ra: float = 1e4,
+    Pr: float = 0.71,
+    theta_scheme: str = "central",
+    **cfg_overrides,
+) -> Case:
+    """Differentially heated cube (3D Boussinesq natural convection on the
+    mac3d tier): hot x=0 wall, cold x=1, adiabatic elsewhere, gravity −z.
+    Validated against the Tric, Labrosse & Betrouni (2000) spectral cube
+    benchmark: Nu = 2.054 (Ra=10⁴) / 4.337 (Ra=10⁵) — matched to <1%
+    (BENCHNOTES)."""
+    from cfdsim_tpu.grid import Grid3D
+    from cfdsim_tpu.models import boussinesq3d as b3
+
+    grid = Grid3D(nx=n, ny=n, nz=n, centering="cell")
+    cfg = b3.Boussinesq3DConfig(
+        grid=grid, rayleigh=Ra, prandtl=Pr, theta_scheme=theta_scheme,
+        **cfg_overrides,
+    )
+    step = b3.make_step(cfg)
+    state = b3.init_state(cfg)
+    return Case("heated_cube", cfg, step, state, grid, {"Ra": Ra, "Pr": Pr})
+
+
 def blast3d(
     n: int = 64,
     gamma: float = 1.4,
@@ -901,6 +926,7 @@ CASES: dict[str, Callable[..., Case]] = {
     "cavity3d_stretched": cavity3d_stretched,
     "heated_cavity": heated_cavity,
     "rayleigh_benard": rayleigh_benard,
+    "heated_cube": heated_cube,
     "blast3d": blast3d,
 }
 

@@ -139,3 +139,23 @@ def test_heated_cavity_snapshot_restore_roundtrip(tmp_path):
     # and it keeps stepping from the restored state
     s2, _ = case.step(restored, jnp.float32(1.0))
     assert bool(jnp.all(jnp.isfinite(s2.theta)))
+
+
+def test_heated_cube_nusselt_ra1e4():
+    # Tric et al. (2000) cube benchmark: Nu = 2.054 at Ra=10⁴
+    from cfdsim_tpu.cases import heated_cube
+
+    case = heated_cube(n=32, Ra=1e4)
+    f = jax.jit(lambda s0: jax.lax.scan(
+        lambda st, _: case.step(st, jnp.float32(1.0)), s0, None, length=1000))
+    s = case.state
+    ms = None
+    while float(s.t) < 0.4:
+        s, ms = f(s)
+    nu_wall = float(np.asarray(ms.nu_hot_wall)[-1])
+    nu_mid = float(np.asarray(ms.nu_mid)[-1])
+    np.testing.assert_allclose(nu_wall, 2.054, rtol=0.03)
+    np.testing.assert_allclose(nu_wall, nu_mid, rtol=5e-3)
+    assert float(np.asarray(ms.theta_min)[-1]) > -1e-3
+    assert float(np.asarray(ms.theta_max)[-1]) < 1.0 + 1e-3
+    assert float(np.asarray(ms.div_post)[-1]) < 1e-2

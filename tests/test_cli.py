@@ -85,6 +85,7 @@ def test_every_registered_case_builds_and_steps():
         "cavity3d_stretched": dict(n=8),
         "heated_cavity": dict(n=16),
         "rayleigh_benard": dict(ny=8, aspect=2.0),
+        "heated_cube": dict(n=8),
         "blast3d": dict(n=12),
     }
     assert set(tiny) == set(CASES), "update the tiny-shape table"
