@@ -40,6 +40,7 @@ class MAC3DState(NamedTuple):
 class MAC3DConfig:
     grid: Grid3D
     nu: float
+    scheme: str = "central"  # central | upwind | tvd (van Leer MUSCL)
     poisson: Poisson3DConfig = Poisson3DConfig(method="dct")
     adaptive_dt: bool = True
     cfl_target: float = 0.4
@@ -113,7 +114,24 @@ def center_velocities_3d(u, v, w):
     )
 
 
+def _slopes_axis(q, axis: int):
+    """Van-Leer-limited MUSCL slopes along ``axis``, zero at the array's
+    boundary lines (the 3D analog of mac._slopes_x/_slopes_y)."""
+    from cfdsim_tpu.models.mac import _limited_slope
+
+    n = q.shape[axis]
+    qm = jax.lax.slice_in_dim(q, 0, n - 2, axis=axis)
+    q0 = jax.lax.slice_in_dim(q, 1, n - 1, axis=axis)
+    qp = jax.lax.slice_in_dim(q, 2, n, axis=axis)
+    s = _limited_slope(q0 - qm, qp - q0)
+    pads = [(0, 0)] * q.ndim
+    pads[axis] = (1, 1)
+    return jnp.pad(s, pads)
+
+
 def make_step(cfg: MAC3DConfig, bcs: MAC3DBCs) -> Callable:
+    if cfg.scheme not in ("central", "upwind", "tvd"):
+        raise ValueError(f"unknown MAC3D scheme {cfg.scheme!r}")
     g = cfg.grid
     dx, dy, dz = g.dx, g.dy, g.dz
     h = min(dx, dy, dz)
@@ -145,26 +163,57 @@ def make_step(cfg: MAC3DConfig, bcs: MAC3DBCs) -> Callable:
         w_y = 0.5 * (w_gy[:, :-1, :] + w_gy[:, 1:, :])  # (nz+1, ny+1, nx)
         uc, vc, wc = center_velocities_3d(u, v, w)
 
-        # --- conservative central fluxes
-        F_u = uc * uc
-        G_u = v_x * u_y
-        H_u = w_x * u_z
+        # --- conservative fluxes (divergence form; central, or
+        # upwind/MUSCL face values exactly as the 2D mac._advect)
+        if cfg.scheme == "central":
+            F_u = uc * uc
+            G_u = v_x * u_y
+            H_u = w_x * u_z
+            F_v = u_y * v_x
+            G_v = vc * vc
+            H_v = w_y * v_z
+            F_w = u_z * w_x
+            G_w = v_z * w_y
+            H_w = wc * wc
+        else:
+            from cfdsim_tpu.models.mac import _face_value as fv
+
+            tvd = cfg.scheme == "tvd"
+            z3 = lambda q: jnp.zeros_like(q)
+            sux = _slopes_axis(u, 2) if tvd else z3(u)
+            suy = _slopes_axis(u_gy, 1) if tvd else z3(u_gy)
+            suz = _slopes_axis(u_gz, 0) if tvd else z3(u_gz)
+            svx = _slopes_axis(v_gx, 2) if tvd else z3(v_gx)
+            svy = _slopes_axis(v, 1) if tvd else z3(v)
+            svz = _slopes_axis(v_gz, 0) if tvd else z3(v_gz)
+            swx = _slopes_axis(w_gx, 2) if tvd else z3(w_gx)
+            swy = _slopes_axis(w_gy, 1) if tvd else z3(w_gy)
+            swz = _slopes_axis(w, 0) if tvd else z3(w)
+            F_u = uc * fv(u[:, :, :-1], u[:, :, 1:], uc,
+                          sux[:, :, :-1], sux[:, :, 1:])
+            G_u = v_x * fv(u_gy[:, :-1, :], u_gy[:, 1:, :], v_x,
+                           suy[:, :-1, :], suy[:, 1:, :])
+            H_u = w_x * fv(u_gz[:-1], u_gz[1:], w_x, suz[:-1], suz[1:])
+            F_v = u_y * fv(v_gx[:, :, :-1], v_gx[:, :, 1:], u_y,
+                           svx[:, :, :-1], svx[:, :, 1:])
+            G_v = vc * fv(v[:, :-1, :], v[:, 1:, :], vc,
+                          svy[:, :-1, :], svy[:, 1:, :])
+            H_v = w_y * fv(v_gz[:-1], v_gz[1:], w_y, svz[:-1], svz[1:])
+            F_w = u_z * fv(w_gx[:, :, :-1], w_gx[:, :, 1:], u_z,
+                           swx[:, :, :-1], swx[:, :, 1:])
+            G_w = v_z * fv(w_gy[:, :-1, :], w_gy[:, 1:, :], v_z,
+                           swy[:, :-1, :], swy[:, 1:, :])
+            H_w = wc * fv(w[:-1], w[1:], wc, swz[:-1], swz[1:])
         conv_u = (
             (F_u[:, :, 1:] - F_u[:, :, :-1]) * (1.0 / dx)
             + (G_u[:, 1:, 1:-1] - G_u[:, :-1, 1:-1]) * (1.0 / dy)
             + (H_u[1:, :, 1:-1] - H_u[:-1, :, 1:-1]) * (1.0 / dz)
         )
-        F_v = u_y * v_x
-        G_v = vc * vc
-        H_v = w_y * v_z
         conv_v = (
             (F_v[:, 1:-1, 1:] - F_v[:, 1:-1, :-1]) * (1.0 / dx)
             + (G_v[:, 1:, :] - G_v[:, :-1, :]) * (1.0 / dy)
             + (H_v[1:, 1:-1, :] - H_v[:-1, 1:-1, :]) * (1.0 / dz)
         )
-        F_w = u_z * w_x
-        G_w = v_z * w_y
-        H_w = wc * wc
         conv_w = (
             (F_w[1:-1, :, 1:] - F_w[1:-1, :, :-1]) * (1.0 / dx)
             + (G_w[1:-1, 1:, :] - G_w[1:-1, :-1, :]) * (1.0 / dy)

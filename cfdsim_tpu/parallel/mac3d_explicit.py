@@ -139,6 +139,11 @@ def make_cavity3d_mac_explicit_step(cfg: MAC3DConfig, mesh: Mesh,
         raise ValueError("local blocks must be at least 2x2 for width-1 halos")
     if cfg.poisson.method != "dct":
         raise ValueError("explicit 3D MAC step supports poisson method 'dct'")
+    if getattr(cfg, "scheme", "central") != "central":
+        raise ValueError(
+            "the explicit sharded 3D MAC step implements the central "
+            "scheme; upwind/tvd need width-2 halos (run single-device)"
+        )
 
     from cfdsim_tpu.parallel.transforms import dct_poisson3d_local
 

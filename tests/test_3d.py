@@ -132,3 +132,22 @@ def test_mac3d_matches_collocated_3d_physics():
     assert abs(t_mac - t_col) < 0.5 * max(t_mac, t_col)
     assert e_mac > 0 and e_col > 0
     assert 0.4 < e_mac / e_col < 2.5
+
+
+def test_mac3d_upwind_and_tvd_schemes():
+    # 3D MUSCL/upwind advection: healthy lid-driven development, exact
+    # projection, and monotone upwind stays bounded by the lid speed
+    import numpy as np
+
+    from cfdsim_tpu.cases import cavity3d_mac
+
+    for scheme in ("upwind", "tvd"):
+        case = cavity3d_mac(n=16, Re=400.0, scheme=scheme)
+        step = jax.jit(case.step)
+        s = case.state
+        for _ in range(30):
+            s, m = step(s, jnp.float32(1.0))
+        assert bool(jnp.all(jnp.isfinite(s.u))), scheme
+        assert float(m.div_post) < 1e-3, scheme
+        assert float(m.max_vel) <= 1.0 + 1e-3, scheme
+        assert 0.0 < float(m.energy) < 0.5, scheme
