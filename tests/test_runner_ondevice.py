@@ -68,3 +68,17 @@ def test_hybrid_without_mask_is_exact_dct():
     a = solve_poisson(jnp.zeros_like(rhs), rhs, h, h, PoissonConfig(method="hybrid"))
     b = solve_poisson(jnp.zeros_like(rhs), rhs, h, h, PoissonConfig(method="dct"))
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_run_on_device_mac_tier():
+    # whole-run while_loop on the staggered tier (exact projection all the
+    # way): reaches t_final with fp32-roundoff divergence
+    import numpy as np
+
+    from cfdsim_tpu.cases import lid_cavity_mac
+
+    case = lid_cavity_mac(n=24, Re=100.0)
+    state, metrics = run_on_device(case.step, case.state, t_final=0.5)
+    assert float(state.t) >= 0.5
+    assert bool(jnp.all(jnp.isfinite(state.u)))
+    assert float(metrics.div_post) < 1e-3
