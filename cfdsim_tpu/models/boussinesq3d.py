@@ -42,6 +42,7 @@ class Boussinesq3DConfig:
     rayleigh: float
     prandtl: float = 0.71
     theta_scheme: str = "central"  # central | upwind
+    flow_scheme: str = "central"   # central | upwind | tvd (mac3d.advect3d)
     poisson: Poisson3DConfig = Poisson3DConfig(method="dct")
     adaptive_dt: bool = True
     cfl_target: float = 0.4
@@ -94,10 +95,6 @@ def make_step(cfg: Boussinesq3DConfig) -> Callable:
     buoy = cfg.rayleigh * cfg.prandtl
     h = min(dx, dy, dz)
     bcs = mac3d.cavity3d_bcs(lid_velocity=0.0)  # all-no-slip closed box
-    # reuse the mac3d momentum machinery by wrapping its step? The mac3d
-    # step owns the projection; here we need buoyancy injected between
-    # predictor and projection, so the momentum part is written out
-    # following mac3d.make_step exactly (central conservative advection).
 
     def step(state: Boussinesq3DState, cfl_scale):
         u, v, w = bcs.set_normal(state.u, state.v, state.w)
@@ -116,58 +113,12 @@ def make_step(cfg: Boussinesq3DConfig) -> Callable:
         else:
             dt = jnp.float32(cfg.dt_base)
 
-        u_gy, u_gz, v_gx, v_gz, w_gx, w_gy = bcs.ghosts(u, v, w)
-
-        # --- conservative central advection (mac3d.make_step fluxes)
-        u_y = 0.5 * (u_gy[:, :-1, :] + u_gy[:, 1:, :])
-        v_x = 0.5 * (v_gx[:, :, :-1] + v_gx[:, :, 1:])
-        u_z = 0.5 * (u_gz[:-1] + u_gz[1:])
-        w_x = 0.5 * (w_gx[:, :, :-1] + w_gx[:, :, 1:])
-        v_z = 0.5 * (v_gz[:-1] + v_gz[1:])
-        w_y = 0.5 * (w_gy[:, :-1, :] + w_gy[:, 1:, :])
-        uc, vc, wc = mac3d.center_velocities_3d(u, v, w)
-
-        F_u = uc * uc
-        G_u = v_x * u_y
-        H_u = w_x * u_z
-        conv_u = (
-            (F_u[:, :, 1:] - F_u[:, :, :-1]) * (1.0 / dx)
-            + (G_u[:, 1:, 1:-1] - G_u[:, :-1, 1:-1]) * (1.0 / dy)
-            + (H_u[1:, :, 1:-1] - H_u[:-1, :, 1:-1]) * (1.0 / dz)
+        ghosts = bcs.ghosts(u, v, w)
+        conv_u, conv_v, conv_w = mac3d.advect3d(
+            u, v, w, ghosts, dx, dy, dz, cfg.flow_scheme
         )
-        F_v = u_y * v_x
-        G_v = vc * vc
-        H_v = w_y * v_z
-        conv_v = (
-            (F_v[:, 1:-1, 1:] - F_v[:, 1:-1, :-1]) * (1.0 / dx)
-            + (G_v[:, 1:, :] - G_v[:, :-1, :]) * (1.0 / dy)
-            + (H_v[1:, 1:-1, :] - H_v[:-1, 1:-1, :]) * (1.0 / dz)
-        )
-        F_w = u_z * w_x
-        G_w = v_z * w_y
-        H_w = wc * wc
-        conv_w = (
-            (F_w[1:-1, :, 1:] - F_w[1:-1, :, :-1]) * (1.0 / dx)
-            + (G_w[1:-1, 1:, :] - G_w[1:-1, :-1, :]) * (1.0 / dy)
-            + (H_w[1:, :, :] - H_w[:-1, :, :]) * (1.0 / dz)
-        )
-
+        lap_u, lap_v, lap_w = mac3d.diffuse3d(u, v, w, ghosts, dx, dy, dz)
         ax, ay, az = 1.0 / dx**2, 1.0 / dy**2, 1.0 / dz**2
-        lap_u = (
-            (u[:, :, 2:] - 2 * u[:, :, 1:-1] + u[:, :, :-2]) * ax
-            + (u_gy[:, 2:, 1:-1] - 2 * u[:, :, 1:-1] + u_gy[:, :-2, 1:-1]) * ay
-            + (u_gz[2:, :, 1:-1] - 2 * u[:, :, 1:-1] + u_gz[:-2, :, 1:-1]) * az
-        )
-        lap_v = (
-            (v_gx[:, 1:-1, 2:] - 2 * v[:, 1:-1, :] + v_gx[:, 1:-1, :-2]) * ax
-            + (v[:, 2:, :] - 2 * v[:, 1:-1, :] + v[:, :-2, :]) * ay
-            + (v_gz[2:, 1:-1, :] - 2 * v[:, 1:-1, :] + v_gz[:-2, 1:-1, :]) * az
-        )
-        lap_w = (
-            (w_gx[1:-1, :, 2:] - 2 * w[1:-1] + w_gx[1:-1, :, :-2]) * ax
-            + (w_gy[1:-1, 2:, :] - 2 * w[1:-1] + w_gy[1:-1, :-2, :]) * ay
-            + (w[2:] - 2 * w[1:-1] + w[:-2]) * az
-        )
 
         # buoyancy on interior w-faces: θ averaged across the z-face
         th_face = 0.5 * (theta[:-1] + theta[1:])  # (nz−1, ny, nx)
@@ -180,7 +131,10 @@ def make_step(cfg: Boussinesq3DConfig) -> Callable:
 
         # --- exact 3D projection
         div_star = mac3d.divergence_mac3d(u_star, v_star, w_star, dx, dy, dz)
-        phi = solve_poisson_3d(state.p, div_star / dt, dx, dy, dz, cfg.poisson)
+        rhs = div_star / dt
+        if cfg.poisson.method != "dct":
+            rhs = rhs - jnp.mean(rhs)  # Neumann solvability (mac3d.make_step)
+        phi = solve_poisson_3d(state.p, rhs, dx, dy, dz, cfg.poisson)
         u_new = u_star.at[:, :, 1:-1].add(
             -dt * (phi[:, :, 1:] - phi[:, :, :-1]) * (1.0 / dx)
         )

@@ -129,6 +129,105 @@ def _slopes_axis(q, axis: int):
     return jnp.pad(s, pads)
 
 
+def advect3d(u, v, w, ghosts, dx: float, dy: float, dz: float,
+             scheme: str = "central"):
+    """Conservative divergence-form 3D MAC advection (central, or
+    upwind/van-Leer-MUSCL face values exactly as the 2D mac._advect);
+    ``ghosts`` = (u_gy, u_gz, v_gx, v_gz, w_gx, w_gy) from MAC3DBCs.
+    Returns (conv_u, conv_v, conv_w) on interior faces. Shared by the
+    momentum solvers (make_step) and the Boussinesq tier."""
+    u_gy, u_gz, v_gx, v_gz, w_gx, w_gy = ghosts
+    # shared edge interpolants (each used by two momentum equations)
+    u_y = 0.5 * (u_gy[:, :-1, :] + u_gy[:, 1:, :])  # (nz, ny+1, nx+1)
+    v_x = 0.5 * (v_gx[:, :, :-1] + v_gx[:, :, 1:])  # (nz, ny+1, nx+1)
+    u_z = 0.5 * (u_gz[:-1] + u_gz[1:])              # (nz+1, ny, nx+1)
+    w_x = 0.5 * (w_gx[:, :, :-1] + w_gx[:, :, 1:])  # (nz+1, ny, nx+1)
+    v_z = 0.5 * (v_gz[:-1] + v_gz[1:])              # (nz+1, ny+1, nx)
+    w_y = 0.5 * (w_gy[:, :-1, :] + w_gy[:, 1:, :])  # (nz+1, ny+1, nx)
+    uc, vc, wc = center_velocities_3d(u, v, w)
+
+    if scheme == "central":
+        F_u = uc * uc
+        G_u = v_x * u_y
+        H_u = w_x * u_z
+        F_v = u_y * v_x
+        G_v = vc * vc
+        H_v = w_y * v_z
+        F_w = u_z * w_x
+        G_w = v_z * w_y
+        H_w = wc * wc
+    elif scheme in ("upwind", "tvd"):
+        from cfdsim_tpu.models.mac import _face_value as fv
+
+        tvd = scheme == "tvd"
+        z3 = jnp.zeros_like
+        sux = _slopes_axis(u, 2) if tvd else z3(u)
+        suy = _slopes_axis(u_gy, 1) if tvd else z3(u_gy)
+        suz = _slopes_axis(u_gz, 0) if tvd else z3(u_gz)
+        svx = _slopes_axis(v_gx, 2) if tvd else z3(v_gx)
+        svy = _slopes_axis(v, 1) if tvd else z3(v)
+        svz = _slopes_axis(v_gz, 0) if tvd else z3(v_gz)
+        swx = _slopes_axis(w_gx, 2) if tvd else z3(w_gx)
+        swy = _slopes_axis(w_gy, 1) if tvd else z3(w_gy)
+        swz = _slopes_axis(w, 0) if tvd else z3(w)
+        F_u = uc * fv(u[:, :, :-1], u[:, :, 1:], uc,
+                      sux[:, :, :-1], sux[:, :, 1:])
+        G_u = v_x * fv(u_gy[:, :-1, :], u_gy[:, 1:, :], v_x,
+                       suy[:, :-1, :], suy[:, 1:, :])
+        H_u = w_x * fv(u_gz[:-1], u_gz[1:], w_x, suz[:-1], suz[1:])
+        F_v = u_y * fv(v_gx[:, :, :-1], v_gx[:, :, 1:], u_y,
+                       svx[:, :, :-1], svx[:, :, 1:])
+        G_v = vc * fv(v[:, :-1, :], v[:, 1:, :], vc,
+                      svy[:, :-1, :], svy[:, 1:, :])
+        H_v = w_y * fv(v_gz[:-1], v_gz[1:], w_y, svz[:-1], svz[1:])
+        F_w = u_z * fv(w_gx[:, :, :-1], w_gx[:, :, 1:], u_z,
+                       swx[:, :, :-1], swx[:, :, 1:])
+        G_w = v_z * fv(w_gy[:, :-1, :], w_gy[:, 1:, :], v_z,
+                       swy[:, :-1, :], swy[:, 1:, :])
+        H_w = wc * fv(w[:-1], w[1:], wc, swz[:-1], swz[1:])
+    else:
+        raise ValueError(f"unknown MAC3D scheme {scheme!r}")
+    conv_u = (
+        (F_u[:, :, 1:] - F_u[:, :, :-1]) * (1.0 / dx)
+        + (G_u[:, 1:, 1:-1] - G_u[:, :-1, 1:-1]) * (1.0 / dy)
+        + (H_u[1:, :, 1:-1] - H_u[:-1, :, 1:-1]) * (1.0 / dz)
+    )
+    conv_v = (
+        (F_v[:, 1:-1, 1:] - F_v[:, 1:-1, :-1]) * (1.0 / dx)
+        + (G_v[:, 1:, :] - G_v[:, :-1, :]) * (1.0 / dy)
+        + (H_v[1:, 1:-1, :] - H_v[:-1, 1:-1, :]) * (1.0 / dz)
+    )
+    conv_w = (
+        (F_w[1:-1, :, 1:] - F_w[1:-1, :, :-1]) * (1.0 / dx)
+        + (G_w[1:-1, 1:, :] - G_w[1:-1, :-1, :]) * (1.0 / dy)
+        + (H_w[1:, :, :] - H_w[:-1, :, :]) * (1.0 / dz)
+    )
+    return conv_u, conv_v, conv_w
+
+
+def diffuse3d(u, v, w, ghosts, dx: float, dy: float, dz: float):
+    """7-point Laplacians on interior faces using the ghost extensions;
+    returns (lap_u, lap_v, lap_w)."""
+    u_gy, u_gz, v_gx, v_gz, w_gx, w_gy = ghosts
+    ax, ay, az = 1.0 / dx**2, 1.0 / dy**2, 1.0 / dz**2
+    lap_u = (
+        (u[:, :, 2:] - 2 * u[:, :, 1:-1] + u[:, :, :-2]) * ax
+        + (u_gy[:, 2:, 1:-1] - 2 * u[:, :, 1:-1] + u_gy[:, :-2, 1:-1]) * ay
+        + (u_gz[2:, :, 1:-1] - 2 * u[:, :, 1:-1] + u_gz[:-2, :, 1:-1]) * az
+    )
+    lap_v = (
+        (v_gx[:, 1:-1, 2:] - 2 * v[:, 1:-1, :] + v_gx[:, 1:-1, :-2]) * ax
+        + (v[:, 2:, :] - 2 * v[:, 1:-1, :] + v[:, :-2, :]) * ay
+        + (v_gz[2:, 1:-1, :] - 2 * v[:, 1:-1, :] + v_gz[:-2, 1:-1, :]) * az
+    )
+    lap_w = (
+        (w_gx[1:-1, :, 2:] - 2 * w[1:-1] + w_gx[1:-1, :, :-2]) * ax
+        + (w_gy[1:-1, 2:, :] - 2 * w[1:-1] + w_gy[1:-1, :-2, :]) * ay
+        + (w[2:] - 2 * w[1:-1] + w[:-2]) * az
+    )
+    return lap_u, lap_v, lap_w
+
+
 def make_step(cfg: MAC3DConfig, bcs: MAC3DBCs) -> Callable:
     if cfg.scheme not in ("central", "upwind", "tvd"):
         raise ValueError(f"unknown MAC3D scheme {cfg.scheme!r}")
@@ -152,98 +251,15 @@ def make_step(cfg: MAC3DConfig, bcs: MAC3DBCs) -> Callable:
         else:
             dt = jnp.float32(cfg.dt_base)
 
-        u_gy, u_gz, v_gx, v_gz, w_gx, w_gy = bcs.ghosts(u, v, w)
-
-        # --- shared edge interpolants (each used by two momentum eqs)
-        u_y = 0.5 * (u_gy[:, :-1, :] + u_gy[:, 1:, :])  # (nz, ny+1, nx+1)
-        v_x = 0.5 * (v_gx[:, :, :-1] + v_gx[:, :, 1:])  # (nz, ny+1, nx+1)
-        u_z = 0.5 * (u_gz[:-1] + u_gz[1:])              # (nz+1, ny, nx+1)
-        w_x = 0.5 * (w_gx[:, :, :-1] + w_gx[:, :, 1:])  # (nz+1, ny, nx+1)
-        v_z = 0.5 * (v_gz[:-1] + v_gz[1:])              # (nz+1, ny+1, nx)
-        w_y = 0.5 * (w_gy[:, :-1, :] + w_gy[:, 1:, :])  # (nz+1, ny+1, nx)
-        uc, vc, wc = center_velocities_3d(u, v, w)
-
-        # --- conservative fluxes (divergence form; central, or
-        # upwind/MUSCL face values exactly as the 2D mac._advect)
-        if cfg.scheme == "central":
-            F_u = uc * uc
-            G_u = v_x * u_y
-            H_u = w_x * u_z
-            F_v = u_y * v_x
-            G_v = vc * vc
-            H_v = w_y * v_z
-            F_w = u_z * w_x
-            G_w = v_z * w_y
-            H_w = wc * wc
-        else:
-            from cfdsim_tpu.models.mac import _face_value as fv
-
-            tvd = cfg.scheme == "tvd"
-            z3 = lambda q: jnp.zeros_like(q)
-            sux = _slopes_axis(u, 2) if tvd else z3(u)
-            suy = _slopes_axis(u_gy, 1) if tvd else z3(u_gy)
-            suz = _slopes_axis(u_gz, 0) if tvd else z3(u_gz)
-            svx = _slopes_axis(v_gx, 2) if tvd else z3(v_gx)
-            svy = _slopes_axis(v, 1) if tvd else z3(v)
-            svz = _slopes_axis(v_gz, 0) if tvd else z3(v_gz)
-            swx = _slopes_axis(w_gx, 2) if tvd else z3(w_gx)
-            swy = _slopes_axis(w_gy, 1) if tvd else z3(w_gy)
-            swz = _slopes_axis(w, 0) if tvd else z3(w)
-            F_u = uc * fv(u[:, :, :-1], u[:, :, 1:], uc,
-                          sux[:, :, :-1], sux[:, :, 1:])
-            G_u = v_x * fv(u_gy[:, :-1, :], u_gy[:, 1:, :], v_x,
-                           suy[:, :-1, :], suy[:, 1:, :])
-            H_u = w_x * fv(u_gz[:-1], u_gz[1:], w_x, suz[:-1], suz[1:])
-            F_v = u_y * fv(v_gx[:, :, :-1], v_gx[:, :, 1:], u_y,
-                           svx[:, :, :-1], svx[:, :, 1:])
-            G_v = vc * fv(v[:, :-1, :], v[:, 1:, :], vc,
-                          svy[:, :-1, :], svy[:, 1:, :])
-            H_v = w_y * fv(v_gz[:-1], v_gz[1:], w_y, svz[:-1], svz[1:])
-            F_w = u_z * fv(w_gx[:, :, :-1], w_gx[:, :, 1:], u_z,
-                           swx[:, :, :-1], swx[:, :, 1:])
-            G_w = v_z * fv(w_gy[:, :-1, :], w_gy[:, 1:, :], v_z,
-                           swy[:, :-1, :], swy[:, 1:, :])
-            H_w = wc * fv(w[:-1], w[1:], wc, swz[:-1], swz[1:])
-        conv_u = (
-            (F_u[:, :, 1:] - F_u[:, :, :-1]) * (1.0 / dx)
-            + (G_u[:, 1:, 1:-1] - G_u[:, :-1, 1:-1]) * (1.0 / dy)
-            + (H_u[1:, :, 1:-1] - H_u[:-1, :, 1:-1]) * (1.0 / dz)
+        ghosts = bcs.ghosts(u, v, w)
+        conv_u, conv_v, conv_w = advect3d(
+            u, v, w, ghosts, dx, dy, dz, cfg.scheme
         )
-        conv_v = (
-            (F_v[:, 1:-1, 1:] - F_v[:, 1:-1, :-1]) * (1.0 / dx)
-            + (G_v[:, 1:, :] - G_v[:, :-1, :]) * (1.0 / dy)
-            + (H_v[1:, 1:-1, :] - H_v[:-1, 1:-1, :]) * (1.0 / dz)
-        )
-        conv_w = (
-            (F_w[1:-1, :, 1:] - F_w[1:-1, :, :-1]) * (1.0 / dx)
-            + (G_w[1:-1, 1:, :] - G_w[1:-1, :-1, :]) * (1.0 / dy)
-            + (H_w[1:, :, :] - H_w[:-1, :, :]) * (1.0 / dz)
-        )
+        lap_u, lap_v, lap_w = diffuse3d(u, v, w, ghosts, dx, dy, dz)
 
-        # --- diffusion (7-point, interior faces)
-        ax, ay, az = 1.0 / dx**2, 1.0 / dy**2, 1.0 / dz**2
-
-        def lap_u():
-            d2x = (u[:, :, 2:] - 2 * u[:, :, 1:-1] + u[:, :, :-2]) * ax
-            d2y = (u_gy[:, 2:, 1:-1] - 2 * u[:, :, 1:-1] + u_gy[:, :-2, 1:-1]) * ay
-            d2z = (u_gz[2:, :, 1:-1] - 2 * u[:, :, 1:-1] + u_gz[:-2, :, 1:-1]) * az
-            return d2x + d2y + d2z
-
-        def lap_v():
-            d2x = (v_gx[:, 1:-1, 2:] - 2 * v[:, 1:-1, :] + v_gx[:, 1:-1, :-2]) * ax
-            d2y = (v[:, 2:, :] - 2 * v[:, 1:-1, :] + v[:, :-2, :]) * ay
-            d2z = (v_gz[2:, 1:-1, :] - 2 * v[:, 1:-1, :] + v_gz[:-2, 1:-1, :]) * az
-            return d2x + d2y + d2z
-
-        def lap_w():
-            d2x = (w_gx[1:-1, :, 2:] - 2 * w[1:-1] + w_gx[1:-1, :, :-2]) * ax
-            d2y = (w_gy[1:-1, 2:, :] - 2 * w[1:-1] + w_gy[1:-1, :-2, :]) * ay
-            d2z = (w[2:] - 2 * w[1:-1] + w[:-2]) * az
-            return d2x + d2y + d2z
-
-        u_star = u.at[:, :, 1:-1].add(dt * (cfg.nu * lap_u() - conv_u))
-        v_star = v.at[:, 1:-1, :].add(dt * (cfg.nu * lap_v() - conv_v))
-        w_star = w.at[1:-1].add(dt * (cfg.nu * lap_w() - conv_w))
+        u_star = u.at[:, :, 1:-1].add(dt * (cfg.nu * lap_u - conv_u))
+        v_star = v.at[:, 1:-1, :].add(dt * (cfg.nu * lap_v - conv_v))
+        w_star = w.at[1:-1].add(dt * (cfg.nu * lap_w - conv_w))
         u_star, v_star, w_star = bcs.set_normal(u_star, v_star, w_star)
 
         # --- exact projection

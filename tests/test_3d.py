@@ -135,10 +135,9 @@ def test_mac3d_matches_collocated_3d_physics():
 
 
 def test_mac3d_upwind_and_tvd_schemes():
-    # 3D MUSCL/upwind advection: healthy lid-driven development, exact
-    # projection, and monotone upwind stays bounded by the lid speed
-    import numpy as np
-
+    # 3D MUSCL/upwind advection: healthy lid-driven development with the
+    # exact projection; only the *monotone upwind* scheme is held to the
+    # lid-speed bound (MUSCL + projection is not strictly monotone)
     from cfdsim_tpu.cases import cavity3d_mac
 
     for scheme in ("upwind", "tvd"):
@@ -149,5 +148,6 @@ def test_mac3d_upwind_and_tvd_schemes():
             s, m = step(s, jnp.float32(1.0))
         assert bool(jnp.all(jnp.isfinite(s.u))), scheme
         assert float(m.div_post) < 1e-3, scheme
-        assert float(m.max_vel) <= 1.0 + 1e-3, scheme
         assert 0.0 < float(m.energy) < 0.5, scheme
+        if scheme == "upwind":
+            assert float(m.max_vel) <= 1.0 + 1e-3

@@ -146,12 +146,7 @@ def test_heated_cube_nusselt_ra1e4():
     from cfdsim_tpu.cases import heated_cube
 
     case = heated_cube(n=32, Ra=1e4)
-    f = jax.jit(lambda s0: jax.lax.scan(
-        lambda st, _: case.step(st, jnp.float32(1.0)), s0, None, length=1000))
-    s = case.state
-    ms = None
-    while float(s.t) < 0.4:
-        s, ms = f(s)
+    s, ms = _run(case, 0.4)
     nu_wall = float(np.asarray(ms.nu_hot_wall)[-1])
     nu_mid = float(np.asarray(ms.nu_mid)[-1])
     np.testing.assert_allclose(nu_wall, 2.054, rtol=0.03)

@@ -73,8 +73,6 @@ def test_hybrid_without_mask_is_exact_dct():
 def test_run_on_device_mac_tier():
     # whole-run while_loop on the staggered tier (exact projection all the
     # way): reaches t_final with fp32-roundoff divergence
-    import numpy as np
-
     from cfdsim_tpu.cases import lid_cavity_mac
 
     case = lid_cavity_mac(n=24, Re=100.0)
