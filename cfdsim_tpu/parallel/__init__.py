@@ -50,6 +50,9 @@ from cfdsim_tpu.parallel.mac3d_explicit import (
 from cfdsim_tpu.parallel.boussinesq_explicit import (
     make_heated_cavity_explicit_step,
 )
+from cfdsim_tpu.parallel.boussinesq3d_explicit import (
+    make_heated_cube_explicit_step,
+)
 from cfdsim_tpu.parallel.mac_stretched3d_explicit import (
     make_cavity3d_stretched_explicit_step,
 )
@@ -84,6 +87,7 @@ __all__ = [
     "make_cavity3d_stretched_explicit_step",
     "make_fdm_poisson3d_local",
     "make_heated_cavity_explicit_step",
+    "make_heated_cube_explicit_step",
     "trim_state3d",
     "untrim_state3d",
     "shard_trimmed_state3d",

@@ -154,3 +154,38 @@ def test_heated_cube_nusselt_ra1e4():
     assert float(np.asarray(ms.theta_min)[-1]) > -1e-3
     assert float(np.asarray(ms.theta_max)[-1]) < 1.0 + 1e-3
     assert float(np.asarray(ms.div_post)[-1]) < 1e-2
+
+
+def test_heated_cube_explicit_sharded_matches():
+    # multi-chip 3D natural convection: trimmed 3D MAC faces + θ halos +
+    # exact distributed 3D DCT must match the single-device step
+    from cfdsim_tpu.cases import heated_cube
+    from cfdsim_tpu.parallel.boussinesq3d_explicit import (
+        make_heated_cube_explicit_step,
+        shard_boussinesq3d_state,
+        trim_boussinesq3d_state,
+    )
+    from cfdsim_tpu.parallel.mesh import make_grid_mesh
+
+    mesh = make_grid_mesh(8, topology=(2, 4))
+    case = heated_cube(n=16, Ra=1e4)
+    step_ex = make_heated_cube_explicit_step(case.cfg, mesh)
+    step_ref = jax.jit(case.step)
+    t = shard_boussinesq3d_state(trim_boussinesq3d_state(case.state), mesh)
+    r = case.state
+    m_ex = m_ref = None
+    for _ in range(30):
+        t, m_ex = step_ex(t, jnp.float32(1.0))
+        r, m_ref = step_ref(r, jnp.float32(1.0))
+    np.testing.assert_allclose(np.asarray(t.u), np.asarray(r.u)[:, :, :-1],
+                               rtol=0, atol=5e-5)
+    np.testing.assert_allclose(np.asarray(t.w), np.asarray(r.w)[:-1],
+                               rtol=0, atol=5e-5)
+    np.testing.assert_allclose(np.asarray(t.theta), np.asarray(r.theta),
+                               rtol=0, atol=5e-5)
+    np.testing.assert_allclose(float(m_ex.dt), float(m_ref.dt), rtol=1e-6)
+    np.testing.assert_allclose(float(m_ex.nu_hot_wall),
+                               float(m_ref.nu_hot_wall), rtol=1e-4)
+    np.testing.assert_allclose(float(m_ex.nu_mid), float(m_ref.nu_mid),
+                               rtol=1e-3, atol=1e-4)
+    assert len(t.u.sharding.device_set) == 8
