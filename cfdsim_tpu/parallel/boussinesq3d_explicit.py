@@ -16,40 +16,27 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 from jax import lax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from cfdsim_tpu.models.boussinesq import BoussinesqMetrics
 from cfdsim_tpu.models.boussinesq3d import Boussinesq3DConfig, Boussinesq3DState
 from cfdsim_tpu.parallel.mac_explicit import _pmax, _psum
-from cfdsim_tpu.parallel.mac3d_explicit import _halo_yx, cavity3d_bc_kit
+from cfdsim_tpu.parallel.mac3d_explicit import (
+    _halo_yx,
+    cavity3d_bc_kit,
+    shard_trimmed_state3d,
+    trim_state3d,
+    untrim_state3d,
+)
 from cfdsim_tpu.parallel.transforms import dct_poisson3d_local
 
 
-def trim_boussinesq3d_state(state: Boussinesq3DState) -> Boussinesq3DState:
-    return state._replace(
-        u=state.u[:, :, :-1], v=state.v[:, :-1, :], w=state.w[:-1]
-    )
-
-
-def untrim_boussinesq3d_state(tstate: Boussinesq3DState) -> Boussinesq3DState:
-    """Closed no-slip box: all dropped boundary faces are zero."""
-    return tstate._replace(
-        u=jnp.pad(tstate.u, ((0, 0), (0, 0), (0, 1))),
-        v=jnp.pad(tstate.v, ((0, 0), (0, 1), (0, 0))),
-        w=jnp.pad(tstate.w, ((0, 1), (0, 0), (0, 0))),
-    )
-
-
-def shard_boussinesq3d_state(tstate: Boussinesq3DState, mesh: Mesh):
-    sh = NamedSharding(mesh, P(None, "y", "x"))
-
-    def place(x):
-        x = jnp.asarray(x)
-        if jnp.ndim(x) == 3:
-            return jax.device_put(x, sh)
-        return jax.device_put(x, NamedSharding(mesh, P()))
-
-    return jax.tree_util.tree_map(place, tstate)
+# The trimmed-representation helpers are field-generic over any NamedTuple
+# with u/v/w faces (theta/p are plain 3D cell arrays and shard the same
+# way) — reuse the mac3d ones rather than duplicating them.
+trim_boussinesq3d_state = trim_state3d
+untrim_boussinesq3d_state = untrim_state3d
+shard_boussinesq3d_state = shard_trimmed_state3d
 
 
 def make_heated_cube_explicit_step(cfg: Boussinesq3DConfig, mesh: Mesh):

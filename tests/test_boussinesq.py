@@ -179,11 +179,15 @@ def test_heated_cube_explicit_sharded_matches():
         r, m_ref = step_ref(r, jnp.float32(1.0))
     np.testing.assert_allclose(np.asarray(t.u), np.asarray(r.u)[:, :, :-1],
                                rtol=0, atol=5e-5)
+    np.testing.assert_allclose(np.asarray(t.v), np.asarray(r.v)[:, :-1, :],
+                               rtol=0, atol=5e-5)
     np.testing.assert_allclose(np.asarray(t.w), np.asarray(r.w)[:-1],
                                rtol=0, atol=5e-5)
     np.testing.assert_allclose(np.asarray(t.theta), np.asarray(r.theta),
                                rtol=0, atol=5e-5)
     np.testing.assert_allclose(float(m_ex.dt), float(m_ref.dt), rtol=1e-6)
+    np.testing.assert_allclose(float(m_ex.energy), float(m_ref.energy),
+                               rtol=1e-5)
     np.testing.assert_allclose(float(m_ex.nu_hot_wall),
                                float(m_ref.nu_hot_wall), rtol=1e-4)
     np.testing.assert_allclose(float(m_ex.nu_mid), float(m_ref.nu_mid),
