@@ -1,4 +1,5 @@
-"""Explicit shard_map step for the Boussinesq heated cavity.
+"""Explicit shard_map step for the 2D Boussinesq solver (both the
+side-heated cavity and the bottom-heated Rayleigh–Bénard orientation).
 
 Multi-chip natural convection: the MAC faces ride the trimmed
 representation of ``parallel/mac_explicit.py`` (width-2 ppermute halos,
@@ -75,11 +76,8 @@ def make_heated_cavity_explicit_step(cfg: BoussinesqConfig, mesh: Mesh):
         raise ValueError("local blocks must be at least 4x4 for width-2 halos")
     if cfg.poisson.method != "dct":
         raise ValueError("explicit heated-cavity step supports poisson 'dct'")
-    if cfg.heated_axis != "x":
-        raise ValueError(
-            "the explicit sharded step implements the side-heated cavity "
-            "(heated_axis='x'); run Rayleigh-Benard single-device"
-        )
+    if cfg.heated_axis not in ("x", "y"):
+        raise ValueError(f"unknown heated_axis {cfg.heated_axis!r}")
     if cfg.theta_scheme not in ("central", "upwind"):
         raise ValueError(f"unknown theta_scheme {cfg.theta_scheme!r}")
 
@@ -109,18 +107,29 @@ def make_heated_cavity_explicit_step(cfg: BoussinesqConfig, mesh: Mesh):
             return U, V, (grU, gfU, grV, gcV)
 
         def theta_ghost(th):
-            """Width-1 padded θ with the heated-cavity ghosts written by
-            global-index masks (boussinesq._theta_ghost sharded)."""
+            """Width-1 padded θ with the ghosts written by global-index
+            masks (boussinesq._theta_ghost sharded): Dirichlet on the
+            heated pair of walls, adiabatic on the other."""
             te = halo_exchange(th, py, px, width=1)
             gr, gc = _grids(te.shape, iy, ix, ny_l, nx_l, 1)
             right = jnp.roll(te, -1, axis=1)
             left = jnp.roll(te, 1, axis=1)
-            te = jnp.where(gc == -1, 2.0 * cfg.theta_hot - right, te)
-            te = jnp.where(gc == nx, 2.0 * cfg.theta_cold - left, te)
             below = jnp.roll(te, -1, axis=0)
             above = jnp.roll(te, 1, axis=0)
-            te = jnp.where(gr == -1, below, te)   # adiabatic bottom
-            te = jnp.where(gr == ny, above, te)   # adiabatic top
+            if cfg.heated_axis == "x":
+                te = jnp.where(gc == -1, 2.0 * cfg.theta_hot - right, te)
+                te = jnp.where(gc == nx, 2.0 * cfg.theta_cold - left, te)
+                below = jnp.roll(te, -1, axis=0)
+                above = jnp.roll(te, 1, axis=0)
+                te = jnp.where(gr == -1, below, te)   # adiabatic bottom
+                te = jnp.where(gr == ny, above, te)   # adiabatic top
+            else:  # heated from below (Rayleigh–Bénard)
+                te = jnp.where(gr == -1, 2.0 * cfg.theta_hot - below, te)
+                te = jnp.where(gr == ny, 2.0 * cfg.theta_cold - above, te)
+                right = jnp.roll(te, -1, axis=1)
+                left = jnp.roll(te, 1, axis=1)
+                te = jnp.where(gc == -1, right, te)   # adiabatic left
+                te = jnp.where(gc == nx, left, te)    # adiabatic right
             return te
 
         U, V, (grU, gfU, grV, gcV) = pad_faces(u_t, v_t, w=2)
@@ -206,26 +215,41 @@ def make_heated_cavity_explicit_step(cfg: BoussinesqConfig, mesh: Mesh):
             t=ts.t + dt, step=ts.step + 1,
         )
 
-        # --- diagnostics (boussinesq.make_step, distributed reductions)
+        # --- diagnostics (boussinesq.make_step, distributed reductions;
+        # per heated-axis orientation)
         div_post = (UN[1:-1, 2:] - UN[1:-1, 1:-1]) * (1.0 / dx) + (
             VN[2:, 1:-1] - VN[1:-1, 1:-1]
         ) * (1.0 / dy)
         dT = cfg.theta_hot - cfg.theta_cold
         lx = g.x_max - g.x_min
-        nu_hot = _psum(jnp.sum(jnp.where(
-            gc0 == 0, 2.0 * (cfg.theta_hot - theta_new) / dx, 0.0
-        ))) * lx / (float(ny) * dT)
-        # mid-plane Nusselt at the u-face column gx0..: face index nx//2
+        ly = g.y_max - g.y_min
         TEn = theta_ghost(theta_new)
-        i_mid = nx // 2
-        th_mid = 0.5 * (TEn[1:-1, :-1] + TEn[1:-1, 1:])    # at faces
-        dthdx = (TEn[1:-1, 1:] - TEn[1:-1, :-1]) * (1.0 / dx)
-        gface = gc0[0, :]  # owned face indices per local col
-        col_sel = (gface == i_mid)[None, :]
-        # uf col for face i_mid exists on exactly one shard's owned range
-        nu_mid = _psum(jnp.sum(jnp.where(
-            col_sel, uf[:, :nx_l] * th_mid[:, :nx_l] - dthdx[:, :nx_l], 0.0
-        ))) * dy * lx / (dT * (g.y_max - g.y_min))
+        if cfg.heated_axis == "x":
+            nu_hot = _psum(jnp.sum(jnp.where(
+                gc0 == 0, 2.0 * (cfg.theta_hot - theta_new) / dx, 0.0
+            ))) * lx / (float(ny) * dT)
+            i_mid = nx // 2
+            th_mid = 0.5 * (TEn[1:-1, :-1] + TEn[1:-1, 1:])    # at faces
+            dthdx = (TEn[1:-1, 1:] - TEn[1:-1, :-1]) * (1.0 / dx)
+            gface = gc0[0, :]  # owned face indices per local col
+            col_sel = (gface == i_mid)[None, :]
+            nu_mid = _psum(jnp.sum(jnp.where(
+                col_sel, uf[:, :nx_l] * th_mid[:, :nx_l] - dthdx[:, :nx_l],
+                0.0,
+            ))) * dy * lx / (dT * ly)
+        else:
+            nu_hot = _psum(jnp.sum(jnp.where(
+                gr0 == 0, 2.0 * (cfg.theta_hot - theta_new) / dy, 0.0
+            ))) * ly / (float(nx) * dT)
+            j_mid = ny // 2
+            th_mid = 0.5 * (TEn[:-1, 1:-1] + TEn[1:, 1:-1])    # at y-faces
+            dthdy = (TEn[1:, 1:-1] - TEn[:-1, 1:-1]) * (1.0 / dy)
+            grow = gr0[:, 0]
+            row_sel = (grow == j_mid)[:, None]
+            nu_mid = _psum(jnp.sum(jnp.where(
+                row_sel, vf[:ny_l, :] * th_mid[:ny_l, :] - dthdy[:ny_l, :],
+                0.0,
+            ))) * dx * ly / (dT * lx)
         ucc = 0.5 * (UN[1:-1, 1:-1] + UN[1:-1, 2:])
         vcc = 0.5 * (VN[1:-1, 1:-1] + VN[2:, 1:-1])
         metrics = BoussinesqMetrics(

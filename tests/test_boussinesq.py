@@ -193,3 +193,35 @@ def test_heated_cube_explicit_sharded_matches():
     np.testing.assert_allclose(float(m_ex.nu_mid), float(m_ref.nu_mid),
                                rtol=1e-3, atol=1e-4)
     assert len(t.u.sharding.device_set) == 8
+
+
+def test_rayleigh_benard_explicit_sharded_matches():
+    # the bottom-heated orientation under sharding too
+    from cfdsim_tpu.parallel.boussinesq_explicit import (
+        make_heated_cavity_explicit_step,
+        shard_boussinesq_state,
+        trim_boussinesq_state,
+    )
+    from cfdsim_tpu.cases import rayleigh_benard
+    from cfdsim_tpu.parallel.mesh import make_grid_mesh
+
+    mesh = make_grid_mesh(8, topology=(2, 4))
+    case = rayleigh_benard(ny=16, aspect=2.0, Ra=3000.0)
+    step_ex = make_heated_cavity_explicit_step(case.cfg, mesh)
+    step_ref = jax.jit(case.step)
+    t = shard_boussinesq_state(trim_boussinesq_state(case.state), mesh)
+    r = case.state
+    m_ex = m_ref = None
+    for _ in range(40):
+        t, m_ex = step_ex(t, jnp.float32(1.0))
+        r, m_ref = step_ref(r, jnp.float32(1.0))
+    np.testing.assert_allclose(np.asarray(t.u), np.asarray(r.u)[:, :-1],
+                               rtol=0, atol=3e-5)
+    np.testing.assert_allclose(np.asarray(t.v), np.asarray(r.v)[:-1, :],
+                               rtol=0, atol=3e-5)
+    np.testing.assert_allclose(np.asarray(t.theta), np.asarray(r.theta),
+                               rtol=0, atol=3e-5)
+    np.testing.assert_allclose(float(m_ex.nu_hot_wall),
+                               float(m_ref.nu_hot_wall), rtol=1e-4)
+    np.testing.assert_allclose(float(m_ex.nu_mid), float(m_ref.nu_mid),
+                               rtol=1e-3, atol=1e-4)
