@@ -206,8 +206,8 @@ def rbsor_pallas_blocked(
             kernel,
             grid=(n_strips,),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=pl.BlockSpec((R, nx), lambda i: (i, 0)),
             out_shape=jax.ShapeDtypeStruct((ny_pad, nx), phi0.dtype),

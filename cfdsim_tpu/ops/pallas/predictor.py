@@ -107,8 +107,8 @@ def fused_predictor_central(u, v, dt, nu: float, dx: float, dy: float,
         grid=(n_strips,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
             pl.BlockSpec((R, nx), lambda i: (i, 0)),
