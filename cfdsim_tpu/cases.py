@@ -909,6 +909,90 @@ def blast3d(
     return Case("blast3d", cfg, step, state, grid, {"r0": r0, "p_ratio": p_ratio})
 
 
+def cylinder_fem(
+    re: float = 100.0,
+    space: str = "p1p1",
+    h_far: float = 0.2,
+    h_near: float = 0.02,
+    dt: float = 0.05,
+    v_inf: float = 1.0,
+    tau_h=None,
+    wake_refine: bool = False,
+    gmres_tol: float = 1e-6,
+    viz_shape: tuple = (200, 300),
+):
+    """Unstructured-FEM flow over a cylinder — the reference's Julia/
+    Gridap family (v2.jl "efficient" configuration: domain [-L,8L]×
+    [-2L,2L], D = L = 1 cylinder at (3L,0), uniform inlet V∞, no-slip
+    walls/cylinder, h 0.02→0.2 grading, dt=0.05, semi-implicit P1-P1 +
+    τ stabilization; ``space="p2p1"`` gives v1.jl's Taylor-Hood setup).
+    ``wake_refine`` adds an h=2·h_near wake band (beyond-reference: the
+    boundary-layer/wake resolution gmsh's pure distance grading lacks).
+    Extras carry the mesh/spaces/ops/sampler for viz and force readout;
+    metrics fx/fy are the reaction drag/lift per unit density
+    (Cd = 2·fx / (V∞²·D))."""
+    from cfdsim_tpu.fem.mesh import cylinder_mesh
+    from cfdsim_tpu.fem.sample import build_sampler
+    from cfdsim_tpu.fem.spaces import build_spaces, dirichlet_values
+    from cfdsim_tpu.fem.assembly import build_element_ops
+    from cfdsim_tpu.models import fem as mfem
+
+    L = 1.0
+    mesh = cylinder_mesh(
+        h_far=h_far,
+        h_near=h_near,
+        x_span=(-L, 8 * L),
+        y_span=(-2 * L, 2 * L),
+        center=(3 * L, 0.0),
+        radius=L / 2,
+        wake_box=(3 * L, 7.5 * L, -1.0, 1.0) if wake_refine else None,
+        h_wake=2 * h_near if wake_refine else None,
+    )
+    spaces = build_spaces(mesh, space)
+    ops = build_element_ops(spaces)
+    nu = v_inf * L / re
+    cfg = mfem.FEMConfig(
+        nu=nu, dt=dt, space=space, v_inf=v_inf, tau_h=tau_h,
+        gmres_tol=gmres_tol,
+    )
+    g = dirichlet_values(
+        spaces,
+        {
+            "inlet": lambda x, y: (v_inf + 0 * x, 0 * y),
+            "walls": lambda x, y: (0 * x, 0 * y),
+            "cylinder": lambda x, y: (0 * x, 0 * y),
+        },
+    )
+    stokes_cfg = dataclasses.replace(
+        cfg, gmres_restart=200, gmres_maxiter=30
+    )
+    state = mfem.solve_stokes(ops, stokes_cfg, g)
+    step = mfem.make_step(
+        ops, cfg, g, force_nodes=spaces.dirichlet_tag_nodes["cylinder"]
+    )
+    ny, nx = viz_shape
+    # the reference's 300×200 viz window (v2.jl:278-279)
+    grid = Grid(nx=nx, ny=ny, x_min=-0.5 * L, x_max=7 * L,
+                y_min=-1.5 * L, y_max=1.5 * L)
+    sampler = build_sampler(spaces, grid.x_coords(), grid.y_coords())
+    return Case(
+        "cylinder_fem",
+        cfg,
+        step,
+        state,
+        grid,
+        {
+            "mesh": mesh,
+            "spaces": spaces,
+            "ops": ops,
+            "sampler": sampler,
+            "g": g,
+            "re": re,
+            "diameter": L,
+        },
+    )
+
+
 CASES: dict[str, Callable[..., Case]] = {
     "cavity": lid_cavity,
     "cavity_mac": lid_cavity_mac,
@@ -916,6 +1000,7 @@ CASES: dict[str, Callable[..., Case]] = {
     "channel": channel,
     "cylinder": cylinder,
     "cylinder_mac": cylinder_mac,
+    "cylinder_fem": cylinder_fem,
     "cylinder_stretched": cylinder_stretched,
     "wedge": wedge,
     "cavity_supersonic": cavity_supersonic,

@@ -1,0 +1,244 @@
+"""Vectorized FEM assembly: batched einsum contractions over ALL elements.
+
+Where Gridap walks elements applying weak-form lambdas (v2.jl:176-226),
+this module evaluates the same bilinear forms as a handful of dense
+einsum contractions batched over the whole element set — gather element
+DOFs, contract against precomputed basis/gradient tables at quadrature
+points (MXU-shaped batched small matmuls), scatter with ``segment_sum``.
+Static shapes throughout; every operator here is jit/vmap/grad-safe and
+is consumed matrix-free by GMRES (no sparse matrix is ever formed).
+
+Weak form implemented (semi-implicit backward Euler, v2.jl:202-215 /
+v1.jl:134-150):
+
+    (u - u_prev)·v/dt + ν ∇u:∇v + (ū·∇u)·v − p ∇·v + q ∇·u
+        + τ ∇p·∇q   =   0
+
+with ū = u_prev (linearized convection), τ the pressure-gradient
+stabilization (v2.jl:170; 0 for Taylor-Hood). Quadrature: 7-point
+degree-5 Dunavant rule — exact for every P2-P1 term.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cfdsim_tpu.fem.spaces import FESpaces
+
+
+def _dunavant7():
+    """Degree-5 7-point rule on the reference triangle; weights sum to
+    1/2 (the reference area)."""
+    s15 = np.sqrt(15.0)
+    b1 = (6.0 + s15) / 21.0
+    b2 = (6.0 - s15) / 21.0
+    pts = [(1 / 3, 1 / 3)]
+    wts = [9.0 / 40.0]
+    for b in (b1,):
+        w = (155.0 + s15) / 1200.0
+        a = 1.0 - 2.0 * b
+        pts += [(a, b), (b, a), (b, b)]
+        wts += [w, w, w]
+    for b in (b2,):
+        w = (155.0 - s15) / 1200.0
+        a = 1.0 - 2.0 * b
+        pts += [(a, b), (b, a), (b, b)]
+        wts += [w, w, w]
+    pts = np.asarray(pts, dtype=np.float64)  # (7, 2) = (ξ, η)
+    wts = 0.5 * np.asarray(wts, dtype=np.float64)
+    return pts, wts
+
+
+def _basis_tables(kind: str, qp: np.ndarray):
+    """Shape-function values and reference gradients at quad points.
+
+    Returns (N (nq, nloc), dN (nq, nloc, 2)). Barycentric
+    λ = (1-ξ-η, ξ, η); P2 midside ordering m_k opposite vertex k."""
+    xi, eta = qp[:, 0], qp[:, 1]
+    lam = np.stack([1.0 - xi - eta, xi, eta], axis=1)  # (nq, 3)
+    dlam = np.array([[-1.0, -1.0], [1.0, 0.0], [0.0, 1.0]])  # (3, 2)
+    if kind == "p1":
+        N = lam
+        dN = np.broadcast_to(dlam, (len(qp), 3, 2)).copy()
+        return N, dN
+    # P2
+    nq = len(qp)
+    N = np.zeros((nq, 6))
+    dN = np.zeros((nq, 6, 2))
+    for i in range(3):
+        N[:, i] = lam[:, i] * (2.0 * lam[:, i] - 1.0)
+        dN[:, i] = (4.0 * lam[:, i] - 1.0)[:, None] * dlam[i]
+    pairs = [(1, 2), (2, 0), (0, 1)]  # m0, m1, m2
+    for k, (a, b) in enumerate(pairs):
+        N[:, 3 + k] = 4.0 * lam[:, a] * lam[:, b]
+        dN[:, 3 + k] = 4.0 * (
+            lam[:, a][:, None] * dlam[b] + lam[:, b][:, None] * dlam[a]
+        )
+    return N, dN
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class ElementOps:
+    """Device-resident assembly tables (closed over by jitted steps).
+
+    Nu/Np : (nq, nloc) basis values; Gu/Gp : (nt, nq, nloc, 2) physical
+    gradients; wq : (nt, nq) quadrature weights ×|J|; xq : (nt, nq, 2)
+    quad-point coordinates; h_e : (nt,) element size √(2A) feeding the
+    τ stabilization; elem_u/elem_p : DOF maps; dir_mask : (n_u,) bool.
+    """
+
+    kind: str
+    n_u: int
+    n_p: int
+    elem_u: jax.Array
+    elem_p: jax.Array
+    Nu: jax.Array
+    Np: jax.Array
+    Gu: jax.Array
+    Gp: jax.Array
+    wq: jax.Array
+    xq: jax.Array
+    h_e: jax.Array
+    dir_mask: jax.Array
+
+
+def build_element_ops(spaces: FESpaces, dtype=jnp.float32) -> ElementOps:
+    """Precompute all per-element geometry/basis tables (runs once)."""
+    mesh = spaces.mesh
+    qp, qw = _dunavant7()
+    Nu, dNu = _basis_tables("p1" if spaces.kind == "p1p1" else "p2", qp)
+    Np, dNp = _basis_tables("p1", qp)
+
+    tri_pts = mesh.points[mesh.tris]  # (nt, 3, 2)
+    J = np.stack(
+        [tri_pts[:, 1] - tri_pts[:, 0], tri_pts[:, 2] - tri_pts[:, 0]],
+        axis=2,
+    )  # (nt, 2, 2): columns are edge vectors
+    detJ = J[:, 0, 0] * J[:, 1, 1] - J[:, 0, 1] * J[:, 1, 0]
+    inv = np.empty_like(J)
+    inv[:, 0, 0] = J[:, 1, 1]
+    inv[:, 0, 1] = -J[:, 0, 1]
+    inv[:, 1, 0] = -J[:, 1, 0]
+    inv[:, 1, 1] = J[:, 0, 0]
+    inv /= detJ[:, None, None]
+    # physical gradient: dN_phys[c] = dN_ref[k] * inv[k, c]
+    Gu = np.einsum("qlk,ekc->eqlc", dNu, inv)
+    Gp = np.einsum("qlk,ekc->eqlc", dNp, inv)
+    wq = np.abs(detJ)[:, None] * qw[None, :]
+    xq = tri_pts[:, None, 0, :] + np.einsum("qk,eck->eqc", qp, J)
+    h_e = np.sqrt(np.abs(detJ))  # √(2A): characteristic element size
+
+    return ElementOps(
+        kind=spaces.kind,
+        n_u=spaces.n_u,
+        n_p=spaces.n_p,
+        elem_u=jnp.asarray(spaces.elem_u),
+        elem_p=jnp.asarray(spaces.elem_p),
+        Nu=jnp.asarray(Nu, dtype=dtype),
+        Np=jnp.asarray(Np, dtype=dtype),
+        Gu=jnp.asarray(Gu, dtype=dtype),
+        Gp=jnp.asarray(Gp, dtype=dtype),
+        wq=jnp.asarray(wq, dtype=dtype),
+        xq=jnp.asarray(xq, dtype=dtype),
+        h_e=jnp.asarray(h_e, dtype=dtype),
+        dir_mask=jnp.asarray(spaces.dirichlet_mask),
+    )
+
+
+def apply_ns(ops: ElementOps, u, p, nu, inv_dt, adv_u, tau):
+    """y = A(u, p): one application of the coupled NS block operator.
+
+    u : (n_u, 2), p : (n_p,); ``adv_u`` is the frozen advecting field
+    (None → Stokes); ``inv_dt`` 0.0 drops the mass term (steady);
+    ``tau`` (nt,) is the per-element stabilization (0 → none).
+    Returns (yu (n_u, 2), yp (n_p,)).
+    """
+    ue = u[ops.elem_u]  # (nt, nlu, 2)
+    pe = p[ops.elem_p]  # (nt, 3)
+    gu = jnp.einsum("eqlc,eld->eqdc", ops.Gu, ue)  # ∇u at quads
+    pq = jnp.einsum("ql,el->eq", ops.Np, pe)
+    divu = gu[..., 0, 0] + gu[..., 1, 1]
+
+    # momentum: ν ∇u:∇v
+    ru = nu * jnp.einsum("eq,eqlc,eqdc->eld", ops.wq, ops.Gu, gu)
+    if inv_dt is not None:
+        uq = jnp.einsum("ql,eld->eqd", ops.Nu, ue)
+        ru = ru + inv_dt * jnp.einsum("eq,ql,eqd->eld", ops.wq, ops.Nu, uq)
+    if adv_u is not None:
+        aq = jnp.einsum("ql,eld->eqd", ops.Nu, adv_u[ops.elem_u])
+        conv = jnp.einsum("eqc,eqdc->eqd", aq, gu)
+        ru = ru + jnp.einsum("eq,ql,eqd->eld", ops.wq, ops.Nu, conv)
+    # − p ∇·v
+    ru = ru - jnp.einsum("eq,eqld,eq->eld", ops.wq, ops.Gu, pq)
+
+    # continuity: q ∇·u (+ τ ∇p·∇q)
+    rp = jnp.einsum("eq,ql,eq->el", ops.wq, ops.Np, divu)
+    if tau is not None:
+        gp = jnp.einsum("eqlc,el->eqc", ops.Gp, pe)
+        rp = rp + jnp.einsum(
+            "e,eq,eqlc,eqc->el", tau, ops.wq, ops.Gp, gp
+        )
+
+    yu = jax.ops.segment_sum(
+        ru.reshape(-1, 2), ops.elem_u.reshape(-1), num_segments=ops.n_u
+    )
+    yp = jax.ops.segment_sum(
+        rp.reshape(-1), ops.elem_p.reshape(-1), num_segments=ops.n_p
+    )
+    return yu, yp
+
+
+def apply_mass_u(ops: ElementOps, u):
+    """y = M u (velocity mass matrix) — the backward-Euler rhs carrier
+    (u_prev·v/dt, v2.jl:208)."""
+    ue = u[ops.elem_u]
+    uq = jnp.einsum("ql,eld->eqd", ops.Nu, ue)
+    ru = jnp.einsum("eq,ql,eqd->eld", ops.wq, ops.Nu, uq)
+    return jax.ops.segment_sum(
+        ru.reshape(-1, 2), ops.elem_u.reshape(-1), num_segments=ops.n_u
+    )
+
+
+def operator_diag(ops: ElementOps, nu, inv_dt, tau):
+    """Diagonal of the (convection-free) block operator, for Jacobi
+    preconditioning: momentum diag = Σ w (ν|∇N|² + N²/dt); pressure
+    diag = Σ w (τ|∇N|² + N²/ν) — the 1/ν pressure-mass term is the
+    standard Schur-complement diagonal proxy (keeps Taylor-Hood, where
+    τ=0, well scaled)."""
+    du_e = nu * jnp.einsum("eq,eqlc,eqlc->el", ops.wq, ops.Gu, ops.Gu)
+    if inv_dt is not None:
+        du_e = du_e + inv_dt * jnp.einsum(
+            "eq,ql,ql->el", ops.wq, ops.Nu, ops.Nu
+        )
+    dp_e = (1.0 / nu) * jnp.einsum("eq,ql,ql->el", ops.wq, ops.Np, ops.Np)
+    if tau is not None:
+        dp_e = dp_e + jnp.einsum(
+            "e,eq,eqlc,eqlc->el", tau, ops.wq, ops.Gp, ops.Gp
+        )
+    du = jax.ops.segment_sum(
+        du_e.reshape(-1), ops.elem_u.reshape(-1), num_segments=ops.n_u
+    )
+    dp = jax.ops.segment_sum(
+        dp_e.reshape(-1), ops.elem_p.reshape(-1), num_segments=ops.n_p
+    )
+    return du, dp
+
+
+def interpolate_u(ops: ElementOps, u):
+    """Velocity (and its gradient) at all quadrature points:
+    returns uq (nt, nq, 2), gu (nt, nq, 2, 2). Used by error norms,
+    diagnostics, and the force evaluation."""
+    ue = u[ops.elem_u]
+    uq = jnp.einsum("ql,eld->eqd", ops.Nu, ue)
+    gu = jnp.einsum("eqlc,eld->eqdc", ops.Gu, ue)
+    return uq, gu
+
+
+def l2_norm(ops: ElementOps, fq):
+    """√∫ |f|² over the mesh for a quad-point field fq (nt, nq, ...)."""
+    sq = jnp.sum(fq * fq, axis=tuple(range(2, fq.ndim)))
+    return jnp.sqrt(jnp.sum(ops.wq * sq))

@@ -1,0 +1,137 @@
+"""FE-solution sampling onto a structured viz grid.
+
+The reference evaluates the Gridap FE solution pointwise on a 300×200
+grid, chunked over 8 worker processes with ``pmap``, and estimates
+vorticity by finite-differencing those point evaluations
+(v2.jl:229-272, :275-296). Here point location runs ONCE on the host
+(centroid-KDTree candidate search + barycentric test), producing static
+gather/eval tables; per-frame sampling is then a single gather + einsum
+on device — including the exact FE velocity gradient, so vorticity is
+the element-wise ∂v/∂x − ∂u/∂y rather than an h=0.05 FD estimate.
+Points outside the fluid (inside the cylinder) are NaN-masked like the
+reference (v2.jl:264-266).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+from scipy.spatial import cKDTree
+
+from cfdsim_tpu.fem.assembly import _basis_tables
+from cfdsim_tpu.fem.spaces import FESpaces
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class SampleTable:
+    """Static sampling tables for a fixed point set (ns points).
+
+    idx : (ns, nloc_u) velocity DOF gather indices
+    idx_p : (ns, 3) pressure DOF gather indices
+    N / Np : (ns, nloc) basis values at each point
+    G : (ns, nloc_u, 2) physical basis gradients (for vorticity)
+    valid : (ns,) False outside the fluid (NaN in outputs)
+    shape : original point-grid shape, outputs are reshaped to it
+    """
+
+    idx: jnp.ndarray
+    idx_p: jnp.ndarray
+    N: jnp.ndarray
+    Np: jnp.ndarray
+    G: jnp.ndarray
+    valid: jnp.ndarray
+    shape: tuple
+
+
+def _locate(mesh, pts, k=24):
+    """Containing triangle + barycentric coords per point (host-side).
+    Candidate triangles come from a KDTree over centroids; a point whose
+    best candidate still has a negative barycentric coordinate beyond
+    tolerance is marked invalid (outside the fluid)."""
+    tp = mesh.points[mesh.tris]  # (nt, 3, 2)
+    cent = tp.mean(axis=1)
+    tree = cKDTree(cent)
+    k = min(k, len(cent))
+    _, cand = tree.query(pts, k=k)
+    if k == 1:
+        cand = cand[:, None]
+    a = tp[cand, 0]  # (ns, k, 2)
+    e1 = tp[cand, 1] - a
+    e2 = tp[cand, 2] - a
+    r = pts[:, None, :] - a
+    det = e1[..., 0] * e2[..., 1] - e1[..., 1] * e2[..., 0]
+    l1 = (r[..., 0] * e2[..., 1] - r[..., 1] * e2[..., 0]) / det
+    l2 = (e1[..., 0] * r[..., 1] - e1[..., 1] * r[..., 0]) / det
+    l0 = 1.0 - l1 - l2
+    worst = np.minimum(np.minimum(l0, l1), l2)  # (ns, k)
+    best = np.argmax(worst, axis=1)
+    rows = np.arange(len(pts))
+    tri = cand[rows, best]
+    bary = np.stack(
+        [l0[rows, best], l1[rows, best], l2[rows, best]], axis=1
+    )
+    valid = worst[rows, best] > -1e-9
+    return tri, bary, valid
+
+
+def build_sampler(spaces: FESpaces, xs, ys) -> SampleTable:
+    """Tables for sampling on the tensor grid xs × ys (host, one-time)."""
+    xs = np.asarray(xs, dtype=np.float64)
+    ys = np.asarray(ys, dtype=np.float64)
+    X, Y = np.meshgrid(xs, ys, indexing="xy")
+    pts = np.stack([X.ravel(), Y.ravel()], axis=1)
+    mesh = spaces.mesh
+    tri, bary, valid = _locate(mesh, pts)
+    qp = bary[:, 1:]  # reference coords (ξ, η) = (λ1, λ2)
+    kind = "p1" if spaces.kind == "p1p1" else "p2"
+    N, dN = _basis_tables(kind, qp)  # (ns, nloc), (ns, nloc, 2)
+    Np, _ = _basis_tables("p1", qp)
+
+    tp = mesh.points[mesh.tris[tri]]  # (ns, 3, 2)
+    J = np.stack([tp[:, 1] - tp[:, 0], tp[:, 2] - tp[:, 0]], axis=2)
+    det = J[:, 0, 0] * J[:, 1, 1] - J[:, 0, 1] * J[:, 1, 0]
+    inv = np.empty_like(J)
+    inv[:, 0, 0] = J[:, 1, 1]
+    inv[:, 0, 1] = -J[:, 0, 1]
+    inv[:, 1, 0] = -J[:, 1, 0]
+    inv[:, 1, 1] = J[:, 0, 0]
+    inv /= det[:, None, None]
+    G = np.einsum("slk,skc->slc", dN, inv)
+
+    return SampleTable(
+        idx=jnp.asarray(spaces.elem_u[tri]),
+        idx_p=jnp.asarray(spaces.elem_p[tri]),
+        N=jnp.asarray(N, dtype=jnp.float32),
+        Np=jnp.asarray(Np, dtype=jnp.float32),
+        G=jnp.asarray(G, dtype=jnp.float32),
+        valid=jnp.asarray(valid),
+        shape=(len(ys), len(xs)),
+    )
+
+
+def sample_fields(table: SampleTable, u, p=None):
+    """Sample velocity (+ exact vorticity, + optionally pressure) at the
+    table's points. Returns dict of (ny, nx) arrays with NaN outside the
+    fluid: u, v, speed, vorticity [, p]."""
+    ue = u[table.idx]  # (ns, nloc, 2)
+    uv = jnp.einsum("sl,sld->sd", table.N, ue)
+    gu = jnp.einsum("slc,sld->sdc", table.G, ue)
+    vort = gu[:, 1, 0] - gu[:, 0, 1]
+    nan = jnp.float32(jnp.nan)
+    m = table.valid
+
+    def shape(f):
+        return jnp.where(m, f, nan).reshape(table.shape)
+
+    out = {
+        "u": shape(uv[:, 0]),
+        "v": shape(uv[:, 1]),
+        "speed": shape(jnp.sqrt(uv[:, 0] ** 2 + uv[:, 1] ** 2)),
+        "vorticity": shape(vort),
+    }
+    if p is not None:
+        pv = jnp.einsum("sl,sl->s", table.Np, p[table.idx_p])
+        out["p"] = shape(pv)
+    return out
