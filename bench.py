@@ -136,6 +136,18 @@ def run_secondary(n=1024):
         "metric": f"cell_updates_per_sec_cavity_stretched{ns}",
         "value": ns * ns * 500 / (t2 - t1), "unit": "cells/s",
     })
+
+    # unstructured FEM tier: implicit steps/sec on the reference Gridap
+    # cylinder domain (one matrix-free GMRES solve per step)
+    from cfdsim_tpu.cases import cylinder_fem
+
+    case = cylinder_fem(re=100, wake_refine=True)
+    t1, _ = _timed_chunk(case, case.state, 5)
+    t2, _ = _timed_chunk(case, case.state, 30)
+    results.append({
+        "metric": "fem_cylinder_steps_per_sec",
+        "value": 25 / (t2 - t1), "unit": "steps/s",
+    })
     return results
 
 

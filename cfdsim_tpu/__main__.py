@@ -82,7 +82,19 @@ def cmd_run(args, extra):
 
             writer = SnapshotWriter(snap_path)
 
+        fem_sampler = (case.extras or {}).get("sampler")
+
         def snapshot_fn(state, step, t):
+            if fem_sampler is not None:
+                # unstructured FEM state: snapshot the sampled structured
+                # fields so the deferred renderer works unchanged (the
+                # reference also rasterizes before plotting, v2.jl:275-296)
+                from cfdsim_tpu.fem.sample import sample_fields
+
+                f = sample_fields(fem_sampler, state.u, state.p)
+                writer.save(step, t, u=f["u"], v=f["v"], p=f["p"],
+                            vorticity=f["vorticity"])
+                return
             fields = {
                 k: v
                 for k in state._fields
@@ -140,8 +152,13 @@ def cmd_run(args, extra):
         fields = ("velocity", "vorticity")
         if hasattr(case.state, "theta"):  # scalar-coupled states
             fields = ("velocity", "vorticity", "temperature")
+        mesh = (case.extras or {}).get("mesh")
+        cyl = None
+        if mesh is not None and "cylinder_center" in getattr(mesh, "geometry", {}):
+            cyl = (mesh.geometry["cylinder_center"],
+                   mesh.geometry["cylinder_radius"])
         render_frames_from_hdf5(h5, out / "frames", grid=case.grid,
-                                fields=fields)
+                                fields=fields, cylinder=cyl)
         print(f"frames in {out / 'frames'}")
 
 

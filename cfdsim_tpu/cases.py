@@ -14,6 +14,7 @@ import dataclasses
 from typing import Any, Callable, Optional
 
 import jax.numpy as jnp
+import numpy as np
 
 from cfdsim_tpu import boundary
 from cfdsim_tpu.grid import Grid
@@ -918,7 +919,9 @@ def cylinder_fem(
     v_inf: float = 1.0,
     tau_h=None,
     wake_refine: bool = False,
-    gmres_tol: float = 1e-6,
+    gmres_tol: float = 1e-5,
+    perturb: float = 0.03,
+    theta: float = 1.0,
     viz_shape: tuple = (200, 300),
 ):
     """Unstructured-FEM flow over a cylinder — the reference's Julia/
@@ -953,7 +956,7 @@ def cylinder_fem(
     nu = v_inf * L / re
     cfg = mfem.FEMConfig(
         nu=nu, dt=dt, space=space, v_inf=v_inf, tau_h=tau_h,
-        gmres_tol=gmres_tol,
+        gmres_tol=gmres_tol, theta=theta,
     )
     g = dirichlet_values(
         spaces,
@@ -967,6 +970,18 @@ def cylinder_fem(
         cfg, gmres_restart=200, gmres_maxiter=30
     )
     state = mfem.solve_stokes(ops, stokes_cfg, g)
+    if perturb:
+        # symmetry-breaking wake seed (one-sided v bump behind the body)
+        # so shedding onsets promptly instead of waiting on fp32 noise —
+        # the reference leans on solver noise for the same role
+        xp, yp = spaces.u_points[:, 0], spaces.u_points[:, 1]
+        bump = perturb * np.exp(
+            -(((xp - 4.0) / 0.7) ** 2 + (yp / 0.7) ** 2)
+        )
+        bump[spaces.dirichlet_mask] = 0.0
+        state = state._replace(
+            u=state.u.at[:, 1].add(jnp.asarray(bump, state.u.dtype))
+        )
     step = mfem.make_step(
         ops, cfg, g, force_nodes=spaces.dirichlet_tag_nodes["cylinder"]
     )
@@ -993,6 +1008,93 @@ def cylinder_fem(
     )
 
 
+def schafer_turek_fem(
+    re: float = 100.0,
+    space: str = "p1p1",
+    h_near: float = 0.008,
+    h_far: float = 0.04,
+    dt: float = 0.0025,
+    u_mean: float = 1.0,
+    gmres_tol: float = 1e-5,
+    theta: float = 1.0,
+    wake_refine: bool = False,
+    viz_shape: tuple = (120, 640),
+):
+    """Schäfer–Turek 2D-2 benchmark on the FEM tier: channel
+    [0,2.2]×[0,0.41], D=0.1 cylinder at (0.2,0.2) (deliberately
+    off-center — self-triggers shedding), parabolic inlet with
+    Um=1.5·ū. Published targets at Re=ūD/ν=100: Cd≈3.22–3.24,
+    Cl amplitude ≈ ±1.0, St≈0.295–0.305. A quantitative validation the
+    reference's Gridap family (v1.jl/v2.jl) never ran; force
+    coefficients are Cd = 2·fx/(ū²D), Cl = 2·fy/(ū²D)."""
+    from cfdsim_tpu.fem.mesh import cylinder_mesh
+    from cfdsim_tpu.fem.sample import build_sampler
+    from cfdsim_tpu.fem.spaces import build_spaces, dirichlet_values
+    from cfdsim_tpu.fem.assembly import build_element_ops
+    from cfdsim_tpu.models import fem as mfem
+
+    H, Lx, D = 0.41, 2.2, 0.1
+    u_max = 1.5 * u_mean
+    mesh = cylinder_mesh(
+        h_far=h_far,
+        h_near=h_near,
+        x_span=(0.0, Lx),
+        y_span=(0.0, H),
+        center=(0.2, 0.2),
+        radius=D / 2,
+        grade=0.2,
+        wake_box=(0.2, 1.4, 0.06, 0.35) if wake_refine else None,
+        h_wake=2.0 * h_near if wake_refine else None,
+    )
+    spaces = build_spaces(mesh, space)
+    ops = build_element_ops(spaces)
+    nu = u_mean * D / re
+    cfg = mfem.FEMConfig(
+        nu=nu, dt=dt, space=space, v_inf=u_max, gmres_tol=gmres_tol,
+        theta=theta,
+    )
+    g = dirichlet_values(
+        spaces,
+        {
+            "inlet": lambda x, y: (
+                4.0 * u_max * y * (H - y) / H**2,
+                0 * y,
+            ),
+            "walls": lambda x, y: (0 * x, 0 * y),
+            "cylinder": lambda x, y: (0 * x, 0 * y),
+        },
+    )
+    stokes_cfg = dataclasses.replace(
+        cfg, gmres_restart=200, gmres_maxiter=30
+    )
+    state = mfem.solve_stokes(ops, stokes_cfg, g)
+    step = mfem.make_step(
+        ops, cfg, g, force_nodes=spaces.dirichlet_tag_nodes["cylinder"]
+    )
+    ny, nx = viz_shape
+    grid = Grid(nx=nx, ny=ny, x_min=0.0, x_max=Lx, y_min=0.0, y_max=H)
+    sampler = build_sampler(spaces, grid.x_coords(), grid.y_coords())
+    return Case(
+        "schafer_turek_fem",
+        cfg,
+        step,
+        state,
+        grid,
+        {
+            "mesh": mesh,
+            "spaces": spaces,
+            "ops": ops,
+            "sampler": sampler,
+            "g": g,
+            "re": re,
+            "diameter": D,
+            "u_mean": u_mean,
+            # coefficient scale: Cd = coeff_scale·fx
+            "coeff_scale": 2.0 / (u_mean**2 * D),
+        },
+    )
+
+
 CASES: dict[str, Callable[..., Case]] = {
     "cavity": lid_cavity,
     "cavity_mac": lid_cavity_mac,
@@ -1001,6 +1103,7 @@ CASES: dict[str, Callable[..., Case]] = {
     "cylinder": cylinder,
     "cylinder_mac": cylinder_mac,
     "cylinder_fem": cylinder_fem,
+    "schafer_turek_fem": schafer_turek_fem,
     "cylinder_stretched": cylinder_stretched,
     "wedge": wedge,
     "cavity_supersonic": cavity_supersonic,

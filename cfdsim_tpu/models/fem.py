@@ -65,9 +65,16 @@ class FEMConfig:
     v_inf: float = 1.0
     tau_h: Optional[float] = None
     force_tau: bool = False
-    gmres_tol: float = 1e-6
+    # time discretization: 1.0 = backward Euler (reference parity,
+    # v2.jl:208), 0.5 = Crank-Nicolson on the viscous+convective terms
+    # (pressure/continuity stay fully implicit) — halves the numerical
+    # damping of vortex shedding at the same dt
+    theta: float = 1.0
+    gmres_tol: float = 1e-5
     gmres_restart: int = 40
-    gmres_maxiter: int = 40  # outer restarts
+    gmres_maxiter: int = 8  # outer restarts (warm-started transient
+    # solves need ~100-300 matvecs at 1e-5; the cold Stokes init instead
+    # wants restart≈200 — see cases.cylinder_fem)
     accept_relres: float = 1e-2  # keep-previous threshold (v2.jl:223-225)
 
 
@@ -104,7 +111,7 @@ def _preconditioner(ops, cfg, inv_dt, tau):
     return M
 
 
-def _gmres(A, b, x0, M, cfg):
+def _gmres_raw(A, b, x0, M, cfg):
     x, _ = jax.scipy.sparse.linalg.gmres(
         A,
         b,
@@ -117,6 +124,86 @@ def _gmres(A, b, x0, M, cfg):
         solve_method="batched",
     )
     return x
+
+
+def _gmres(A, b, x0, M, cfg):
+    return _gmres_raw(A, b, x0, M, cfg)
+
+
+def _make_implicit_solver(ops, cfg, g, bf):
+    """The per-step linear solve as an exactly-differentiable primitive.
+
+    jax 0.9's ``custom_linear_solve`` transpose rule cannot handle an
+    operator whose closure is itself differentiated (internal
+    undefined-primal assertion), so the implicit adjoint is spelled out
+    with ``custom_vjp``: forward = preconditioned GMRES on
+    A(u_prev) x = b(u_prev); backward solves Aᵀ λ = x̄ (GMRES on the
+    ``jax.linear_transpose`` of the operator) and pulls parameter
+    gradients through the residual r(θ) = b(θ) − A(θ)·x at fixed x —
+    the textbook adjoint of the semi-implicit step, including the
+    convection-coefficient sensitivity."""
+    tau = _tau(ops, cfg)
+    dm = ops.dir_mask[:, None]
+    th = float(cfg.theta)
+
+    def opA(u_prev, inv_dt, x):
+        # θ-weighting uses linearity: θ(νK + C(ū))u = (θν)Ku + C(θū)u,
+        # so the θ-scheme reuses the plain assembly with scaled inputs
+        u, p = x
+        yu, yp = apply_ns(ops, u, p, th * cfg.nu, inv_dt, th * u_prev, tau)
+        return (jnp.where(dm, u, yu), yp)
+
+    def rhs(u_prev, p_prev, inv_dt):
+        rhs_u = inv_dt * apply_mass_u(ops, u_prev)
+        if th != 1.0:
+            # explicit part: −(1−θ)(νK + C(ū))·u_prev (p=0 drops the
+            # pressure coupling; the continuity output is discarded)
+            yu_e, _ = apply_ns(
+                ops, u_prev, jnp.zeros((ops.n_p,), dtype=u_prev.dtype),
+                (1.0 - th) * cfg.nu, None, (1.0 - th) * u_prev, None,
+            )
+            rhs_u = rhs_u - yu_e
+        if bf is not None:
+            rhs_u = rhs_u + bf
+        bu = jnp.where(dm, g, rhs_u)
+        return (bu, 0.0 * p_prev), rhs_u
+
+    @jax.custom_vjp
+    def solve(u_prev, p_prev, inv_dt):
+        b, _ = rhs(u_prev, p_prev, inv_dt)
+        A = lambda x: opA(u_prev, inv_dt, x)
+        M = _preconditioner(ops, cfg, inv_dt, tau)
+        return _gmres_raw(A, b, (u_prev, p_prev), M, cfg)
+
+    def fwd(u_prev, p_prev, inv_dt):
+        x = solve(u_prev, p_prev, inv_dt)
+        return x, (u_prev, p_prev, inv_dt, x)
+
+    def bwd(res, xbar):
+        u_prev, p_prev, inv_dt, x = res
+        A = lambda y: opA(u_prev, inv_dt, y)
+        At = jax.linear_transpose(A, x)
+        M = _preconditioner(ops, cfg, inv_dt, tau)
+        zero = jax.tree.map(jnp.zeros_like, x)
+        lam = _gmres_raw(lambda v: At(v)[0], xbar, zero, M, cfg)
+
+        def residual(u_prev_, p_prev_, inv_dt_):
+            b, _ = rhs(u_prev_, p_prev_, inv_dt_)
+            ax = opA(u_prev_, inv_dt_, x)  # x held fixed
+            return jax.tree.map(jnp.subtract, b, ax)
+
+        _, vjp = jax.vjp(residual, u_prev, p_prev, inv_dt)
+        return vjp(lam)
+
+    def unmasked_momentum(u_prev, inv_dt, x):
+        """θ-weighted momentum rows without the Dirichlet replacement
+        (for the reaction-force readout)."""
+        u, p = x
+        yu, _ = apply_ns(ops, u, p, th * cfg.nu, inv_dt, th * u_prev, tau)
+        return yu
+
+    solve.defvjp(fwd, bwd)
+    return solve, rhs, opA, unmasked_momentum
 
 
 def _relres(A, x, b):
@@ -181,22 +268,20 @@ def make_step(
         fmask = jnp.zeros((ops.n_u,)).at[jnp.asarray(force_nodes)].set(1.0)
     tau = _tau(ops, cfg)
     bf = _body_force_rhs(ops, body_force) if body_force is not None else None
+    solve, rhs_fn, opA, unmasked_momentum = _make_implicit_solver(
+        ops, cfg, g, bf
+    )
 
     def step(state: FEMState, cfl_scale=1.0):
         dt = cfg.dt * cfl_scale
         inv_dt = 1.0 / dt
         u_prev, p_prev = state.u, state.p
 
-        A = _masked_operator(ops, cfg, inv_dt, u_prev, tau)
-        rhs_u = inv_dt * apply_mass_u(ops, u_prev)
-        if bf is not None:
-            rhs_u = rhs_u + bf
-        bu = jnp.where(ops.dir_mask[:, None], g, rhs_u)
-        b = (bu, jnp.zeros((ops.n_p,), dtype=bu.dtype))
-        M = _preconditioner(ops, cfg, inv_dt, tau)
-        u, p = _gmres(A, b, (u_prev, p_prev), M, cfg)
+        u, p = solve(u_prev, p_prev, inv_dt)
 
         # v2.jl:223-225 — unconverged/non-finite solve keeps previous
+        A = lambda x: opA(u_prev, inv_dt, x)
+        b, rhs_u = rhs_fn(u_prev, p_prev, inv_dt)
         relres = _relres(A, (u, p), b)
         finite = jnp.isfinite(jnp.sum(u)) & jnp.isfinite(jnp.sum(p))
         ok = finite & (relres < cfg.accept_relres)
@@ -219,7 +304,7 @@ def make_step(
             # the body nodes equals ∫_Γ (ν∇u−pI)·n_fluid·φ dΓ; on the
             # body n_fluid points INTO it, so the force ON the body is
             # the negative of the summed residual
-            yu, _ = apply_ns(ops, u, p, cfg.nu, inv_dt, u_prev, tau)
+            yu = unmasked_momentum(u_prev, inv_dt, (u, p))
             res_u = yu - rhs_u
             fx = -jnp.sum(fmask * res_u[:, 0])
             fy = -jnp.sum(fmask * res_u[:, 1])

@@ -87,6 +87,12 @@ def test_every_registered_case_builds_and_steps():
         "rayleigh_benard": dict(ny=8, aspect=2.0),
         "heated_cube": dict(n=8),
         "blast3d": dict(n=12),
+        "cylinder_fem": dict(
+            h_far=0.5, h_near=0.12, viz_shape=(24, 36), gmres_tol=1e-4
+        ),
+        "schafer_turek_fem": dict(
+            h_far=0.08, h_near=0.025, viz_shape=(24, 64), gmres_tol=1e-4
+        ),
     }
     assert set(tiny) == set(CASES), "update the tiny-shape table"
     for name, kw in tiny.items():

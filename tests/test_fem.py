@@ -105,6 +105,21 @@ def test_taylor_hood_ns_step_preserves_poiseuille():
     assert float(m.poisson_res) < 1e-5
 
 
+def test_crank_nicolson_step_preserves_poiseuille():
+    """θ=0.5 (Crank-Nicolson on viscous+convective terms) is implemented
+    via the linearity identity θ(νK+C(ū))u = (θν)Ku + C(θū)u; a steady
+    solution must be a fixed point for any θ."""
+    mesh, sp, ops, g = _poiseuille_setup("p2p1", n=8)
+    cfg = FEMConfig(
+        nu=0.1, dt=0.1, space="p2p1", theta=0.5,
+        gmres_tol=1e-7, gmres_restart=120, gmres_maxiter=20,
+    )
+    st = solve_stokes(ops, cfg, g)
+    step = jax.jit(make_step(ops, cfg, g))
+    st2, m = step(st, 1.0)
+    assert float(jnp.abs(st2.u - st.u).max()) < 1e-4
+
+
 def test_stokes_body_force_exact():
     """Manufactured u=(y², 0), p=0, f=(−2ν, 0) — satisfies the outlet
     do-nothing condition and lies in the P2 space."""
@@ -202,6 +217,28 @@ def test_cylinder_fem_sampler(fem_cylinder):
     assert 0.005 < nanfrac < 0.05  # cylinder interior NaN-masked
     assert float(jnp.nanmax(f["speed"])) < 5.0
     assert "p" in f and "vorticity" in f
+
+
+def test_fem_step_is_differentiable():
+    """The GMRES solve is wrapped in lax.custom_linear_solve, so the
+    semi-implicit step reverse-differentiates by implicit adjoint
+    (gradient of mean KE after one step w.r.t. the initial velocity is
+    finite and nonzero)."""
+    mesh, sp, ops, g = _poiseuille_setup("p1p1", n=6)
+    cfg = FEMConfig(
+        nu=0.1, dt=0.1, space="p1p1", gmres_tol=1e-6,
+        gmres_restart=120, gmres_maxiter=10,
+    )
+    st = solve_stokes(ops, cfg, g)
+    step = make_step(ops, cfg, g)
+
+    def loss(u0):
+        s2, _ = step(st._replace(u=u0), 1.0)
+        return jnp.mean(s2.u ** 2)
+
+    gr = jax.jit(jax.grad(loss))(st.u)
+    assert bool(jnp.isfinite(gr).all())
+    assert float(jnp.abs(gr).max()) > 0
 
 
 def test_cylinder_fem_failed_solve_keeps_previous():
