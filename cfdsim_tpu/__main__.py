@@ -31,6 +31,14 @@ def _parse_value(v: str):
             pass
     if v.lower() in ("true", "false"):
         return v.lower() == "true"
+    if v and v[0] in "([":
+        # tuple/list literals, e.g. --viz-shape "(24,36)"
+        import ast
+
+        try:
+            return ast.literal_eval(v)
+        except (ValueError, SyntaxError):
+            pass
     return v
 
 

@@ -206,18 +206,24 @@ def apply_mass_u(ops: ElementOps, u):
 def operator_diag(ops: ElementOps, nu, inv_dt, tau):
     """Diagonal of the (convection-free) block operator, for Jacobi
     preconditioning: momentum diag = Σ w (ν|∇N|² + N²/dt); pressure
-    diag = Σ w (τ|∇N|² + N²/ν) — the 1/ν pressure-mass term is the
-    standard Schur-complement diagonal proxy (keeps Taylor-Hood, where
-    τ=0, well scaled)."""
+    diag is a Schur-complement proxy in the Cahouet-Chabard spirit —
+    (1/ν)·mass for the viscous-dominated limit plus dt·|∇N|² for the
+    mass-dominated transient limit (S = B(M/dt)⁻¹Bᵀ ≈ dt·L_p; without
+    this term the Taylor-Hood transient solve, whose (2,2) block is
+    exactly zero, stalls) — plus the τ stabilization block when on."""
     du_e = nu * jnp.einsum("eq,eqlc,eqlc->el", ops.wq, ops.Gu, ops.Gu)
     if inv_dt is not None:
         du_e = du_e + inv_dt * jnp.einsum(
             "eq,ql,ql->el", ops.wq, ops.Nu, ops.Nu
         )
     dp_e = (1.0 / nu) * jnp.einsum("eq,ql,ql->el", ops.wq, ops.Np, ops.Np)
-    if tau is not None:
+    kp_scale = tau
+    if inv_dt is not None:
+        dt_bcast = (1.0 / inv_dt) * jnp.ones_like(ops.h_e)
+        kp_scale = dt_bcast if tau is None else tau + dt_bcast
+    if kp_scale is not None:
         dp_e = dp_e + jnp.einsum(
-            "e,eq,eqlc,eqlc->el", tau, ops.wq, ops.Gp, ops.Gp
+            "e,eq,eqlc,eqlc->el", kp_scale, ops.wq, ops.Gp, ops.Gp
         )
     du = jax.ops.segment_sum(
         du_e.reshape(-1), ops.elem_u.reshape(-1), num_segments=ops.n_u

@@ -36,7 +36,6 @@ from cfdsim_tpu.fem.assembly import (
     l2_norm,
     operator_diag,
 )
-from cfdsim_tpu.fem.spaces import FESpaces
 from cfdsim_tpu.models.incompressible import StepMetrics
 
 

@@ -24,8 +24,7 @@ its only parallelism is pmap'd viz sampling (v2.jl:22-24, :286).
 
 from __future__ import annotations
 
-import dataclasses
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

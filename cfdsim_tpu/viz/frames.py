@@ -93,7 +93,8 @@ def render_frames_from_hdf5(
                 mag = np.sqrt(u * u + v * v)
                 vmax = np.nanmax(mag)
                 levels = np.linspace(0.0, max(vmax * 0.9, 1e-9), 31)
-                cf = ax.contourf(X, Y, mag, levels=levels, cmap="viridis")
+                cf = ax.contourf(X, Y, mag, levels=levels, cmap="viridis",
+                                 extend="max")
                 fig.colorbar(cf, ax=ax, label="|V|", shrink=0.8)
                 try:
                     ax.streamplot(X, Y, u, v, color="white", linewidth=0.5,
