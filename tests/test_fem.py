@@ -120,6 +120,26 @@ def test_crank_nicolson_step_preserves_poiseuille():
     assert float(jnp.abs(st2.u - st.u).max()) < 1e-4
 
 
+def test_taylor_hood_transient_solver_converges():
+    """Regression: the Taylor-Hood transient system has an exactly-zero
+    (2,2) block; without the dt·L_p Schur term in the Jacobi
+    preconditioner (assembly.operator_diag) GMRES stalled above
+    accept_relres every step and the keep-previous guard silently froze
+    the flow. The step must both converge and actually advance."""
+    from cfdsim_tpu.cases import build
+
+    case = build(
+        "schafer_turek_fem", space="p2p1", h_far=0.08, h_near=0.025,
+        viz_shape=(24, 64), theta=0.5,
+    )
+    step = jax.jit(case.step)
+    st, m = step(case.state, 1.0)
+    st2, m2 = step(st, 1.0)
+    assert float(m2.poisson_res) < 1e-4
+    assert float(jnp.abs(st2.u - st.u).max()) > 0
+    assert float(m2.fx) > 0  # drag on the cylinder is positive
+
+
 def test_stokes_body_force_exact():
     """Manufactured u=(y², 0), p=0, f=(−2ν, 0) — satisfies the outlet
     do-nothing condition and lies in the P2 space."""
@@ -217,6 +237,18 @@ def test_cylinder_fem_sampler(fem_cylinder):
     assert 0.005 < nanfrac < 0.05  # cylinder interior NaN-masked
     assert float(jnp.nanmax(f["speed"])) < 5.0
     assert "p" in f and "vorticity" in f
+
+
+def test_fem_run_on_device(fem_cylinder):
+    """The zero-host-round-trip while_loop driver works on FEM states
+    (GMRES nests inside the outer while_loop)."""
+    from cfdsim_tpu.runner import run_on_device
+
+    case = fem_cylinder
+    (st, m) = run_on_device(case.step, case.state, t_final=0.2)
+    assert float(st.t) >= 0.2
+    assert int(st.step) == 4  # dt=0.05
+    assert bool(jnp.isfinite(st.u).all())
 
 
 def test_fem_step_is_differentiable():

@@ -57,8 +57,12 @@ def test_async_enqueue_is_fast_and_drains(tmp_path):
     assert w.pending() == 0
     w.close()
     assert len(read_csnap(p)) == 20
-    # enqueueing must not pay for compression+disk (worker thread does)
-    assert enqueue_time < 2.0
+    # enqueueing must not pay for compression+disk (worker thread does).
+    # Bound is deliberately loose: on a loaded single-core box the GIL
+    # can stall the enqueue loop itself (observed when several pytest
+    # processes share one core) — the invariant under test is "no
+    # synchronous compression", not a latency SLO.
+    assert enqueue_time < 5.0
 
 
 def test_hdf5_conversion(tmp_path):
