@@ -966,10 +966,20 @@ def cylinder_fem(
             "cylinder": lambda x, y: (0 * x, 0 * y),
         },
     )
+    # Stokes init: restart kept at 40 — fp32 batched Gram-Schmidt goes
+    # NaN at restart>~80 on larger meshes (CLAUDE.md) — with extra block-
+    # preconditioner sweeps instead; ~1e-4 init residual is washed out by
+    # the transient. Non-finite solves fall back to the Dirichlet lift
+    # (the reference's own fallback, v1.jl:195-198).
     stokes_cfg = dataclasses.replace(
-        cfg, gmres_restart=200, gmres_maxiter=30
+        cfg, gmres_restart=40, gmres_maxiter=30, pc_sweeps=4
     )
     state = mfem.solve_stokes(ops, stokes_cfg, g)
+    if not bool(jnp.isfinite(state.u).all()):
+        state = state._replace(
+            u=jnp.asarray(g, jnp.float32),
+            p=jnp.zeros((ops.n_p,), jnp.float32),
+        )
     if perturb:
         # symmetry-breaking wake seed (one-sided v bump behind the body)
         # so shedding onsets promptly instead of waiting on fp32 noise —
@@ -1064,10 +1074,20 @@ def schafer_turek_fem(
             "cylinder": lambda x, y: (0 * x, 0 * y),
         },
     )
+    # Stokes init: restart kept at 40 — fp32 batched Gram-Schmidt goes
+    # NaN at restart>~80 on larger meshes (CLAUDE.md) — with extra block-
+    # preconditioner sweeps instead; ~1e-4 init residual is washed out by
+    # the transient. Non-finite solves fall back to the Dirichlet lift
+    # (the reference's own fallback, v1.jl:195-198).
     stokes_cfg = dataclasses.replace(
-        cfg, gmres_restart=200, gmres_maxiter=30
+        cfg, gmres_restart=40, gmres_maxiter=30, pc_sweeps=4
     )
     state = mfem.solve_stokes(ops, stokes_cfg, g)
+    if not bool(jnp.isfinite(state.u).all()):
+        state = state._replace(
+            u=jnp.asarray(g, jnp.float32),
+            p=jnp.zeros((ops.n_p,), jnp.float32),
+        )
     step = mfem.make_step(
         ops, cfg, g, force_nodes=spaces.dirichlet_tag_nodes["cylinder"]
     )

@@ -234,6 +234,37 @@ def operator_diag(ops: ElementOps, nu, inv_dt, tau):
     return du, dp
 
 
+def apply_momentum_block(ops: ElementOps, u, nu, inv_dt):
+    """y = (M/dt + νK) u — the symmetric part of the momentum block
+    (no convection, no pressure coupling). Used by the block
+    preconditioner's inner Jacobi sweeps."""
+    ue = u[ops.elem_u]
+    gu = jnp.einsum("eqlc,eld->eqdc", ops.Gu, ue)
+    ru = nu * jnp.einsum("eq,eqlc,eqdc->eld", ops.wq, ops.Gu, gu)
+    if inv_dt is not None:
+        uq = jnp.einsum("ql,eld->eqd", ops.Nu, ue)
+        ru = ru + inv_dt * jnp.einsum("eq,ql,eqd->eld", ops.wq, ops.Nu, uq)
+    return jax.ops.segment_sum(
+        ru.reshape(-1, 2), ops.elem_u.reshape(-1), num_segments=ops.n_u
+    )
+
+
+def apply_pressure_schur(ops: ElementOps, q, nu, kp_scale):
+    """y = (1/ν)·M_p q + kp_scale·K_p q — the Cahouet-Chabard Schur
+    proxy as an operator (kp_scale (nt,) = τ + dt; see operator_diag)."""
+    qe = q[ops.elem_p]
+    qq = jnp.einsum("ql,el->eq", ops.Np, qe)
+    rp = (1.0 / nu) * jnp.einsum("eq,ql,eq->el", ops.wq, ops.Np, qq)
+    if kp_scale is not None:
+        gq = jnp.einsum("eqlc,el->eqc", ops.Gp, qe)
+        rp = rp + jnp.einsum(
+            "e,eq,eqlc,eqc->el", kp_scale, ops.wq, ops.Gp, gq
+        )
+    return jax.ops.segment_sum(
+        rp.reshape(-1), ops.elem_p.reshape(-1), num_segments=ops.n_p
+    )
+
+
 def interpolate_u(ops: ElementOps, u):
     """Velocity (and its gradient) at all quadrature points:
     returns uq (nt, nq, 2), gu (nt, nq, 2, 2). Used by error norms,

@@ -75,6 +75,13 @@ class FEMConfig:
     # solves need ~100-300 matvecs at 1e-5; the cold Stokes init instead
     # wants restart≈200 — see cases.cylinder_fem)
     accept_relres: float = 1e-2  # keep-previous threshold (v2.jl:223-225)
+    # block preconditioner: pc_sweeps damped-Jacobi inner iterations on
+    # the (M/dt + θνK) momentum block and the Cahouet-Chabard Schur
+    # operator (1/ν)M_p + (τ+dt)K_p. 0 = plain diagonal scaling (the
+    # diag alone stops converging once mesh conditioning ~1/h² grows —
+    # observed as frozen keep-previous flows at ≥10k triangles).
+    pc_sweeps: int = 2
+    pc_omega: float = 0.7
 
 
 def _tau(ops: ElementOps, cfg: FEMConfig):
@@ -97,15 +104,57 @@ def _masked_operator(ops, cfg, inv_dt, adv_u, tau):
     return A
 
 
+def _kp_scale(ops, inv_dt, tau):
+    """K_p weight of the Schur proxy: τ (stabilization) + dt (transient
+    Schur term S = B(M/dt)⁻¹Bᵀ ≈ dt·L_p)."""
+    if inv_dt is None:
+        return tau
+    dtv = (1.0 / inv_dt) * jnp.ones_like(ops.h_e)
+    return dtv if tau is None else tau + dtv
+
+
 def _preconditioner(ops, cfg, inv_dt, tau):
-    du, dp = operator_diag(ops, cfg.nu, inv_dt, tau)
+    """Block preconditioner: ``pc_sweeps`` damped-Jacobi iterations on
+    the symmetric momentum block and on the Cahouet-Chabard Schur
+    operator (pc_sweeps=0 → plain diagonal scaling)."""
+    from cfdsim_tpu.fem.assembly import (
+        apply_momentum_block,
+        apply_pressure_schur,
+    )
+
+    nu_eff = cfg.nu * (float(cfg.theta) if inv_dt is not None else 1.0)
+    du, dp = operator_diag(ops, nu_eff, inv_dt, tau)
     du = jnp.where(ops.dir_mask, 1.0, du)
     inv_du = (1.0 / du)[:, None]
     inv_dp = 1.0 / dp
+    k = int(cfg.pc_sweeps)
+    if k <= 0:
+
+        def M(x):
+            u, p = x
+            return (u * inv_du, p * inv_dp)
+
+        return M
+
+    om = cfg.pc_omega
+    dm = ops.dir_mask[:, None]
+    kp = _kp_scale(ops, inv_dt, tau)
+
+    def Au(z):
+        y = apply_momentum_block(ops, z, nu_eff, inv_dt)
+        return jnp.where(dm, z, y)
 
     def M(x):
         u, p = x
-        return (u * inv_du, p * inv_dp)
+        zu = inv_du * u
+        for _ in range(k):
+            zu = zu + om * inv_du * (u - Au(zu))
+        zp = inv_dp * p
+        for _ in range(k):
+            zp = zp + om * inv_dp * (
+                p - apply_pressure_schur(ops, zp, nu_eff, kp)
+            )
+        return (zu, zp)
 
     return M
 
