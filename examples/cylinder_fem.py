@@ -164,8 +164,12 @@ def run_schafer_turek(t_final=8.0, space="p1p1", chunk_steps=100,
         fy_hist.append(np.asarray(fy))
         if verbose and (ci + 1) % max(1, n_chunks // 16) == 0:
             el = time.perf_counter() - t0
+            cl = scale * fy_hist[-1]
+            # report the chunk's lift RANGE, not one sample — a shedding
+            # period that divides the print interval phase-aliases
+            # single-sample prints into misleading constants
             print(f"  t={float(state.t):6.3f}  Cd={scale*fx_hist[-1][-1]:6.3f} "
-                  f"Cl={scale*fy_hist[-1][-1]:+6.3f}  "
+                  f"Cl=[{cl.min():+6.3f},{cl.max():+6.3f}]  "
                   f"[{(ci+1)*chunk_steps/el:6.1f} steps/s]", flush=True)
     fx = np.concatenate(fx_hist) * scale / 2.0  # shedding_stats re-doubles
     fy = np.concatenate(fy_hist) * scale / 2.0
