@@ -922,6 +922,7 @@ def cylinder_fem(
     gmres_tol: float = 1e-5,
     perturb: float = 0.03,
     theta: float = 1.0,
+    precision: str = "fp32",
     viz_shape: tuple = (200, 300),
 ):
     """Unstructured-FEM flow over a cylinder — the reference's Julia/
@@ -952,7 +953,12 @@ def cylinder_fem(
         h_wake=2 * h_near if wake_refine else None,
     )
     spaces = build_spaces(mesh, space)
-    ops = build_element_ops(spaces)
+    import jax.numpy as _jnp
+
+    # fp64 needs jax_enable_x64 (CPU): removes the fp32 GMRES stagnation
+    # floor (~1e-4 at >=10k tris) and the large-restart NaN fragility
+    dtype = _jnp.float64 if precision == "fp64" else _jnp.float32
+    ops = build_element_ops(spaces, dtype=dtype)
     nu = v_inf * L / re
     cfg = mfem.FEMConfig(
         nu=nu, dt=dt, space=space, v_inf=v_inf, tau_h=tau_h,
@@ -1028,6 +1034,7 @@ def schafer_turek_fem(
     gmres_tol: float = 1e-5,
     theta: float = 1.0,
     wake_refine: bool = False,
+    precision: str = "fp32",
     viz_shape: tuple = (120, 640),
 ):
     """Schäfer–Turek 2D-2 benchmark on the FEM tier: channel
@@ -1057,7 +1064,12 @@ def schafer_turek_fem(
         h_wake=2.0 * h_near if wake_refine else None,
     )
     spaces = build_spaces(mesh, space)
-    ops = build_element_ops(spaces)
+    import jax.numpy as _jnp
+
+    # fp64 needs jax_enable_x64 (CPU): removes the fp32 GMRES stagnation
+    # floor (~1e-4 at >=10k tris) and the large-restart NaN fragility
+    dtype = _jnp.float64 if precision == "fp64" else _jnp.float32
+    ops = build_element_ops(spaces, dtype=dtype)
     nu = u_mean * D / re
     cfg = mfem.FEMConfig(
         nu=nu, dt=dt, space=space, v_inf=u_max, gmres_tol=gmres_tol,

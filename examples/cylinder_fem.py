@@ -22,12 +22,14 @@ import numpy as np
 
 
 def run_re(re, t_final=150.0, space="p1p1", wake_refine=True,
-           out_dir=None, n_frames=40, chunk_steps=50, verbose=True):
+           out_dir=None, n_frames=40, chunk_steps=50, verbose=True,
+           **case_kw):
     from cfdsim_tpu.cases import build
     from cfdsim_tpu.fem.sample import sample_fields
 
     case = build(
         "cylinder_fem", re=re, space=space, wake_refine=wake_refine,
+        **case_kw,
     )
     ops = case.extras["ops"]
     if verbose:
