@@ -273,6 +273,31 @@ def test_fem_step_is_differentiable():
     assert float(jnp.abs(gr).max()) > 0
 
 
+def test_sampler_exact_gradient_vorticity():
+    """The sampler's physical-gradient tables must reproduce the exact
+    vorticity of a rigid-rotation field (u = (−ωy, ωx) ⇒ curl = 2ω) at
+    every sample point — checks the per-sample Jacobian inversion."""
+    from cfdsim_tpu.fem.sample import build_sampler, sample_fields
+
+    mesh = rectangle_mesh(6, 5, (-1.0, 1.0), (-1.0, 1.0))
+    sp = build_spaces(mesh, "p1p1")
+    omega = 0.75
+    u = np.stack(
+        [-omega * sp.u_points[:, 1], omega * sp.u_points[:, 0]], axis=1
+    )
+    tab = build_sampler(sp, np.linspace(-0.9, 0.9, 7),
+                        np.linspace(-0.9, 0.9, 5))
+    f = sample_fields(tab, jnp.asarray(u, jnp.float32))
+    np.testing.assert_allclose(
+        np.asarray(f["vorticity"]), 2 * omega, rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(f["u"]),
+        -omega * np.linspace(-0.9, 0.9, 5)[:, None] * np.ones((1, 7)),
+        atol=1e-6,
+    )
+
+
 def test_cylinder_fem_failed_solve_keeps_previous():
     """v2.jl:223-225 parity: a solve that cannot reach accept_relres
     keeps the previous solution."""
