@@ -77,11 +77,22 @@ class FEMConfig:
     accept_relres: float = 1e-2  # keep-previous threshold (v2.jl:223-225)
     # block preconditioner: pc_sweeps damped-Jacobi inner iterations on
     # the (M/dt + θνK) momentum block and the Cahouet-Chabard Schur
-    # operator (1/ν)M_p + (τ+dt)K_p. 0 = plain diagonal scaling (the
-    # diag alone stops converging once mesh conditioning ~1/h² grows —
-    # observed as frozen keep-previous flows at ≥10k triangles).
-    pc_sweeps: int = 2
-    pc_omega: float = 0.7
+    # operator (1/ν)M_p + (τ+dt)K_p. Default 0 = diagonal scaling with
+    # the Cahouet-Chabard dt·K_p Schur term in the diag (operator_diag)
+    # — measured as the best cost/benefit at every size tried; inner
+    # sweeps doubled step cost without moving the convergence plateau.
+    pc_sweeps: int = 0
+    # damping 0.4: damped Jacobi is stable iff ω·λmax(D⁻¹A) < 2, and on
+    # unstructured meshes with obtuse triangles the stiffness rows can
+    # push λmax(D⁻¹A) past 2/0.7 — ω=0.7 diverged (NaN solves) on some
+    # mesh realizations; 0.4 covers λmax ≤ 5
+    pc_omega: float = 0.4
+    # "incremental" (modified Gram-Schmidt) is the robust default: the
+    # "batched" classical-Gram-Schmidt path has no fp32 breakdown guard
+    # and produced preconditioner-sensitive NaN solves on some meshes;
+    # switch back to "batched" for TPU runs where its parallel
+    # orthogonalization pays and the mesh is known-good
+    gmres_method: str = "incremental"
 
 
 def _tau(ops: ElementOps, cfg: FEMConfig):
@@ -169,7 +180,7 @@ def _gmres_raw(A, b, x0, M, cfg):
         atol=0.0,
         restart=cfg.gmres_restart,
         maxiter=cfg.gmres_maxiter,
-        solve_method="batched",
+        solve_method=cfg.gmres_method,
     )
     return x
 
