@@ -208,6 +208,11 @@ def main(argv=None):
         import jax
 
         jax.config.update("jax_platforms", plat)
+    cache_dir = os.environ.get("CFDSIM_COMPILE_CACHE")
+    if cache_dir:
+        from cfdsim_tpu.utils.cache import enable_compilation_cache
+
+        enable_compilation_cache(cache_dir)
 
     p = argparse.ArgumentParser(prog="cfdsim_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
