@@ -923,6 +923,7 @@ def cylinder_fem(
     perturb: float = 0.03,
     theta: float = 1.0,
     precision: str = "fp32",
+    scheme: str = "monolithic",
     viz_shape: tuple = (200, 300),
 ):
     """Unstructured-FEM flow over a cylinder — the reference's Julia/
@@ -998,9 +999,15 @@ def cylinder_fem(
         state = state._replace(
             u=state.u.at[:, 1].add(jnp.asarray(bump, state.u.dtype))
         )
-    step = mfem.make_step(
-        ops, cfg, g, force_nodes=spaces.dirichlet_tag_nodes["cylinder"]
-    )
+    if scheme == "projection":
+        step = mfem.make_projection_step(
+            ops, cfg, g, mesh.tags["outlet"],
+            force_nodes=spaces.dirichlet_tag_nodes["cylinder"],
+        )
+    else:
+        step = mfem.make_step(
+            ops, cfg, g, force_nodes=spaces.dirichlet_tag_nodes["cylinder"]
+        )
     ny, nx = viz_shape
     # the reference's 300×200 viz window (v2.jl:278-279)
     grid = Grid(nx=nx, ny=ny, x_min=-0.5 * L, x_max=7 * L,
@@ -1035,6 +1042,7 @@ def schafer_turek_fem(
     theta: float = 1.0,
     wake_refine: bool = False,
     precision: str = "fp32",
+    scheme: str = "monolithic",
     viz_shape: tuple = (120, 640),
 ):
     """Schäfer–Turek 2D-2 benchmark on the FEM tier: channel
@@ -1100,9 +1108,15 @@ def schafer_turek_fem(
             u=jnp.asarray(g, jnp.float32),
             p=jnp.zeros((ops.n_p,), jnp.float32),
         )
-    step = mfem.make_step(
-        ops, cfg, g, force_nodes=spaces.dirichlet_tag_nodes["cylinder"]
-    )
+    if scheme == "projection":
+        step = mfem.make_projection_step(
+            ops, cfg, g, mesh.tags["outlet"],
+            force_nodes=spaces.dirichlet_tag_nodes["cylinder"],
+        )
+    else:
+        step = mfem.make_step(
+            ops, cfg, g, force_nodes=spaces.dirichlet_tag_nodes["cylinder"]
+        )
     ny, nx = viz_shape
     grid = Grid(nx=nx, ny=ny, x_min=0.0, x_max=Lx, y_min=0.0, y_max=H)
     sampler = build_sampler(spaces, grid.x_coords(), grid.y_coords())

@@ -265,6 +265,95 @@ def apply_pressure_schur(ops: ElementOps, q, nu, kp_scale):
     )
 
 
+def apply_momentum_conv(ops: ElementOps, u, nu, inv_dt, adv_u):
+    """y = (M/dt + νK + C(adv_u)) u — the full (nonsymmetric) momentum
+    block without pressure coupling. The projection scheme's predictor
+    operator; ``adv_u`` None drops convection, ``inv_dt`` None drops
+    the mass term."""
+    ue = u[ops.elem_u]
+    gu = jnp.einsum("eqlc,eld->eqdc", ops.Gu, ue)
+    ru = nu * jnp.einsum("eq,eqlc,eqdc->eld", ops.wq, ops.Gu, gu)
+    if inv_dt is not None:
+        uq = jnp.einsum("ql,eld->eqd", ops.Nu, ue)
+        ru = ru + inv_dt * jnp.einsum("eq,ql,eqd->eld", ops.wq, ops.Nu, uq)
+    if adv_u is not None:
+        aq = jnp.einsum("ql,eld->eqd", ops.Nu, adv_u[ops.elem_u])
+        conv = jnp.einsum("eqc,eqdc->eqd", aq, gu)
+        ru = ru + jnp.einsum("eq,ql,eqd->eld", ops.wq, ops.Nu, conv)
+    return jax.ops.segment_sum(
+        ru.reshape(-1, 2), ops.elem_u.reshape(-1), num_segments=ops.n_u
+    )
+
+
+def apply_grad_p(ops: ElementOps, p):
+    """y = G p: the momentum-equation pressure term −∫ p ∇·v (exactly
+    the coupling block inside apply_ns, exposed standalone so the
+    projection scheme can keep pᵃ explicit on the predictor rhs)."""
+    pe = p[ops.elem_p]
+    pq = jnp.einsum("ql,el->eq", ops.Np, pe)
+    ru = -jnp.einsum("eq,eqld,eq->eld", ops.wq, ops.Gu, pq)
+    return jax.ops.segment_sum(
+        ru.reshape(-1, 2), ops.elem_u.reshape(-1), num_segments=ops.n_u
+    )
+
+
+def apply_div_u(ops: ElementOps, u):
+    """y = B u: the weak divergence ∫ q ∇·u (n_p,) — the pressure-
+    Poisson rhs carrier of the projection scheme."""
+    ue = u[ops.elem_u]
+    gu = jnp.einsum("eqlc,eld->eqdc", ops.Gu, ue)
+    divu = gu[..., 0, 0] + gu[..., 1, 1]
+    rp = jnp.einsum("eq,ql,eq->el", ops.wq, ops.Np, divu)
+    return jax.ops.segment_sum(
+        rp.reshape(-1), ops.elem_p.reshape(-1), num_segments=ops.n_p
+    )
+
+
+def apply_stiffness_p(ops: ElementOps, q):
+    """y = K_p q: the pressure Laplacian ∫ ∇q·∇φ (SPD up to the
+    natural-Neumann null space — the projection Poisson operator)."""
+    qe = q[ops.elem_p]
+    gq = jnp.einsum("eqlc,el->eqc", ops.Gp, qe)
+    rp = jnp.einsum("eq,eqlc,eqc->el", ops.wq, ops.Gp, gq)
+    return jax.ops.segment_sum(
+        rp.reshape(-1), ops.elem_p.reshape(-1), num_segments=ops.n_p
+    )
+
+
+def stiffness_p_diag(ops: ElementOps):
+    """diag(K_p) — Jacobi preconditioner for the projection Poisson."""
+    dp_e = jnp.einsum("eq,eqlc,eqlc->el", ops.wq, ops.Gp, ops.Gp)
+    return jax.ops.segment_sum(
+        dp_e.reshape(-1), ops.elem_p.reshape(-1), num_segments=ops.n_p
+    )
+
+
+def lumped_mass_u(ops: ElementOps):
+    """HRZ (diagonal-scaling) lumped velocity mass vector (n_u,):
+    per element m_l = A_e·∫N_l² / Σ_k ∫N_k², then assembled.
+
+    Row-sum lumping is exact for P1 (and HRZ reduces to it) but yields
+    ZERO vertex masses for P2 on triangles (∫λ(2λ−1) = 0), so the HRZ
+    scaling — strictly positive and element-mass-preserving for both
+    spaces — is used; the projection update u ← u* − dt·m⁻¹Gφ stays
+    well posed on Taylor-Hood."""
+    me = jnp.einsum("eq,ql,ql->el", ops.wq, ops.Nu, ops.Nu)
+    area = jnp.sum(ops.wq, axis=1)
+    ml_e = me * (area / jnp.sum(me, axis=1))[:, None]
+    return jax.ops.segment_sum(
+        ml_e.reshape(-1), ops.elem_u.reshape(-1), num_segments=ops.n_u
+    )
+
+
+def mass_p_diag(ops: ElementOps):
+    """Row-sum lumped pressure mass (n_p,) — the rotational-form
+    divergence lift D(u*) = M_p⁻¹ B u* uses its inverse."""
+    ml_e = jnp.einsum("eq,ql->el", ops.wq, ops.Np)
+    return jax.ops.segment_sum(
+        ml_e.reshape(-1), ops.elem_p.reshape(-1), num_segments=ops.n_p
+    )
+
+
 def interpolate_u(ops: ElementOps, u):
     """Velocity (and its gradient) at all quadrature points:
     returns uq (nt, nq, 2), gu (nt, nq, 2, 2). Used by error norms,
