@@ -924,6 +924,8 @@ def cylinder_fem(
     theta: float = 1.0,
     precision: str = "fp32",
     scheme: str = "monolithic",
+    pp_tol: float = 1e-6,
+    rotational: float = 0.0,
     viz_shape: tuple = (200, 300),
 ):
     """Unstructured-FEM flow over a cylinder — the reference's Julia/
@@ -935,7 +937,9 @@ def cylinder_fem(
     boundary-layer/wake resolution gmsh's pure distance grading lacks).
     Extras carry the mesh/spaces/ops/sampler for viz and force readout;
     metrics fx/fy are the reaction drag/lift per unit density
-    (Cd = 2·fx / (V∞²·D))."""
+    (Cd = 2·fx / (V∞²·D)). ``scheme="projection"`` swaps the monolithic
+    saddle-point solve for the segregated incremental pressure-
+    correction step (``pp_tol``/``rotational`` tune it)."""
     from cfdsim_tpu.fem.mesh import cylinder_mesh
     from cfdsim_tpu.fem.sample import build_sampler
     from cfdsim_tpu.fem.spaces import build_spaces, dirichlet_values
@@ -964,6 +968,7 @@ def cylinder_fem(
     cfg = mfem.FEMConfig(
         nu=nu, dt=dt, space=space, v_inf=v_inf, tau_h=tau_h,
         gmres_tol=gmres_tol, theta=theta,
+        pp_tol=pp_tol, rotational=rotational,
     )
     g = dirichlet_values(
         spaces,
@@ -1043,6 +1048,8 @@ def schafer_turek_fem(
     wake_refine: bool = False,
     precision: str = "fp32",
     scheme: str = "monolithic",
+    pp_tol: float = 1e-6,
+    rotational: float = 0.0,
     viz_shape: tuple = (120, 640),
 ):
     """Schäfer–Turek 2D-2 benchmark on the FEM tier: channel
@@ -1051,7 +1058,10 @@ def schafer_turek_fem(
     Um=1.5·ū. Published targets at Re=ūD/ν=100: Cd≈3.22–3.24,
     Cl amplitude ≈ ±1.0, St≈0.295–0.305. A quantitative validation the
     reference's Gridap family (v1.jl/v2.jl) never ran; force
-    coefficients are Cd = 2·fx/(ū²D), Cl = 2·fy/(ū²D)."""
+    coefficients are Cd = 2·fx/(ū²D), Cl = 2·fy/(ū²D).
+    ``scheme="projection"`` swaps in the segregated incremental
+    pressure-correction step (``pp_tol``/``rotational`` tune it);
+    the steady 2D-1 variant of this benchmark is re=20, u_mean=0.2."""
     from cfdsim_tpu.fem.mesh import cylinder_mesh
     from cfdsim_tpu.fem.sample import build_sampler
     from cfdsim_tpu.fem.spaces import build_spaces, dirichlet_values
@@ -1081,7 +1091,7 @@ def schafer_turek_fem(
     nu = u_mean * D / re
     cfg = mfem.FEMConfig(
         nu=nu, dt=dt, space=space, v_inf=u_max, gmres_tol=gmres_tol,
-        theta=theta,
+        theta=theta, pp_tol=pp_tol, rotational=rotational,
     )
     g = dirichlet_values(
         spaces,
