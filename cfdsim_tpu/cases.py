@@ -1009,6 +1009,10 @@ def cylinder_fem(
             ops, cfg, g, mesh.tags["outlet"],
             force_nodes=spaces.dirichlet_tag_nodes["cylinder"],
         )
+        # seed the pressure-increment carry: enables the CG warm start
+        state = state._replace(
+            phi=jnp.zeros((ops.n_p,), dtype=state.p.dtype)
+        )
     else:
         step = mfem.make_step(
             ops, cfg, g, force_nodes=spaces.dirichlet_tag_nodes["cylinder"]
@@ -1122,6 +1126,10 @@ def schafer_turek_fem(
         step = mfem.make_projection_step(
             ops, cfg, g, mesh.tags["outlet"],
             force_nodes=spaces.dirichlet_tag_nodes["cylinder"],
+        )
+        # seed the pressure-increment carry: enables the CG warm start
+        state = state._replace(
+            phi=jnp.zeros((ops.n_p,), dtype=state.p.dtype)
         )
     else:
         step = mfem.make_step(

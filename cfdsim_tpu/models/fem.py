@@ -47,12 +47,18 @@ from cfdsim_tpu.models.incompressible import StepMetrics
 
 
 class FEMState(NamedTuple):
-    """u: (n_u, 2) nodal velocity; p: (n_p,) nodal pressure."""
+    """u: (n_u, 2) nodal velocity; p: (n_p,) nodal pressure.
+
+    ``phi`` ((n_p,), projection scheme only, else None): previous
+    pressure increment — warm-starts the next step's CG solve (the
+    increment oscillates smoothly over a shedding cycle, so the
+    previous one is an excellent initial guess)."""
 
     u: jax.Array
     p: jax.Array
     t: jax.Array
     step: jax.Array
+    phi: Optional[jax.Array] = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -418,10 +424,15 @@ def make_projection_step(
         # --- 2. pressure-increment Poisson ---
         div_star = apply_div_u(ops, u_star)
         bp = jnp.where(pm, 0.0, -inv_dt * div_star)
+        phi0 = (
+            jnp.zeros_like(bp)
+            if state.phi is None
+            else jnp.where(pm, 0.0, state.phi)
+        )
         phi, _ = jax.scipy.sparse.linalg.cg(
             Ap,
             bp,
-            x0=jnp.zeros_like(bp),
+            x0=phi0,
             M=lambda q: inv_dp_k * q,
             tol=cfg.pp_tol,
             atol=0.0,
@@ -467,8 +478,15 @@ def make_projection_step(
             fx = -jnp.sum(fmask * res_u[:, 0])
             fy = -jnp.sum(fmask * res_u[:, 1])
 
+        # carry the increment for the next step's warm start iff the
+        # incoming state carried one (pytree structure must be stable
+        # across scan iterations)
+        new_phi = (
+            None if state.phi is None else jnp.where(ok, phi, state.phi)
+        )
         new = FEMState(
-            u=u_new, p=p_new, t=state.t + dt, step=state.step + 1
+            u=u_new, p=p_new, t=state.t + dt, step=state.step + 1,
+            phi=new_phi,
         )
         metrics = StepMetrics(
             dt=dt,
