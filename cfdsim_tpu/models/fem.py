@@ -381,11 +381,37 @@ def make_projection_step(
     dp_k = jnp.where(pm, 1.0, stiffness_p_diag(ops))
     inv_dp_k = 1.0 / dp_k
 
-    def Ap(q):
-        # P K_p P + (I−P) — symmetric Dirichlet embedding (P zeroes the
-        # outflow rows), so CG sees an SPD operator
-        y = apply_stiffness_p(ops, jnp.where(pm, 0.0, q))
-        return jnp.where(pm, q, y)
+    def corr_of(q):
+        """Velocity correction direction M_L⁻¹ G q, zeroed on Dirichlet
+        velocity rows (the update never touches those)."""
+        c = inv_ml[:, None] * apply_grad_p(ops, q)
+        return jnp.where(dm, 0.0, c)
+
+    # Poisson operator choice. P1-P1: the ASSEMBLED Laplacian K_p — its
+    # O(dt) defect vs the true Schur complement doubles as the
+    # Brezzi-Pitkäranta stabilization that keeps the equal-order pair
+    # stable (BENCHNOTES "Projection (segregated) solver"). Taylor-Hood
+    # needs no stabilization and the K_p proxy is POOR for a P2
+    # velocity space (measured: the correction leaves the divergence
+    # untouched and the run drifts unstable) — use the exact lumped
+    # Schur operator S = B P M_L⁻¹ Bᵀ matrix-free instead (P masks the
+    # Dirichlet rows, matching the update), which drives the weak
+    # continuity residual of u^{n+1} to CG tolerance identically.
+    exact_schur = ops.kind != "p1p1"
+    if exact_schur:
+
+        def Ap(q):
+            q0 = jnp.where(pm, 0.0, q)
+            y = -apply_div_u(ops, corr_of(q0))
+            return jnp.where(pm, q, y)
+
+    else:
+
+        def Ap(q):
+            # P K_p P + (I−P) — symmetric Dirichlet embedding (P zeroes
+            # the outflow rows), so CG sees an SPD operator
+            y = apply_stiffness_p(ops, jnp.where(pm, 0.0, q))
+            return jnp.where(pm, q, y)
 
     def step(state: FEMState, cfl_scale=1.0):
         dt = cfg.dt * cfl_scale
@@ -440,8 +466,7 @@ def make_projection_step(
         )
 
         # --- 3. correction ---
-        u_new = u_star - dt * inv_ml[:, None] * apply_grad_p(ops, phi)
-        u_new = jnp.where(dm, u_star, u_new)
+        u_new = u_star - dt * corr_of(phi)
         p_new = p_prev + phi
         if cfg.rotational:
             p_new = p_new - cfg.rotational * cfg.nu * inv_mp * div_star

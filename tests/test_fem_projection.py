@@ -165,6 +165,29 @@ def test_projection_tracks_monolithic_cylinder():
     assert float(mp.poisson_res) < 1e-3
 
 
+def test_projection_taylor_hood_exact_schur_stable():
+    """P2-P1 projection uses the exact lumped Schur operator
+    B P M_L⁻¹ Bᵀ (the assembled-K_p proxy leaves the P2 divergence
+    uncorrected and the run drifts unstable — the regression this test
+    pins): the weak continuity residual |B·u| must sit at CG tolerance
+    and the field must stay bounded through the startup transient."""
+    from cfdsim_tpu.cases import build
+
+    case = build(
+        "schafer_turek_fem", space="p2p1", h_near=0.03, h_far=0.1,
+        theta=0.5, dt=0.002, scheme="projection",
+    )
+    ops = case.extras["ops"]
+    step = jax.jit(case.step)
+    st = case.state
+    for _ in range(10):
+        st, m = step(st, 1.0)
+    assert float(m.poisson_res) < 1e-4  # momentum solve converged
+    assert float(m.max_vel) < 3.0  # bounded (u_max = 1.5 inlet)
+    bres = float(jnp.linalg.norm(apply_div_u(ops, st.u)))
+    assert bres < 1e-4  # weak continuity at solver tolerance
+
+
 def test_projection_case_builder_smoke():
     """schafer_turek_fem(scheme='projection') builds and steps with
     finite metrics and a populated force readout."""
