@@ -926,6 +926,7 @@ def cylinder_fem(
     scheme: str = "monolithic",
     pp_tol: float = 1e-6,
     rotational: float = 0.0,
+    supg: float = 0.0,
     viz_shape: tuple = (200, 300),
 ):
     """Unstructured-FEM flow over a cylinder — the reference's Julia/
@@ -968,7 +969,7 @@ def cylinder_fem(
     cfg = mfem.FEMConfig(
         nu=nu, dt=dt, space=space, v_inf=v_inf, tau_h=tau_h,
         gmres_tol=gmres_tol, theta=theta,
-        pp_tol=pp_tol, rotational=rotational,
+        pp_tol=pp_tol, rotational=rotational, supg=supg,
     )
     g = dirichlet_values(
         spaces,
@@ -1054,6 +1055,7 @@ def schafer_turek_fem(
     scheme: str = "monolithic",
     pp_tol: float = 1e-6,
     rotational: float = 0.0,
+    supg: float = 0.0,
     viz_shape: tuple = (120, 640),
 ):
     """Schäfer–Turek 2D-2 benchmark on the FEM tier: channel
@@ -1095,7 +1097,7 @@ def schafer_turek_fem(
     nu = u_mean * D / re
     cfg = mfem.FEMConfig(
         nu=nu, dt=dt, space=space, v_inf=u_max, gmres_tol=gmres_tol,
-        theta=theta, pp_tol=pp_tol, rotational=rotational,
+        theta=theta, pp_tol=pp_tol, rotational=rotational, supg=supg,
     )
     g = dirichlet_values(
         spaces,

@@ -285,6 +285,39 @@ def apply_momentum_conv(ops: ElementOps, u, nu, inv_dt, adv_u):
     )
 
 
+def su_tau(ops: ElementOps, adv_u, nu, inv_dt):
+    """Per-element streamline-upwind time scale (Shakib form):
+    τ_e = ((2/dt)² + (2|ā|/h)² + (12ν/h²)²)^(-1/2), with ā the
+    element-mean advecting speed. Vanishes (≈dt/2) in the resolved
+    limit; ~h/(2|ā|) at high cell-Péclet where it is needed."""
+    aq = jnp.einsum("ql,eld->eqd", ops.Nu, adv_u[ops.elem_u])
+    a_mag = jnp.sqrt(jnp.sum(jnp.mean(aq, axis=1) ** 2, axis=-1) + 1e-30)
+    h = ops.h_e
+    t1 = (2.0 * inv_dt) ** 2 if inv_dt is not None else 0.0
+    t2 = (2.0 * a_mag / h) ** 2
+    t3 = (12.0 * nu / (h * h)) ** 2
+    return 1.0 / jnp.sqrt(t1 + t2 + t3)
+
+
+def apply_su(ops: ElementOps, u, adv_u, tau_e):
+    """Streamline-upwind stabilization term
+    y_l = Σ_e τ_e ∫_e (ā·∇N_l)(ā·∇u) — anisotropic diffusion along
+    streamlines only; the standard cure for unstabilized Galerkin
+    convection at high cell-Péclet (the P2 momentum block's failure
+    mode — BENCHNOTES "Taylor-Hood projection"). Quadratic in the
+    advecting field ``adv_u``, so θ-scheme callers must weight it
+    explicitly (the C(θū) = θC(ū) linearity trick does NOT apply)."""
+    ue = u[ops.elem_u]
+    gu = jnp.einsum("eqlc,eld->eqdc", ops.Gu, ue)
+    aq = jnp.einsum("ql,eld->eqd", ops.Nu, adv_u[ops.elem_u])
+    conv = jnp.einsum("eqc,eqdc->eqd", aq, gu)  # ā·∇u
+    wl = jnp.einsum("eqc,eqlc->eql", aq, ops.Gu)  # ā·∇N_l
+    ru = jnp.einsum("e,eq,eql,eqd->eld", tau_e, ops.wq, wl, conv)
+    return jax.ops.segment_sum(
+        ru.reshape(-1, 2), ops.elem_u.reshape(-1), num_segments=ops.n_u
+    )
+
+
 def apply_grad_p(ops: ElementOps, p):
     """y = G p: the momentum-equation pressure term −∫ p ∇·v (exactly
     the coupling block inside apply_ns, exposed standalone so the

@@ -36,12 +36,14 @@ from cfdsim_tpu.fem.assembly import (
     apply_momentum_conv,
     apply_ns,
     apply_stiffness_p,
+    apply_su,
     interpolate_u,
     l2_norm,
     lumped_mass_u,
     mass_p_diag,
     operator_diag,
     stiffness_p_diag,
+    su_tau,
 )
 from cfdsim_tpu.models.incompressible import StepMetrics
 
@@ -113,6 +115,12 @@ class FEMConfig:
     pp_tol: float = 1e-6
     pp_maxiter: int = 400
     rotational: float = 0.0
+    # streamline-upwind momentum stabilization scale (projection path):
+    # 0 = off (P1-P1 production default — never needed there), 1.0 =
+    # standard Shakib τ. Required for Taylor-Hood transients at cell-
+    # Péclet ≳ 10, where unstabilized P2 Galerkin convection blows up
+    # with fully converged solves (BENCHNOTES)
+    supg: float = 0.0
 
 
 def _tau(ops: ElementOps, cfg: FEMConfig):
@@ -419,11 +427,22 @@ def make_projection_step(
         u_prev, p_prev = state.u, state.p
 
         # --- 1. momentum predictor ---
+        # SU stabilization is quadratic in ū so the θ weights are
+        # explicit: θ·S(ū)u implicit, (1−θ)·S(ū)u_prev explicit
+        tau_su = (
+            cfg.supg * su_tau(ops, u_prev, cfg.nu, inv_dt)
+            if cfg.supg
+            else None
+        )
         rhs_base = inv_dt * apply_mass_u(ops, u_prev)
         if th != 1.0:
             rhs_base = rhs_base - apply_momentum_conv(
                 ops, u_prev, (1.0 - th) * cfg.nu, None, (1.0 - th) * u_prev
             )
+            if tau_su is not None:
+                rhs_base = rhs_base - (1.0 - th) * apply_su(
+                    ops, u_prev, u_prev, tau_su
+                )
         if bf is not None:
             rhs_base = rhs_base + bf
         rhs_u = rhs_base - apply_grad_p(ops, p_prev)
@@ -431,6 +450,8 @@ def make_projection_step(
 
         def Am(v):
             y = apply_momentum_conv(ops, v, th * cfg.nu, inv_dt, th * u_prev)
+            if tau_su is not None:
+                y = y + th * apply_su(ops, v, u_prev, tau_su)
             return jnp.where(dm, v, y)
 
         du, _ = operator_diag(ops, th * cfg.nu, inv_dt, None)
@@ -499,6 +520,8 @@ def make_projection_step(
             yu = apply_momentum_conv(
                 ops, u_new, th * cfg.nu, inv_dt, th * u_prev
             )
+            if tau_su is not None:
+                yu = yu + th * apply_su(ops, u_new, u_prev, tau_su)
             res_u = yu + apply_grad_p(ops, p_new) - rhs_base
             fx = -jnp.sum(fmask * res_u[:, 0])
             fy = -jnp.sum(fmask * res_u[:, 1])

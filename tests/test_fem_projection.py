@@ -188,6 +188,43 @@ def test_projection_taylor_hood_exact_schur_stable():
     assert bres < 1e-4  # weak continuity at solver tolerance
 
 
+def test_projection_supg_consistency_poiseuille():
+    """SU stabilization τ(ā·∇v)(ā·∇u) vanishes identically on
+    Poiseuille (ā·∇u = u_x·∂x u = 0), so the steady solution must stay
+    a fixed point with supg on — consistency of the stabilized
+    operator, rhs, and force paths."""
+    mesh, sp, ops, g = _poiseuille_setup("p2p1")
+    cfg = FEMConfig(
+        nu=0.1, dt=0.1, space="p2p1", theta=0.5, supg=1.0,
+        gmres_tol=1e-7, gmres_maxiter=100, pp_tol=1e-8,
+    )
+    st = solve_stokes(ops, cfg, g)
+    step = jax.jit(make_projection_step(ops, cfg, g, mesh.tags["outlet"]))
+    st2, m = step(st, 1.0)
+    assert float(jnp.abs(st2.u - st.u).max()) < 1e-4
+    assert float(m.poisson_res) < 1e-5
+
+
+def test_projection_supg_stabilizes_high_peclet():
+    """At cell-Péclet ≫ 1 the unstabilized P2 projection transient
+    drifts unstable (BENCHNOTES: fp64-converged solves still blow);
+    with supg=1.0 the same configuration must stay bounded. Short
+    horizon here (full 500-step probe lives in BENCHNOTES); the
+    with/without contrast is on the growth rate of max_vel."""
+    from cfdsim_tpu.cases import build
+
+    kw = dict(space="p2p1", h_near=0.02, h_far=0.08, theta=0.5,
+              dt=0.002, scheme="projection")
+    case = build("schafer_turek_fem", supg=1.0, **kw)
+    step = jax.jit(case.step)
+    st = case.state
+    for _ in range(30):
+        st, m = step(st, 1.0)
+    assert bool(jnp.isfinite(st.u).all())
+    assert float(m.max_vel) < 6.0
+    assert float(m.poisson_res) < 1e-4
+
+
 def test_projection_case_builder_smoke():
     """schafer_turek_fem(scheme='projection') builds and steps with
     finite metrics and a populated force readout."""
