@@ -82,6 +82,19 @@ def build_sampler(spaces: FESpaces, xs, ys) -> SampleTable:
     ys = np.asarray(ys, dtype=np.float64)
     X, Y = np.meshgrid(xs, ys, indexing="xy")
     pts = np.stack([X.ravel(), Y.ravel()], axis=1)
+    return _build_table(spaces, pts, (len(ys), len(xs)))
+
+
+def point_sampler(spaces: FESpaces, pts) -> SampleTable:
+    """Tables for an arbitrary (n, 2) point list — FE-consistent probe
+    values (e.g. the Schäfer-Turek Δp = p(0.15,0.2) − p(0.25,0.2)
+    front/back cylinder probes, where nearest-NODE sampling is wrong by
+    ~the local h). Outputs from ``sample_fields`` have shape (1, n)."""
+    pts = np.asarray(pts, dtype=np.float64).reshape(-1, 2)
+    return _build_table(spaces, pts, (1, len(pts)))
+
+
+def _build_table(spaces: FESpaces, pts, shape) -> SampleTable:
     mesh = spaces.mesh
     tri, bary, valid = _locate(mesh, pts)
     qp = bary[:, 1:]  # reference coords (ξ, η) = (λ1, λ2)
@@ -107,7 +120,7 @@ def build_sampler(spaces: FESpaces, xs, ys) -> SampleTable:
         Np=jnp.asarray(Np, dtype=jnp.float32),
         G=jnp.asarray(G, dtype=jnp.float32),
         valid=jnp.asarray(valid),
-        shape=(len(ys), len(xs)),
+        shape=shape,
     )
 
 

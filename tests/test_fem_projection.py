@@ -225,6 +225,29 @@ def test_projection_supg_stabilizes_high_peclet():
     assert float(m.poisson_res) < 1e-4
 
 
+def test_point_sampler_exact_on_linear_fields():
+    """point_sampler: FE-consistent probes at arbitrary points (the
+    Δp front/back cylinder probes) — P1 interpolation must reproduce
+    linear fields exactly at off-node points."""
+    from cfdsim_tpu.fem.sample import point_sampler, sample_fields
+
+    mesh = rectangle_mesh(16, 8, (0.0, 4.0), (0.0, 1.0))
+    sp = build_spaces(mesh, "p1p1")
+    u = jnp.stack(
+        [
+            jnp.asarray(2.0 * sp.u_points[:, 0] + sp.u_points[:, 1]),
+            jnp.asarray(0.5 * sp.u_points[:, 1]),
+        ],
+        axis=1,
+    ).astype(jnp.float32)
+    p = jnp.asarray(3.0 - 0.7 * mesh.points[:, 0], jnp.float32)
+    pts = [(0.33, 0.41), (1.77, 0.93), (3.99, 0.01)]
+    f = sample_fields(point_sampler(sp, pts), u, p)
+    for i, (x, y) in enumerate(pts):
+        np.testing.assert_allclose(float(f["u"][0, i]), 2 * x + y, rtol=1e-5)
+        np.testing.assert_allclose(float(f["p"][0, i]), 3 - 0.7 * x, rtol=1e-5)
+
+
 def test_projection_case_builder_smoke():
     """schafer_turek_fem(scheme='projection') builds and steps with
     finite metrics and a populated force readout."""
