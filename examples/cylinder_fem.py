@@ -197,9 +197,17 @@ def main():
     ap.add_argument("--out", default="out/cylinder_fem")
     ap.add_argument("--schafer-turek", action="store_true",
                     help="run the 2D-2 benchmark instead")
+    ap.add_argument("--scheme", default="monolithic",
+                    choices=["monolithic", "projection"],
+                    help="projection = segregated solver: converged "
+                    "solves at >=10k tris and the benchmark-band St "
+                    "(BENCHNOTES); add supg=1.0 via --space p2p1 runs")
     args = ap.parse_args()
     if args.schafer_turek:
-        run_schafer_turek(t_final=args.t_final, space=args.space)
+        kw = {"scheme": args.scheme}
+        if args.space == "p2p1" and args.scheme == "projection":
+            kw["supg"] = 1.0  # P2 Galerkin convection needs SU
+        run_schafer_turek(t_final=args.t_final, space=args.space, **kw)
         return
     for re in args.re or [100.0]:
         run_re(re, t_final=args.t_final, space=args.space,
