@@ -53,6 +53,7 @@ class ShardedTables(NamedTuple):
     Gp: jax.Array
     wq: jax.Array
     tau: jax.Array  # per-element stabilization, 0 where off/padded
+    h_e: jax.Array  # element size (the SU τ formula; padded with 1)
 
 
 def _pad_tables(ops: ElementOps, tau, n_dev: int) -> ShardedTables:
@@ -74,6 +75,7 @@ def _pad_tables(ops: ElementOps, tau, n_dev: int) -> ShardedTables:
         Gp=padded(ops.Gp),
         wq=padded(ops.wq),  # zero weights ⇒ padded elements contribute 0
         tau=padded(tau),
+        h_e=padded(ops.h_e, fill=1),  # nonzero: SU τ divides by h
     )
 
 
@@ -237,6 +239,268 @@ def make_step(
             poisson_res=relres,
             fx=fx,
             fy=fy,
+        )
+        return new, metrics
+
+    return step
+
+
+def _local_momentum(ops, tab, v, adv, su_adv, nu, inv_dt, tau_su, use_su,
+                    axis):
+    """Momentum block (M/dt + νK + C(adv) [+ θ-weighted SU]) on the
+    local element slice, psum'd (no pressure coupling — the projection
+    predictor). ``adv`` carries the θ-scaled convection field; SU uses
+    the unscaled ``su_adv`` with the precomputed (sharded) per-element
+    ``tau_su`` — exactly models/fem.py's split of the two weightings."""
+    ue = v[tab.elem_u]
+    gu = jnp.einsum("eqlc,eld->eqdc", tab.Gu, ue)
+    ru = nu * jnp.einsum("eq,eqlc,eqdc->eld", tab.wq, tab.Gu, gu)
+    uq = jnp.einsum("ql,eld->eqd", ops.Nu, ue)
+    ru = ru + inv_dt * jnp.einsum("eq,ql,eqd->eld", tab.wq, ops.Nu, uq)
+    aq = jnp.einsum("ql,eld->eqd", ops.Nu, adv[tab.elem_u])
+    conv = jnp.einsum("eqc,eqdc->eqd", aq, gu)
+    ru = ru + jnp.einsum("eq,ql,eqd->eld", tab.wq, ops.Nu, conv)
+    if use_su:
+        sq = jnp.einsum("ql,eld->eqd", ops.Nu, su_adv[tab.elem_u])
+        conv_s = jnp.einsum("eqc,eqdc->eqd", sq, gu)
+        wl = jnp.einsum("eqc,eqlc->eql", sq, tab.Gu)
+        ru = ru + jnp.einsum(
+            "e,eq,eql,eqd->eld", tau_su, tab.wq, wl, conv_s
+        )
+    yu = jax.ops.segment_sum(
+        ru.reshape(-1, 2), tab.elem_u.reshape(-1), num_segments=ops.n_u
+    )
+    return jax.lax.psum(yu, axis)
+
+
+def _local_grad(ops, tab, p, axis):
+    """G p = −∫ p ∇·v on the local slice, psum'd."""
+    pq = jnp.einsum("ql,el->eq", ops.Np, p[tab.elem_p])
+    ru = -jnp.einsum("eq,eqld,eq->eld", tab.wq, tab.Gu, pq)
+    yu = jax.ops.segment_sum(
+        ru.reshape(-1, 2), tab.elem_u.reshape(-1), num_segments=ops.n_u
+    )
+    return jax.lax.psum(yu, axis)
+
+
+def _local_div(ops, tab, u, axis):
+    """B u = ∫ q ∇·u on the local slice, psum'd."""
+    gu = jnp.einsum("eqlc,eld->eqdc", tab.Gu, u[tab.elem_u])
+    divu = gu[..., 0, 0] + gu[..., 1, 1]
+    rp = jnp.einsum("eq,ql,eq->el", tab.wq, ops.Np, divu)
+    yp = jax.ops.segment_sum(
+        rp.reshape(-1), tab.elem_p.reshape(-1), num_segments=ops.n_p
+    )
+    return jax.lax.psum(yp, axis)
+
+
+def _local_kp(ops, tab, q, axis):
+    """K_p q = ∫ ∇q·∇φ on the local slice, psum'd."""
+    gq = jnp.einsum("eqlc,el->eqc", tab.Gp, q[tab.elem_p])
+    rp = jnp.einsum("eq,eqlc,eqc->el", tab.wq, tab.Gp, gq)
+    yp = jax.ops.segment_sum(
+        rp.reshape(-1), tab.elem_p.reshape(-1), num_segments=ops.n_p
+    )
+    return jax.lax.psum(yp, axis)
+
+
+def make_projection_step(
+    ops: ElementOps,
+    cfg: FEMConfig,
+    g,
+    p_out_nodes,
+    mesh: Mesh,
+    axis: str = "x",
+    force_nodes=None,
+):
+    """Element-sharded counterpart of models.fem.make_projection_step —
+    the segregated production FEM scheme on a device mesh. Same math
+    (equality-tested in tests/test_fem_explicit.py): element-sharded
+    partial assembly + one psum per operator application; the GMRES/CG
+    iterations run replicated on the DOF vectors. Per predictor matvec:
+    one psum; per pressure-CG matvec: one psum (P1-P1 K_p) or two
+    (Taylor-Hood exact Schur, grad then div)."""
+    from cfdsim_tpu.fem.assembly import (
+        interpolate_u,
+        l2_norm,
+        lumped_mass_u,
+        mass_p_diag,
+        operator_diag,
+        stiffness_p_diag,
+    )
+
+    g = jnp.asarray(g)
+    if len(p_out_nodes) == 0:
+        raise ValueError(
+            "projection scheme needs pressure-Dirichlet (outflow) nodes"
+        )
+    n_dev = mesh.shape[axis]
+    tab = _pad_tables(ops, None, n_dev)
+    sharded = P(axis)
+    rep = P()
+    tab_specs = ShardedTables(*(sharded for _ in tab))
+    use_su = bool(cfg.supg)
+
+    def _smap(fn, n_in):
+        return shard_map(
+            fn,
+            mesh=mesh,
+            in_specs=(tab_specs,) + (rep,) * n_in,
+            out_specs=rep,
+            check_rep=False,
+        )
+
+    smapped_mom = shard_map(
+        lambda tb, v, adv, su_adv, nu, idt, tau_su: _local_momentum(
+            ops, tb, v, adv, su_adv, nu, idt, tau_su, use_su, axis
+        ),
+        mesh=mesh,
+        in_specs=(tab_specs, rep, rep, rep, rep, rep, sharded),
+        out_specs=rep,
+        check_rep=False,
+    )
+    smapped_grad = _smap(lambda tb, p: _local_grad(ops, tb, p, axis), 1)
+    smapped_div = _smap(lambda tb, u: _local_div(ops, tb, u, axis), 1)
+    smapped_kp = _smap(lambda tb, q: _local_kp(ops, tb, q, axis), 1)
+    nt_pad = (-ops.elem_u.shape[0]) % n_dev
+
+    fmask = None
+    if force_nodes is not None and len(force_nodes) > 0:
+        fmask = jnp.zeros((ops.n_u,)).at[jnp.asarray(force_nodes)].set(1.0)
+    th = float(cfg.theta)
+    dm = ops.dir_mask[:, None]
+    pm = jnp.zeros((ops.n_p,), dtype=bool).at[jnp.asarray(p_out_nodes)].set(
+        True
+    )
+    inv_ml = 1.0 / lumped_mass_u(ops)
+    inv_mp = 1.0 / mass_p_diag(ops)
+    inv_dp_k = 1.0 / jnp.where(pm, 1.0, stiffness_p_diag(ops))
+
+    def mom(v, adv, su_adv, nu, inv_dt, tau_su):
+        return smapped_mom(
+            tab, v, adv, su_adv,
+            jnp.asarray(nu, ops.Nu.dtype),
+            jnp.asarray(inv_dt, ops.Nu.dtype),
+            jnp.pad(tau_su, (0, nt_pad)),
+        )
+
+    def corr_of(q):
+        c = inv_ml[:, None] * smapped_grad(tab, q)
+        return jnp.where(dm, 0.0, c)
+
+    exact_schur = ops.kind != "p1p1"
+    if exact_schur:
+
+        def Ap(q):
+            q0 = jnp.where(pm, 0.0, q)
+            y = -smapped_div(tab, corr_of(q0))
+            return jnp.where(pm, q, y)
+
+    else:
+
+        def Ap(q):
+            y = smapped_kp(tab, jnp.where(pm, 0.0, q))
+            return jnp.where(pm, q, y)
+
+    def step(state: FEMState, cfl_scale=1.0):
+        dt = cfg.dt * cfl_scale
+        inv_dt = 1.0 / dt
+        u_prev, p_prev = state.u, state.p
+
+        # --- 1. momentum predictor (models/fem.py layout: convection
+        # carries the θ scale via its adv argument, SU uses the
+        # unscaled ū with τ(ū, ν, dt) precomputed here — replicated
+        # math outside shard_map, sharded (nt,) argument inside) ---
+        from cfdsim_tpu.fem.assembly import su_tau
+
+        zero_tau = jnp.zeros((ops.h_e.shape[0],), dtype=ops.wq.dtype)
+        tau_su = (
+            cfg.supg * su_tau(ops, u_prev, cfg.nu, inv_dt)
+            if use_su
+            else zero_tau
+        )
+        rhs_base = inv_dt * apply_mass_u(ops, u_prev)
+        if th != 1.0:
+            rhs_base = rhs_base - mom(
+                u_prev, (1.0 - th) * u_prev, u_prev,
+                (1.0 - th) * cfg.nu, 0.0, (1.0 - th) * tau_su,
+            )
+        rhs_u = rhs_base - smapped_grad(tab, p_prev)
+        b = jnp.where(dm, g, rhs_u)
+
+        def Am(v):
+            y = mom(
+                v, th * u_prev, u_prev, th * cfg.nu, inv_dt, th * tau_su
+            )
+            return jnp.where(dm, v, y)
+
+        du, _ = operator_diag(ops, th * cfg.nu, inv_dt, None)
+        inv_du = (1.0 / jnp.where(ops.dir_mask, 1.0, du))[:, None]
+        u_star, _ = jax.scipy.sparse.linalg.gmres(
+            Am, b, x0=u_prev, M=lambda v: inv_du * v,
+            tol=cfg.gmres_tol, atol=0.0, restart=cfg.gmres_restart,
+            maxiter=cfg.gmres_maxiter, solve_method=cfg.gmres_method,
+        )
+
+        # --- 2. pressure-increment Poisson ---
+        div_star = smapped_div(tab, u_star)
+        bp = jnp.where(pm, 0.0, -inv_dt * div_star)
+        phi0 = (
+            jnp.zeros_like(bp)
+            if state.phi is None
+            else jnp.where(pm, 0.0, state.phi)
+        )
+        phi, _ = jax.scipy.sparse.linalg.cg(
+            Ap, bp, x0=phi0, M=lambda q: inv_dp_k * q,
+            tol=cfg.pp_tol, atol=0.0, maxiter=cfg.pp_maxiter,
+        )
+
+        # --- 3. correction ---
+        u_new = u_star - dt * corr_of(phi)
+        p_new = p_prev + phi
+        if cfg.rotational:
+            p_new = p_new - cfg.rotational * cfg.nu * inv_mp * div_star
+
+        r = Am(u_star) - b
+        relres = jnp.sqrt(jnp.sum(r * r)) / jnp.maximum(
+            jnp.sqrt(jnp.sum(b * b)), 1e-30
+        )
+        finite = jnp.isfinite(jnp.sum(u_new)) & jnp.isfinite(jnp.sum(p_new))
+        ok = finite & (relres < cfg.accept_relres)
+        u_new = jnp.where(ok, u_new, u_prev)
+        p_new = jnp.where(ok, p_new, p_prev)
+
+        _, gu_s = interpolate_u(ops, u_star)
+        div_pre = l2_norm(ops, gu_s[..., 0, 0] + gu_s[..., 1, 1])
+        uq, gu = interpolate_u(ops, u_new)
+        div_post = l2_norm(ops, gu[..., 0, 0] + gu[..., 1, 1])
+        vort = gu[..., 1, 0] - gu[..., 0, 1]
+        area = jnp.sum(ops.wq)
+        energy = 0.5 * jnp.sum(ops.wq * jnp.sum(uq * uq, axis=-1)) / area
+        max_vel = jnp.sqrt(jnp.max(jnp.sum(uq * uq, axis=-1)))
+
+        fx = jnp.float32(0.0)
+        fy = jnp.float32(0.0)
+        if fmask is not None:
+            yu = mom(
+                u_new, th * u_prev, u_prev, th * cfg.nu, inv_dt,
+                th * tau_su,
+            )
+            res_u = yu + smapped_grad(tab, p_new) - rhs_base
+            fx = -jnp.sum(fmask * res_u[:, 0])
+            fy = -jnp.sum(fmask * res_u[:, 1])
+
+        new_phi = (
+            None if state.phi is None else jnp.where(ok, phi, state.phi)
+        )
+        new = FEMState(
+            u=u_new, p=p_new, t=state.t + dt, step=state.step + 1,
+            phi=new_phi,
+        )
+        metrics = StepMetrics(
+            dt=dt, div_pre=div_pre, div_post=div_post, max_vel=max_vel,
+            energy=energy, vort_max=jnp.max(jnp.abs(vort)),
+            poisson_res=relres, fx=fx, fy=fy,
         )
         return new, metrics
 

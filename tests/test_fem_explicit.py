@@ -92,6 +92,43 @@ def test_sharded_theta_step_matches_single(mesh, tiny_case):
     np.testing.assert_allclose(ss.u, sr.u, atol=5e-4 * scale)
 
 
+@pytest.mark.parametrize("space,supg", [("p1p1", 0.0), ("p2p1", 1.0)])
+def test_sharded_projection_step_matches_single(mesh, space, supg):
+    """Element-sharded projection step ≡ models.fem.make_projection_step
+    on the 8-device mesh — both Poisson operator variants (P1-P1 K_p
+    and Taylor-Hood exact Schur) and the SU stabilization path."""
+    from cfdsim_tpu.cases import build
+    from cfdsim_tpu.models.fem import make_projection_step as make_ref
+    from cfdsim_tpu.parallel.fem_explicit import make_projection_step
+
+    case = build(
+        "cylinder_fem", re=80, h_far=0.5, h_near=0.12, space=space,
+        viz_shape=(24, 36), gmres_tol=1e-6, theta=0.5,
+        scheme="projection", supg=supg,
+    )
+    ops = case.extras["ops"]
+    g = case.extras["g"]
+    m = case.extras["mesh"]
+    force = case.extras["spaces"].dirichlet_tag_nodes["cylinder"]
+    step_s = jax.jit(
+        make_projection_step(
+            ops, case.cfg, g, m.tags["outlet"], mesh, force_nodes=force
+        )
+    )
+    step_r = jax.jit(
+        make_ref(ops, case.cfg, g, m.tags["outlet"], force_nodes=force)
+    )
+    ss = sr = case.state
+    for _ in range(3):
+        ss, ms = step_s(ss, 1.0)
+        sr, mr = step_r(sr, 1.0)
+    scale = float(jnp.abs(sr.u).max())
+    np.testing.assert_allclose(ss.u, sr.u, atol=5e-4 * scale)
+    np.testing.assert_allclose(ss.p, sr.p, atol=5e-3)
+    np.testing.assert_allclose(float(ms.fx), float(mr.fx), atol=5e-3)
+    assert bool(jnp.isfinite(ss.u).all())
+
+
 def test_sharded_stokes_matches_single(mesh, tiny_case):
     case = tiny_case
     ops = case.extras["ops"]
