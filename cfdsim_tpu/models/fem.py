@@ -421,7 +421,7 @@ def make_projection_step(
             y = apply_stiffness_p(ops, jnp.where(pm, 0.0, q))
             return jnp.where(pm, q, y)
 
-    def step(state: FEMState, cfl_scale=1.0):
+    def _step_impl(state: FEMState, cfl_scale=1.0):
         dt = cfg.dt * cfl_scale
         inv_dt = 1.0 / dt
         u_prev, p_prev = state.u, state.p
@@ -549,6 +549,14 @@ def make_projection_step(
         )
         return new, metrics
 
+    def step(state: FEMState, cfl_scale=1.0):
+        # TPU: fp32 matmul precision for every assembly einsum — the
+        # default bf16 passes stall GMRES near 1e-3 AND are net slower
+        # (more iterations than the cheaper passes save; measured
+        # 3.5 vs 2.7 steps/s at 14.1k tris — BENCHNOTES). No-op on CPU.
+        with jax.default_matmul_precision("float32"):
+            return _step_impl(state, cfl_scale)
+
     return step
 
 
@@ -576,7 +584,7 @@ def make_step(
         ops, cfg, g, bf
     )
 
-    def step(state: FEMState, cfl_scale=1.0):
+    def _step_impl(state: FEMState, cfl_scale=1.0):
         dt = cfg.dt * cfl_scale
         inv_dt = 1.0 / dt
         u_prev, p_prev = state.u, state.p
@@ -628,5 +636,13 @@ def make_step(
             fy=fy,
         )
         return new, metrics
+
+    def step(state: FEMState, cfl_scale=1.0):
+        # TPU: fp32 matmul precision for every assembly einsum — the
+        # default bf16 passes stall GMRES near 1e-3 AND are net slower
+        # (more iterations than the cheaper passes save; measured
+        # 3.5 vs 2.7 steps/s at 14.1k tris — BENCHNOTES). No-op on CPU.
+        with jax.default_matmul_precision("float32"):
+            return _step_impl(state, cfl_scale)
 
     return step
