@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import dataclasses
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from scipy.spatial import cKDTree
@@ -128,6 +129,11 @@ def sample_fields(table: SampleTable, u, p=None):
     """Sample velocity (+ exact vorticity, + optionally pressure) at the
     table's points. Returns dict of (ny, nx) arrays with NaN outside the
     fluid: u, v, speed, vorticity [, p]."""
+    with jax.default_matmul_precision("float32"):
+        return _sample_fields(table, u, p)
+
+
+def _sample_fields(table, u, p):
     ue = u[table.idx]  # (ns, nloc, 2)
     uv = jnp.einsum("sl,sld->sd", table.N, ue)
     gu = jnp.einsum("slc,sld->sdc", table.G, ue)

@@ -318,7 +318,8 @@ def solve_stokes(
     b = (bu, jnp.zeros((ops.n_p,), dtype=ops.Nu.dtype))
     x0 = (g, jnp.zeros((ops.n_p,), dtype=ops.Nu.dtype))
     M = _preconditioner(ops, cfg, None, tau)
-    u, p = _gmres(A, b, x0, M, cfg)
+    with jax.default_matmul_precision("float32"):  # see step wrappers
+        u, p = _gmres(A, b, x0, M, cfg)
     return FEMState(
         u=u, p=p, t=jnp.float32(0.0), step=jnp.int32(0)
     )

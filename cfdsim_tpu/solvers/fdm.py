@@ -19,6 +19,7 @@ provided (v1.jl:24-97) — while keeping the structured MAC discretization.
 
 from __future__ import annotations
 
+import jax
 import numpy as np
 import jax.numpy as jnp
 
@@ -76,9 +77,13 @@ def make_fdm_solver(hx, hy, nullspace_tol: float = 1e-10):
     inv_lam_c = jnp.asarray(inv_lam, jnp.float32)
 
     def solve(rhs):
-        rhat = Vyi_c @ rhs @ VxiT_c
-        qhat = rhat * inv_lam_c
-        return (Vy_c @ qhat @ VxT_c).astype(rhs.dtype)
+        # fp32 matmul precision: the TPU default bf16 passes turn this
+        # "exact" solve into a 35%-residual one (measured, BENCHNOTES
+        # "TPU matmul precision"); no-op on CPU
+        with jax.default_matmul_precision("float32"):
+            rhat = Vyi_c @ rhs @ VxiT_c
+            qhat = rhat * inv_lam_c
+            return (Vy_c @ qhat @ VxT_c).astype(rhs.dtype)
 
     return solve
 
@@ -108,12 +113,14 @@ def make_fdm_solver_3d(hx, hy, hz, nullspace_tol: float = 1e-10):
     inv_lam_c = jnp.asarray(inv_lam, jnp.float32)
 
     def solve(rhs):
-        t = rhs @ VxiT_c                                   # x-transform
-        t = jnp.einsum("ab,zbx->zax", Vyi_c, t)            # y-transform
-        t = jnp.einsum("ab,byx->ayx", Vzi_c, t)            # z-transform
-        t = t * inv_lam_c
-        t = jnp.einsum("ab,byx->ayx", Vz_c, t)
-        t = jnp.einsum("ab,zbx->zax", Vy_c, t)
-        return (t @ VxT_c).astype(rhs.dtype)
+        # fp32 matmul precision — see make_fdm_solver
+        with jax.default_matmul_precision("float32"):
+            t = rhs @ VxiT_c                               # x-transform
+            t = jnp.einsum("ab,zbx->zax", Vyi_c, t)        # y-transform
+            t = jnp.einsum("ab,byx->ayx", Vzi_c, t)        # z-transform
+            t = t * inv_lam_c
+            t = jnp.einsum("ab,byx->ayx", Vz_c, t)
+            t = jnp.einsum("ab,zbx->zax", Vy_c, t)
+            return (t @ VxT_c).astype(rhs.dtype)
 
     return solve
