@@ -227,6 +227,12 @@ def make_fdm_poisson_local(hx, hy, py: int, px: int,
     ly_c = jnp.asarray(ly, jnp.float32)
 
     def solve(rhs_b):
+        # fp32 matmul precision: TPU bf16 default breaks the exactness
+        # of the eigenbasis transforms (solvers/fdm.py, BENCHNOTES)
+        with jax.default_matmul_precision("float32"):
+            return _solve(rhs_b)
+
+    def _solve(rhs_b):
         _check_pencil(rhs_b.shape, py, px)
         ny_l, nx_l = rhs_b.shape
         q = nx_l // max(py, 1)
@@ -291,6 +297,11 @@ def make_fdm_poisson3d_local(hx, hy, hz, py: int, px: int,
     lz_c = jnp.asarray(lz, jnp.float32)
 
     def solve(rhs_b):
+        # fp32 matmul precision — see make_fdm_poisson_local
+        with jax.default_matmul_precision("float32"):
+            return _solve(rhs_b)
+
+    def _solve(rhs_b):
         nz, ny_l, nx_l = rhs_b.shape
         if ny_l % max(px, 1) != 0 or nx_l % max(py, 1) != 0:
             raise ValueError(
