@@ -142,7 +142,8 @@ def run_secondary(n=1024):
     })
 
     # unstructured FEM tier: implicit steps/sec on the reference Gridap
-    # cylinder domain (one matrix-free GMRES solve per step)
+    # cylinder domain — monolithic (reference-parity scheme) and
+    # projection (the production scheme, BENCHNOTES "FEM tier")
     from cfdsim_tpu.cases import cylinder_fem
 
     case = cylinder_fem(re=100, wake_refine=True)
@@ -150,6 +151,13 @@ def run_secondary(n=1024):
     t2, _ = _timed_chunk(case, case.state, 30)
     results.append({
         "metric": "fem_cylinder_steps_per_sec",
+        "value": 25 / (t2 - t1), "unit": "steps/s",
+    })
+    case = cylinder_fem(re=100, wake_refine=True, scheme="projection")
+    t1, _ = _timed_chunk(case, case.state, 5)
+    t2, _ = _timed_chunk(case, case.state, 30)
+    results.append({
+        "metric": "fem_cylinder_projection_steps_per_sec",
         "value": 25 / (t2 - t1), "unit": "steps/s",
     })
     return results
