@@ -115,6 +115,12 @@ class FEMConfig:
     pp_tol: float = 1e-6
     pp_maxiter: int = 400
     rotational: float = 0.0
+    # pressure-Poisson preconditioner: "2level" (additive aggregation
+    # two-level, fem/multilevel.py — measured 308 → 18 CG iterations at
+    # 10.7k tris), "2level_v" (symmetric V(1,1), fewest iterations but
+    # 2 extra matvecs per apply), or "jacobi" (plain diagonal)
+    pp_pc: str = "2level"
+    pp_max_coarse: int = 4096
     # streamline-upwind momentum stabilization scale (projection path):
     # 0 = off (P1-P1 production default — never needed there), 1.0 =
     # standard Shakib τ. Required for Taylor-Hood transients at cell-
@@ -152,14 +158,49 @@ def _kp_scale(ops, inv_dt, tau):
     return dtv if tau is None else tau + dtv
 
 
-def _preconditioner(ops, cfg, inv_dt, tau):
+def build_schur_coarse(ops, cfg, steady: bool = False):
+    """Two-level hierarchy for the monolithic block preconditioner's
+    Cahouet-Chabard Schur proxy (1/ν_eff)M_p + (τ+dt)K_p (fem/
+    multilevel.py; built once per step function with the nominal dt —
+    preconditioners tolerate the cfl_scale mismatch). The coarse
+    correction is what breaks the one-level pc's ~1e-4 saddle plateau
+    at ≳10k triangles (BENCHNOTES "Solver-scaling boundary").
+
+    Steady solves return None: their Schur proxy is mass-dominated
+    ((1/ν)M_p with at most a small τK_p term), which Jacobi already
+    handles in a few iterations — and the coarse term's scale shift
+    measurably degrades the fp32 Stokes init on Taylor-Hood (the
+    correction belongs to the transient dt·K_p physics only)."""
+    if cfg.pp_pc == "jacobi" or steady:
+        return None
+    from cfdsim_tpu.fem.multilevel import build_coarse, schur_proxy_elements
+
+    inv_dt = 1.0 / cfg.dt
+    tau = _tau(ops, cfg)
+    nu_eff = cfg.nu * float(cfg.theta)
+    kp = _kp_scale(ops, inv_dt, tau)
+    kp_np = np.asarray(kp)
+    return build_coarse(
+        np.asarray(ops.elem_p),
+        schur_proxy_elements(ops, nu_eff, kp_np),
+        ops.n_p,
+        excluded_nodes=(),
+        max_coarse=cfg.pp_max_coarse,
+        dtype=ops.wq.dtype,
+    )
+
+
+def _preconditioner(ops, cfg, inv_dt, tau, level=None):
     """Block preconditioner: ``pc_sweeps`` damped-Jacobi iterations on
     the symmetric momentum block and on the Cahouet-Chabard Schur
-    operator (pc_sweeps=0 → plain diagonal scaling)."""
+    operator (pc_sweeps=0 → plain diagonal scaling); ``level`` adds the
+    additive two-level coarse correction (build_schur_coarse) to the
+    pressure block."""
     from cfdsim_tpu.fem.assembly import (
         apply_momentum_block,
         apply_pressure_schur,
     )
+    from cfdsim_tpu.fem.multilevel import coarse_correct
 
     nu_eff = cfg.nu * (float(cfg.theta) if inv_dt is not None else 1.0)
     du, dp = operator_diag(ops, nu_eff, inv_dt, tau)
@@ -167,11 +208,18 @@ def _preconditioner(ops, cfg, inv_dt, tau):
     inv_du = (1.0 / du)[:, None]
     inv_dp = 1.0 / dp
     k = int(cfg.pc_sweeps)
+
+    def zp_base(p):
+        zp = inv_dp * p
+        if level is not None:
+            zp = zp + coarse_correct(level, p)
+        return zp
+
     if k <= 0:
 
         def M(x):
             u, p = x
-            return (u * inv_du, p * inv_dp)
+            return (u * inv_du, zp_base(p))
 
         return M
 
@@ -188,7 +236,7 @@ def _preconditioner(ops, cfg, inv_dt, tau):
         zu = inv_du * u
         for _ in range(k):
             zu = zu + om * inv_du * (u - Au(zu))
-        zp = inv_dp * p
+        zp = zp_base(p)
         for _ in range(k):
             zp = zp + om * inv_dp * (
                 p - apply_pressure_schur(ops, zp, nu_eff, kp)
@@ -232,6 +280,7 @@ def _make_implicit_solver(ops, cfg, g, bf):
     tau = _tau(ops, cfg)
     dm = ops.dir_mask[:, None]
     th = float(cfg.theta)
+    level = build_schur_coarse(ops, cfg)
 
     def opA(u_prev, inv_dt, x):
         # θ-weighting uses linearity: θ(νK + C(ū))u = (θν)Ku + C(θū)u,
@@ -259,7 +308,7 @@ def _make_implicit_solver(ops, cfg, g, bf):
     def solve(u_prev, p_prev, inv_dt):
         b, _ = rhs(u_prev, p_prev, inv_dt)
         A = lambda x: opA(u_prev, inv_dt, x)
-        M = _preconditioner(ops, cfg, inv_dt, tau)
+        M = _preconditioner(ops, cfg, inv_dt, tau, level)
         return _gmres_raw(A, b, (u_prev, p_prev), M, cfg)
 
     def fwd(u_prev, p_prev, inv_dt):
@@ -270,7 +319,7 @@ def _make_implicit_solver(ops, cfg, g, bf):
         u_prev, p_prev, inv_dt, x = res
         A = lambda y: opA(u_prev, inv_dt, y)
         At = jax.linear_transpose(A, x)
-        M = _preconditioner(ops, cfg, inv_dt, tau)
+        M = _preconditioner(ops, cfg, inv_dt, tau, level)
         zero = jax.tree.map(jnp.zeros_like, x)
         lam = _gmres_raw(lambda v: At(v)[0], xbar, zero, M, cfg)
 
@@ -317,7 +366,9 @@ def solve_stokes(
     bu = jnp.where(ops.dir_mask[:, None], g, bu)
     b = (bu, jnp.zeros((ops.n_p,), dtype=ops.Nu.dtype))
     x0 = (g, jnp.zeros((ops.n_p,), dtype=ops.Nu.dtype))
-    M = _preconditioner(ops, cfg, None, tau)
+    M = _preconditioner(
+        ops, cfg, None, tau, build_schur_coarse(ops, cfg, steady=True)
+    )
     with jax.default_matmul_precision("float32"):  # see step wrappers
         u, p = _gmres(A, b, x0, M, cfg)
     return FEMState(
@@ -422,6 +473,18 @@ def make_projection_step(
             y = apply_stiffness_p(ops, jnp.where(pm, 0.0, q))
             return jnp.where(pm, q, y)
 
+    # pressure pc: the aggregation two-level hierarchy (one-time host
+    # setup) — the K_p coarse space also preconditions the Taylor-Hood
+    # exact Schur operator (spectrally equivalent)
+    from cfdsim_tpu.fem.multilevel import build_pressure_coarse, make_pressure_pc
+
+    level = (
+        build_pressure_coarse(ops, p_out_nodes, cfg.pp_max_coarse)
+        if cfg.pp_pc != "jacobi"
+        else None
+    )
+    Mp = make_pressure_pc(level, inv_dp_k, Ap=Ap, kind=cfg.pp_pc)
+
     def _step_impl(state: FEMState, cfl_scale=1.0):
         dt = cfg.dt * cfl_scale
         inv_dt = 1.0 / dt
@@ -481,7 +544,7 @@ def make_projection_step(
             Ap,
             bp,
             x0=phi0,
-            M=lambda q: inv_dp_k * q,
+            M=Mp,
             tol=cfg.pp_tol,
             atol=0.0,
             maxiter=cfg.pp_maxiter,

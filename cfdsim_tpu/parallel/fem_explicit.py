@@ -165,11 +165,12 @@ def make_step(
 ):
     """Sharded-assembly counterpart of models.fem.make_step — identical
     math (exact-equality-tested), one psum per operator application."""
-    from cfdsim_tpu.models.fem import _preconditioner
+    from cfdsim_tpu.models.fem import _preconditioner, build_schur_coarse
 
     g = jnp.asarray(g)
     apply_sharded = make_sharded_ns_apply(ops, mesh, cfg, axis)
     tau = _tau(ops, cfg)
+    level = build_schur_coarse(ops, cfg)
     dm = ops.dir_mask[:, None]
     fmask = None
     if force_nodes is not None and len(force_nodes) > 0:
@@ -200,7 +201,7 @@ def make_step(
             rhs_u = rhs_u - yu_e
         bu = jnp.where(dm, g, rhs_u)
         b = (bu, jnp.zeros((ops.n_p,), dtype=bu.dtype))
-        M = _preconditioner(ops, cfg, inv_dt, tau)
+        M = _preconditioner(ops, cfg, inv_dt, tau, level)
         u, p = _gmres(A, b, (u_prev, p_prev), M, cfg)
 
         relres = _relres(A, (u, p), b)
@@ -383,6 +384,10 @@ def make_projection_step(
     inv_ml = 1.0 / lumped_mass_u(ops)
     inv_mp = 1.0 / mass_p_diag(ops)
     inv_dp_k = 1.0 / jnp.where(pm, 1.0, stiffness_p_diag(ops))
+    from cfdsim_tpu.fem.multilevel import (
+        build_pressure_coarse,
+        make_pressure_pc,
+    )
 
     def mom(v, adv, su_adv, nu, inv_dt, tau_su):
         return smapped_mom(
@@ -409,6 +414,17 @@ def make_projection_step(
         def Ap(q):
             y = smapped_kp(tab, jnp.where(pm, 0.0, q))
             return jnp.where(pm, q, y)
+
+    # identical host-built hierarchy as the single-device step (the
+    # build is deterministic in ops, so the equality tests hold); the
+    # pc's segment_sum/matmul/gather run in the replicated Krylov
+    # region, outside any shard_map body (CLAUDE.md gather caveat)
+    level = (
+        build_pressure_coarse(ops, p_out_nodes, cfg.pp_max_coarse)
+        if cfg.pp_pc != "jacobi"
+        else None
+    )
+    Mp = make_pressure_pc(level, inv_dp_k, Ap=Ap, kind=cfg.pp_pc)
 
     def _step_impl(state: FEMState, cfl_scale=1.0):
         dt = cfg.dt * cfl_scale
@@ -459,7 +475,7 @@ def make_projection_step(
             else jnp.where(pm, 0.0, state.phi)
         )
         phi, _ = jax.scipy.sparse.linalg.cg(
-            Ap, bp, x0=phi0, M=lambda q: inv_dp_k * q,
+            Ap, bp, x0=phi0, M=Mp,
             tol=cfg.pp_tol, atol=0.0, maxiter=cfg.pp_maxiter,
         )
 
@@ -527,7 +543,7 @@ def solve_stokes_sharded(
     ops: ElementOps, cfg: FEMConfig, g, mesh: Mesh, axis: str = "x"
 ) -> FEMState:
     """Sharded-assembly steady Stokes init (models.fem.solve_stokes)."""
-    from cfdsim_tpu.models.fem import _preconditioner
+    from cfdsim_tpu.models.fem import _preconditioner, build_schur_coarse
 
     g = jnp.asarray(g, dtype=ops.Nu.dtype)
     apply_sharded = make_sharded_ns_apply(ops, mesh, cfg, axis)
@@ -540,6 +556,9 @@ def solve_stokes_sharded(
 
     bu = jnp.where(dm, g, jnp.zeros((ops.n_u, 2), dtype=ops.Nu.dtype))
     b = (bu, jnp.zeros((ops.n_p,), dtype=ops.Nu.dtype))
-    M = _preconditioner(ops, cfg, None, _tau(ops, cfg))
+    M = _preconditioner(
+        ops, cfg, None, _tau(ops, cfg),
+        build_schur_coarse(ops, cfg, steady=True),
+    )
     u, p = _gmres(A, b, (g, jnp.zeros((ops.n_p,), dtype=ops.Nu.dtype)), M, cfg)
     return FEMState(u=u, p=p, t=jnp.float32(0.0), step=jnp.int32(0))
