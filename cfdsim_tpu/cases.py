@@ -927,6 +927,7 @@ def cylinder_fem(
     pp_tol: float = 1e-6,
     rotational: float = 0.0,
     supg: float = 0.0,
+    stab: str = "bp",
     viz_shape: tuple = (200, 300),
 ):
     """Unstructured-FEM flow over a cylinder — the reference's Julia/
@@ -940,7 +941,10 @@ def cylinder_fem(
     metrics fx/fy are the reaction drag/lift per unit density
     (Cd = 2·fx / (V∞²·D)). ``scheme="projection"`` swaps the monolithic
     saddle-point solve for the segregated incremental pressure-
-    correction step (``pp_tol``/``rotational`` tune it)."""
+    correction step (``pp_tol``/``rotational`` tune it);
+    ``stab="pspg"`` swaps the monolithic's τ∇p·∇q stabilization for
+    the consistent residual (PSPG) form — no near-body pressure
+    diffusion, so the monolithic Cd/St bias disappears (FEMConfig)."""
     from cfdsim_tpu.fem.mesh import cylinder_mesh
     from cfdsim_tpu.fem.sample import build_sampler
     from cfdsim_tpu.fem.spaces import build_spaces, dirichlet_values
@@ -969,7 +973,7 @@ def cylinder_fem(
     cfg = mfem.FEMConfig(
         nu=nu, dt=dt, space=space, v_inf=v_inf, tau_h=tau_h,
         gmres_tol=gmres_tol, theta=theta,
-        pp_tol=pp_tol, rotational=rotational, supg=supg,
+        pp_tol=pp_tol, rotational=rotational, supg=supg, stab=stab,
     )
     g = dirichlet_values(
         spaces,
@@ -1056,6 +1060,7 @@ def schafer_turek_fem(
     pp_tol: float = 1e-6,
     rotational: float = 0.0,
     supg: float = 0.0,
+    stab: str = "bp",
     viz_shape: tuple = (120, 640),
 ):
     """Schäfer–Turek 2D-2 benchmark on the FEM tier: channel
@@ -1067,6 +1072,8 @@ def schafer_turek_fem(
     coefficients are Cd = 2·fx/(ū²D), Cl = 2·fy/(ū²D).
     ``scheme="projection"`` swaps in the segregated incremental
     pressure-correction step (``pp_tol``/``rotational`` tune it);
+    ``stab="pspg"`` gives the monolithic the consistent residual-based
+    stabilization (removes the τ-damping Cd/St bias, FEMConfig);
     the steady 2D-1 variant of this benchmark is re=20, u_mean=0.2."""
     from cfdsim_tpu.fem.mesh import cylinder_mesh
     from cfdsim_tpu.fem.sample import build_sampler
@@ -1098,6 +1105,7 @@ def schafer_turek_fem(
     cfg = mfem.FEMConfig(
         nu=nu, dt=dt, space=space, v_inf=u_max, gmres_tol=gmres_tol,
         theta=theta, pp_tol=pp_tol, rotational=rotational, supg=supg,
+        stab=stab,
     )
     g = dirichlet_values(
         spaces,

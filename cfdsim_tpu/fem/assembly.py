@@ -192,6 +192,49 @@ def apply_ns(ops: ElementOps, u, p, nu, inv_dt, adv_u, tau):
     return yu, yp
 
 
+def apply_pspg(
+    ops: ElementOps, tau_e, u=None, p=None, inv_dt=None, adv_u=None, fq=None
+):
+    """Consistent PSPG continuity-row stabilization:
+    y_l = Σ_e τ_e ∫ ∇N_l · r, with r the elementwise momentum-residual
+    pieces selected by the caller — r = inv_dt·u + (adv_u·∇)u + ∇p + fq
+    (each term only when its argument is given; the P1 viscous term
+    vanishes elementwise). Unlike the reference's non-consistent
+    τ∇p·∇q (v2.jl:170 Brezzi–Pitkäranta form, `apply_ns`'s ``tau``),
+    the full-residual form vanishes on the true solution, so it injects
+    no near-body pressure diffusion — the τ-stabilization Cd/St bias of
+    the monolithic scheme (BENCHNOTES "Refinement read") disappears.
+
+    The θ-scheme operator row passes (u, p, inv_dt, θ·ū); the matching
+    rhs row passes (u_prev, inv_dt, −(1−θ)·ū, f_q). Returns (n_p,).
+    """
+    r = None
+
+    def acc(r, term):
+        return term if r is None else r + term
+
+    if u is not None:
+        ue = u[ops.elem_u]
+        if inv_dt is not None:
+            uq = jnp.einsum("ql,eld->eqd", ops.Nu, ue)
+            r = acc(r, inv_dt * uq)
+        if adv_u is not None:
+            gu = jnp.einsum("eqlc,eld->eqdc", ops.Gu, ue)
+            aq = jnp.einsum("ql,eld->eqd", ops.Nu, adv_u[ops.elem_u])
+            r = acc(r, jnp.einsum("eqc,eqdc->eqd", aq, gu))
+    if p is not None:
+        gp = jnp.einsum("eqlc,el->eqc", ops.Gp, p[ops.elem_p])
+        r = acc(r, gp)
+    if fq is not None:
+        r = acc(r, fq)
+    if r is None:
+        return jnp.zeros((ops.n_p,), dtype=ops.wq.dtype)
+    rp = jnp.einsum("e,eq,eqlc,eqc->el", tau_e, ops.wq, ops.Gp, r)
+    return jax.ops.segment_sum(
+        rp.reshape(-1), ops.elem_p.reshape(-1), num_segments=ops.n_p
+    )
+
+
 def apply_mass_u(ops: ElementOps, u):
     """y = M u (velocity mass matrix) — the backward-Euler rhs carrier
     (u_prev·v/dt, v2.jl:208)."""

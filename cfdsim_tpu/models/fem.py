@@ -35,6 +35,7 @@ from cfdsim_tpu.fem.assembly import (
     apply_mass_u,
     apply_momentum_conv,
     apply_ns,
+    apply_pspg,
     apply_stiffness_p,
     apply_su,
     interpolate_u,
@@ -79,6 +80,15 @@ class FEMConfig:
     v_inf: float = 1.0
     tau_h: Optional[float] = None
     force_tau: bool = False
+    # pressure stabilization form (monolithic P1-P1): "bp" = the
+    # reference's non-consistent τ∇p·∇q (v2.jl:170, Brezzi-Pitkäranta)
+    # — keeps exact parity but biases Cd +2.6-3% and damps the wake
+    # (St 0.25 plateau, BENCHNOTES "Refinement read"); "pspg" = the
+    # consistent residual form τ∫∇q·(u/dt + θ(ū·∇)u + ∇p − rhs), which
+    # vanishes on the resolved solution and removes that bias. Same τ,
+    # same preconditioner. Ignored for Taylor-Hood (no stabilization)
+    # and for the projection scheme (stable without either).
+    stab: str = "bp"
     # time discretization: 1.0 = backward Euler (reference parity,
     # v2.jl:208), 0.5 = Crank-Nicolson on the viscous+convective terms
     # (pressure/continuity stay fully implicit) — halves the numerical
@@ -265,7 +275,7 @@ def _gmres(A, b, x0, M, cfg):
     return _gmres_raw(A, b, x0, M, cfg)
 
 
-def _make_implicit_solver(ops, cfg, g, bf):
+def _make_implicit_solver(ops, cfg, g, bf, fq=None):
     """The per-step linear solve as an exactly-differentiable primitive.
 
     jax 0.9's ``custom_linear_solve`` transpose rule cannot handle an
@@ -278,6 +288,8 @@ def _make_implicit_solver(ops, cfg, g, bf):
     the textbook adjoint of the semi-implicit step, including the
     convection-coefficient sensitivity."""
     tau = _tau(ops, cfg)
+    pspg = cfg.stab == "pspg" and tau is not None
+    tau_ns = None if pspg else tau
     dm = ops.dir_mask[:, None]
     th = float(cfg.theta)
     level = build_schur_coarse(ops, cfg)
@@ -286,7 +298,15 @@ def _make_implicit_solver(ops, cfg, g, bf):
         # θ-weighting uses linearity: θ(νK + C(ū))u = (θν)Ku + C(θū)u,
         # so the θ-scheme reuses the plain assembly with scaled inputs
         u, p = x
-        yu, yp = apply_ns(ops, u, p, th * cfg.nu, inv_dt, th * u_prev, tau)
+        yu, yp = apply_ns(
+            ops, u, p, th * cfg.nu, inv_dt, th * u_prev, tau_ns
+        )
+        if pspg:
+            # consistent stabilization, operator part: the unknowns'
+            # share of the θ-scheme momentum residual (see apply_pspg)
+            yp = yp + apply_pspg(
+                ops, tau, u=u, p=p, inv_dt=inv_dt, adv_u=th * u_prev
+            )
         return (jnp.where(dm, u, yu), yp)
 
     def rhs(u_prev, p_prev, inv_dt):
@@ -302,7 +322,16 @@ def _make_implicit_solver(ops, cfg, g, bf):
         if bf is not None:
             rhs_u = rhs_u + bf
         bu = jnp.where(dm, g, rhs_u)
-        return (bu, 0.0 * p_prev), rhs_u
+        bp = 0.0 * p_prev
+        if pspg:
+            # matching rhs share of the momentum residual:
+            # τ∫∇q·(u_prev/dt − (1−θ)(ū·∇)u_prev + f)
+            bp = bp + apply_pspg(
+                ops, tau, u=u_prev, inv_dt=inv_dt,
+                adv_u=None if th == 1.0 else -(1.0 - th) * u_prev,
+                fq=fq,
+            )
+        return (bu, bp), rhs_u
 
     @jax.custom_vjp
     def solve(u_prev, p_prev, inv_dt):
@@ -356,15 +385,24 @@ def solve_stokes(
     body_force: Optional[Callable] = None,
 ) -> FEMState:
     """Steady Stokes initialization (v1.jl:170-200, v2.jl:176-199):
-    ν∇u:∇v − p∇·v + q∇·u (+ τ∇p·∇q) = (f, v), Dirichlet lift g."""
+    ν∇u:∇v − p∇·v + q∇·u (+ τ∇p·∇q) = (f, v), Dirichlet lift g.
+
+    ``stab="pspg"``: at steady Stokes the consistent residual form is
+    the same operator (no mass/convection terms survive, P1 viscous
+    vanishes elementwise) plus the τ∫∇q·f continuity rhs."""
     g = jnp.asarray(g, dtype=ops.Nu.dtype)
     tau = _tau(ops, cfg)
     A = _masked_operator(ops, cfg, None, None, tau)
     bu = jnp.zeros((ops.n_u, 2), dtype=ops.Nu.dtype)
+    bp = jnp.zeros((ops.n_p,), dtype=ops.Nu.dtype)
     if body_force is not None:
         bu = bu + _body_force_rhs(ops, body_force)
+        if cfg.stab == "pspg" and tau is not None:
+            bp = bp + apply_pspg(
+                ops, tau, fq=_body_force_quad(ops, body_force)
+            )
     bu = jnp.where(ops.dir_mask[:, None], g, bu)
-    b = (bu, jnp.zeros((ops.n_p,), dtype=ops.Nu.dtype))
+    b = (bu, bp)
     x0 = (g, jnp.zeros((ops.n_p,), dtype=ops.Nu.dtype))
     M = _preconditioner(
         ops, cfg, None, tau, build_schur_coarse(ops, cfg, steady=True)
@@ -379,12 +417,17 @@ def solve_stokes(
 def _body_force_rhs(ops: ElementOps, f: Callable):
     """∫ f·v for a vectorized f(x, y) -> (fx, fy) evaluated at quad
     points (manufactured-solution tests)."""
-    fx, fy = f(ops.xq[..., 0], ops.xq[..., 1])
-    fq = jnp.stack([fx, fy], axis=-1)
-    ru = jnp.einsum("eq,ql,eqd->eld", ops.wq, ops.Nu, fq)
+    ru = jnp.einsum("eq,ql,eqd->eld", ops.wq, ops.Nu, _body_force_quad(ops, f))
     return jax.ops.segment_sum(
         ru.reshape(-1, 2), ops.elem_u.reshape(-1), num_segments=ops.n_u
     )
+
+
+def _body_force_quad(ops: ElementOps, f: Callable):
+    """Body force sampled at quadrature points, (nt, nq, 2) — the PSPG
+    rhs needs the pointwise values, not the assembled ∫f·v."""
+    fx, fy = f(ops.xq[..., 0], ops.xq[..., 1])
+    return jnp.stack([fx, fy], axis=-1)
 
 
 def make_projection_step(
@@ -644,8 +687,9 @@ def make_step(
         fmask = jnp.zeros((ops.n_u,)).at[jnp.asarray(force_nodes)].set(1.0)
     tau = _tau(ops, cfg)
     bf = _body_force_rhs(ops, body_force) if body_force is not None else None
+    fq = _body_force_quad(ops, body_force) if body_force is not None else None
     solve, rhs_fn, opA, unmasked_momentum = _make_implicit_solver(
-        ops, cfg, g, bf
+        ops, cfg, g, bf, fq
     )
 
     def _step_impl(state: FEMState, cfl_scale=1.0):

@@ -79,9 +79,13 @@ def _pad_tables(ops: ElementOps, tau, n_dev: int) -> ShardedTables:
     )
 
 
-def _local_apply(ops, tab, u, p, nu, inv_dt, adv_u, axis):
+def _local_apply(ops, tab, u, p, nu, inv_dt, adv_u, axis, pspg=False):
     """Per-device block application on the local element slice, psum'd
-    to the replicated global residual (runs inside shard_map)."""
+    to the replicated global residual (runs inside shard_map).
+
+    ``pspg``: consistent residual-based continuity stabilization
+    (models/fem.py ``stab="pspg"``) instead of the τ∇p·∇q form — only
+    differs on the transient path (mass + convection present)."""
     ue = u[tab.elem_u]
     pe = p[tab.elem_p]
     gu = jnp.einsum("eqlc,eld->eqdc", tab.Gu, ue)
@@ -89,6 +93,7 @@ def _local_apply(ops, tab, u, p, nu, inv_dt, adv_u, axis):
     divu = gu[..., 0, 0] + gu[..., 1, 1]
 
     ru = nu * jnp.einsum("eq,eqlc,eqdc->eld", tab.wq, tab.Gu, gu)
+    uq = conv = None
     if inv_dt is not None:
         uq = jnp.einsum("ql,eld->eqd", ops.Nu, ue)
         ru = ru + inv_dt * jnp.einsum("eq,ql,eqd->eld", tab.wq, ops.Nu, uq)
@@ -100,7 +105,12 @@ def _local_apply(ops, tab, u, p, nu, inv_dt, adv_u, axis):
 
     rp = jnp.einsum("eq,ql,eq->el", tab.wq, ops.Np, divu)
     gp = jnp.einsum("eqlc,el->eqc", tab.Gp, pe)
-    rp = rp + jnp.einsum("e,eq,eqlc,eqc->el", tab.tau, tab.wq, tab.Gp, gp)
+    r_stab = gp
+    if pspg and uq is not None and conv is not None:
+        r_stab = inv_dt * uq + conv + gp
+    rp = rp + jnp.einsum(
+        "e,eq,eqlc,eqc->el", tab.tau, tab.wq, tab.Gp, r_stab
+    )
 
     yu = jax.ops.segment_sum(
         ru.reshape(-1, 2), tab.elem_u.reshape(-1), num_segments=ops.n_u
@@ -109,6 +119,24 @@ def _local_apply(ops, tab, u, p, nu, inv_dt, adv_u, axis):
         rp.reshape(-1), tab.elem_p.reshape(-1), num_segments=ops.n_p
     )
     return jax.lax.psum(yu, axis), jax.lax.psum(yp, axis)
+
+
+def _local_pspg_rhs(ops, tab, u, adv_u, inv_dt, axis):
+    """rhs share of the consistent PSPG continuity row on the local
+    element slice: τ∫∇q·(inv_dt·u + (adv_u·∇)u), psum'd (the sharded
+    counterpart of models/fem.py's rhs under ``stab="pspg"``; the
+    caller passes adv_u = −(1−θ)·ū, zeros for backward Euler)."""
+    ue = u[tab.elem_u]
+    uq = jnp.einsum("ql,eld->eqd", ops.Nu, ue)
+    gu = jnp.einsum("eqlc,eld->eqdc", tab.Gu, ue)
+    aq = jnp.einsum("ql,eld->eqd", ops.Nu, adv_u[tab.elem_u])
+    conv = jnp.einsum("eqc,eqdc->eqd", aq, gu)
+    r = inv_dt * uq + conv
+    rp = jnp.einsum("e,eq,eqlc,eqc->el", tab.tau, tab.wq, tab.Gp, r)
+    yp = jax.ops.segment_sum(
+        rp.reshape(-1), tab.elem_p.reshape(-1), num_segments=ops.n_p
+    )
+    return jax.lax.psum(yp, axis)
 
 
 def make_sharded_ns_apply(
@@ -124,10 +152,11 @@ def make_sharded_ns_apply(
     sharded = P(axis)
     rep = P()
     tab_specs = ShardedTables(*(sharded for _ in tab))
+    pspg = cfg.stab == "pspg"
 
     smapped_t = shard_map(  # transient: mass + convection present
         lambda tb, u, p, nu, idt, au: _local_apply(
-            ops, tb, u, p, nu, idt, au, axis
+            ops, tb, u, p, nu, idt, au, axis, pspg=pspg
         ),
         mesh=mesh,
         in_specs=(tab_specs, rep, rep, rep, rep, rep),
@@ -177,6 +206,25 @@ def make_step(
         fmask = jnp.zeros((ops.n_u,)).at[jnp.asarray(force_nodes)].set(1.0)
 
     th = float(cfg.theta)
+    pspg = cfg.stab == "pspg" and tau is not None
+    smapped_pspg_rhs = None
+    if pspg:
+        n_dev = mesh.shape[axis]
+        tab = _pad_tables(ops, tau, n_dev)
+        tab_specs = ShardedTables(*(P(axis) for _ in tab))
+        smapped_pspg_rhs = shard_map(
+            lambda tb, u, au, idt: _local_pspg_rhs(ops, tb, u, au, idt, axis),
+            mesh=mesh,
+            in_specs=(tab_specs, P(), P(), P()),
+            out_specs=P(),
+            check_rep=False,
+        )
+
+        def pspg_rhs(u_prev, inv_dt):
+            adv = (0.0 if th == 1.0 else -(1.0 - th)) * u_prev
+            return smapped_pspg_rhs(
+                tab, u_prev, adv, jnp.asarray(inv_dt, ops.Nu.dtype)
+            )
 
     def _step_impl(state: FEMState, cfl_scale=1.0):
         dt = cfg.dt * cfl_scale
@@ -200,7 +248,10 @@ def make_step(
             )
             rhs_u = rhs_u - yu_e
         bu = jnp.where(dm, g, rhs_u)
-        b = (bu, jnp.zeros((ops.n_p,), dtype=bu.dtype))
+        bp = jnp.zeros((ops.n_p,), dtype=bu.dtype)
+        if pspg:
+            bp = bp + pspg_rhs(u_prev, inv_dt)
+        b = (bu, bp)
         M = _preconditioner(ops, cfg, inv_dt, tau, level)
         u, p = _gmres(A, b, (u_prev, p_prev), M, cfg)
 

@@ -185,6 +185,32 @@ def test_p1p1_stokes_converges():
     assert errs[0] / errs[1] > 2.0  # ~2nd-order drop
 
 
+def test_p1p1_pspg_transient_converges():
+    """Consistent PSPG stabilization (FEMConfig.stab="pspg"): the
+    transient P1-P1 step on Poiseuille must stay stable (no pressure
+    checkerboard) and its steady error must converge under refinement —
+    the same acceptance bar as the Brezzi-Pitkäranta form, with the
+    residual-based term replacing τ∇p·∇q in operator AND rhs."""
+    errs = []
+    for n in (8, 16):
+        mesh, sp, ops, g = _poiseuille_setup("p1p1", n=n)
+        cfg = FEMConfig(
+            nu=0.1, dt=0.2, space="p1p1", stab="pspg", gmres_tol=1e-6,
+            gmres_restart=200, gmres_maxiter=20,
+        )
+        st = solve_stokes(ops, cfg, g)
+        step = jax.jit(make_step(ops, cfg, g))
+        for _ in range(5):
+            st, m = step(st, 1.0)
+        assert bool(jnp.isfinite(st.u).all())
+        assert float(m.poisson_res) < 1e-4
+        uq, _ = interpolate_u(ops, st.u)
+        u_ex = 4.0 * ops.xq[..., 1] * (1.0 - ops.xq[..., 1])
+        errs.append(float(l2_norm(ops, uq[..., 0] - u_ex)))
+    assert errs[0] < 0.15
+    assert errs[0] / errs[1] > 2.0  # ~2nd-order drop
+
+
 def test_p1p1_global_tau_parity_mode():
     """tau_h pins the reference's global τ = H²/(4ν+2V∞H) (v2.jl:169-170)
     instead of the per-element default; both must solve stably."""

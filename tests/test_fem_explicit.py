@@ -92,6 +92,26 @@ def test_sharded_theta_step_matches_single(mesh, tiny_case):
     np.testing.assert_allclose(ss.u, sr.u, atol=5e-4 * scale)
 
 
+def test_sharded_pspg_step_matches_single(mesh, tiny_case):
+    """Consistent-PSPG (stab="pspg") sharded monolithic step vs the
+    single-device one — θ=0.5 exercises both the operator's residual
+    term and the rhs's −(1−θ) convection share."""
+    case = tiny_case
+    ops = case.extras["ops"]
+    g = case.extras["g"]
+    cfg = dataclasses.replace(case.cfg, theta=0.5, stab="pspg")
+    step_s = jax.jit(make_step(ops, cfg, g, mesh))
+    step_r = jax.jit(make_step_ref(ops, cfg, g))
+    ss = sr = case.state
+    for _ in range(2):
+        ss, _ = step_s(ss, 1.0)
+        sr, _ = step_r(sr, 1.0)
+    scale = float(jnp.abs(sr.u).max())
+    np.testing.assert_allclose(ss.u, sr.u, atol=5e-4 * scale)
+    np.testing.assert_allclose(ss.p, sr.p, atol=5e-3)
+    assert bool(jnp.isfinite(ss.u).all())
+
+
 @pytest.mark.parametrize("space,supg", [("p1p1", 0.0), ("p2p1", 1.0)])
 def test_sharded_projection_step_matches_single(mesh, space, supg):
     """Element-sharded projection step ≡ models.fem.make_projection_step
