@@ -41,6 +41,11 @@ class MAC3DConfig:
     grid: Grid3D
     nu: float
     scheme: str = "central"  # central | upwind | tvd (van Leer MUSCL)
+    # Smagorinsky LES (the 3D habitat of the reference's 2D model,
+    # v5.py:96-110): ν_t = (C_s Δ)²|S|, Δ = (dx·dy·dz)^{1/3}, with
+    # flux-form variable-ν diffusion (exactly conservative)
+    use_les: bool = False
+    smagorinsky_constant: float = 0.17
     poisson: Poisson3DConfig = Poisson3DConfig(method="dct")
     adaptive_dt: bool = True
     cfl_target: float = 0.4
@@ -96,6 +101,126 @@ def cavity3d_bcs(lid_velocity: float = 1.0) -> MAC3DBCs:
         return u_gy, u_gz, v_gx, v_gz, w_gx, w_gy
 
     return MAC3DBCs(set_normal, ghosts)
+
+
+def free_slip_bcs3d() -> MAC3DBCs:
+    """Free-slip (symmetry) box: zero normal velocity, zero tangential
+    shear on all six faces — the 3D habitat of mac.free_slip_bcs; lets
+    the [0,π]³ Taylor–Green vortex (whose symmetry planes are exactly
+    free-slip) run as the analytic LES/convergence harness."""
+
+    def set_normal(u, v, w):
+        u = u.at[:, :, 0].set(0.0).at[:, :, -1].set(0.0)
+        v = v.at[:, 0, :].set(0.0).at[:, -1, :].set(0.0)
+        w = w.at[0].set(0.0).at[-1].set(0.0)
+        return u, v, w
+
+    def ghosts(u, v, w):
+        u_gy = jnp.concatenate([u[:, :1], u, u[:, -1:]], axis=1)
+        u_gz = jnp.concatenate([u[:1], u, u[-1:]], axis=0)
+        v_gx = jnp.concatenate([v[:, :, :1], v, v[:, :, -1:]], axis=2)
+        v_gz = jnp.concatenate([v[:1], v, v[-1:]], axis=0)
+        w_gx = jnp.concatenate([w[:, :, :1], w, w[:, :, -1:]], axis=2)
+        w_gy = jnp.concatenate([w[:, :1], w, w[:, -1:]], axis=1)
+        return u_gy, u_gz, v_gx, v_gz, w_gx, w_gy
+
+    return MAC3DBCs(set_normal, ghosts)
+
+
+def smagorinsky_viscosity_mac3d(u, v, w, ghosts, dx, dy, dz, cs: float):
+    """ν_t = (C_s Δ)²|S| at cell centers, Δ = (dx dy dz)^{1/3}
+    (reference physics v5.py:96-110 lifted to the 3D staggered layout):
+    the three normal strains live at centers; each of the three shear
+    sums 2S_ij lives on the matching cell-edge set and is averaged back
+    to centers. |S| = √(2(S_xx²+S_yy²+S_zz²) + (2S_xy)²+(2S_xz)²+(2S_yz)²)."""
+    u_gy, u_gz, v_gx, v_gz, w_gx, w_gy = ghosts
+    delta = (dx * dy * dz) ** (1.0 / 3.0)
+    sxx = (u[:, :, 1:] - u[:, :, :-1]) * (1.0 / dx)   # (nz, ny, nx)
+    syy = (v[:, 1:, :] - v[:, :-1, :]) * (1.0 / dy)
+    szz = (w[1:] - w[:-1]) * (1.0 / dz)
+
+    def to_c(e, ax1, ax2):
+        """average an edge-centered field back to cell centers over the
+        two staggered axes"""
+        lo1 = jax.lax.slice_in_dim(e, 0, e.shape[ax1] - 1, axis=ax1)
+        hi1 = jax.lax.slice_in_dim(e, 1, e.shape[ax1], axis=ax1)
+        s = 0.5 * (lo1 + hi1)
+        lo2 = jax.lax.slice_in_dim(s, 0, s.shape[ax2] - 1, axis=ax2)
+        hi2 = jax.lax.slice_in_dim(s, 1, s.shape[ax2], axis=ax2)
+        return 0.5 * (lo2 + hi2)
+
+    # 2S_xy at z-edges (nz, ny+1, nx+1)
+    sh_xy = (u_gy[:, 1:, :] - u_gy[:, :-1, :]) * (1.0 / dy) + (
+        v_gx[:, :, 1:] - v_gx[:, :, :-1]
+    ) * (1.0 / dx)
+    # 2S_xz at y-edges (nz+1, ny, nx+1)
+    sh_xz = (u_gz[1:] - u_gz[:-1]) * (1.0 / dz) + (
+        w_gx[:, :, 1:] - w_gx[:, :, :-1]
+    ) * (1.0 / dx)
+    # 2S_yz at x-edges (nz+1, ny+1, nx)
+    sh_yz = (v_gz[1:] - v_gz[:-1]) * (1.0 / dz) + (
+        w_gy[:, 1:, :] - w_gy[:, :-1, :]
+    ) * (1.0 / dy)
+    s2 = (
+        2.0 * (sxx * sxx + syy * syy + szz * szz)
+        + to_c(sh_xy * sh_xy, 1, 2)
+        + to_c(sh_xz * sh_xz, 0, 2)
+        + to_c(sh_yz * sh_yz, 0, 1)
+    )
+    return (cs * delta) ** 2 * jnp.sqrt(s2)
+
+
+def _diffuse_les3d(u, v, w, ghosts, nu_eff_c, dx, dy, dz):
+    """Flux-form variable-ν diffusion ∇·(ν_eff ∇·) on interior u/v/w
+    faces (the 3D habitat of mac._diffuse_les). ν_eff lives at cell
+    centers; cross-derivative fluxes use edge-averaged ν from the
+    edge-clamped padded field. With constant ν this reduces exactly to
+    ν·diffuse3d (tested)."""
+    u_gy, u_gz, v_gx, v_gz, w_gx, w_gy = ghosts
+    nu_e = jnp.pad(nu_eff_c, 1, mode="edge")  # (nz+2, ny+2, nx+2)
+    # edge-averaged ν on the three edge sets
+    nu_xy = 0.25 * (
+        nu_e[1:-1, :-1, :-1] + nu_e[1:-1, :-1, 1:]
+        + nu_e[1:-1, 1:, :-1] + nu_e[1:-1, 1:, 1:]
+    )  # (nz, ny+1, nx+1)
+    nu_xz = 0.25 * (
+        nu_e[:-1, 1:-1, :-1] + nu_e[:-1, 1:-1, 1:]
+        + nu_e[1:, 1:-1, :-1] + nu_e[1:, 1:-1, 1:]
+    )  # (nz+1, ny, nx+1)
+    nu_yz = 0.25 * (
+        nu_e[:-1, :-1, 1:-1] + nu_e[:-1, 1:, 1:-1]
+        + nu_e[1:, :-1, 1:-1] + nu_e[1:, 1:, 1:-1]
+    )  # (nz+1, ny+1, nx)
+    ax, ay, az = 1.0 / dx, 1.0 / dy, 1.0 / dz
+
+    # u-momentum, interior faces (nz, ny, nx-1)
+    fux = nu_eff_c * (u[:, :, 1:] - u[:, :, :-1]) * ax
+    fuy = nu_xy * (u_gy[:, 1:, :] - u_gy[:, :-1, :]) * ay
+    fuz = nu_xz * (u_gz[1:] - u_gz[:-1]) * az
+    lap_u = (
+        (fux[:, :, 1:] - fux[:, :, :-1]) * ax
+        + (fuy[:, 1:, 1:-1] - fuy[:, :-1, 1:-1]) * ay
+        + (fuz[1:, :, 1:-1] - fuz[:-1, :, 1:-1]) * az
+    )
+    # v-momentum, interior faces (nz, ny-1, nx)
+    fvy = nu_eff_c * (v[:, 1:, :] - v[:, :-1, :]) * ay
+    fvx = nu_xy * (v_gx[:, :, 1:] - v_gx[:, :, :-1]) * ax
+    fvz = nu_yz * (v_gz[1:] - v_gz[:-1]) * az
+    lap_v = (
+        (fvx[:, 1:-1, 1:] - fvx[:, 1:-1, :-1]) * ax
+        + (fvy[:, 1:, :] - fvy[:, :-1, :]) * ay
+        + (fvz[1:, 1:-1, :] - fvz[:-1, 1:-1, :]) * az
+    )
+    # w-momentum, interior faces (nz-1, ny, nx)
+    fwz = nu_eff_c * (w[1:] - w[:-1]) * az
+    fwx = nu_xz * (w_gx[:, :, 1:] - w_gx[:, :, :-1]) * ax
+    fwy = nu_yz * (w_gy[:, 1:, :] - w_gy[:, :-1, :]) * ay
+    lap_w = (
+        (fwx[1:-1, :, 1:] - fwx[1:-1, :, :-1]) * ax
+        + (fwy[1:-1, 1:, :] - fwy[1:-1, :-1, :]) * ay
+        + (fwz[1:] - fwz[:-1]) * az
+    )
+    return lap_u, lap_v, lap_w
 
 
 def divergence_mac3d(u, v, w, dx, dy, dz):
@@ -237,29 +362,45 @@ def make_step(cfg: MAC3DConfig, bcs: MAC3DBCs) -> Callable:
 
     def step(state: MAC3DState, cfl_scale):
         u, v, w = bcs.set_normal(state.u, state.v, state.w)
+        ghosts = bcs.ghosts(u, v, w)
 
+        if cfg.use_les:
+            nu_t = smagorinsky_viscosity_mac3d(
+                u, v, w, ghosts, dx, dy, dz, cfg.smagorinsky_constant
+            )
+            nu_stab = cfg.nu + jnp.mean(nu_t)
+        else:
+            nu_t = None
+            nu_stab = cfg.nu
         if cfg.adaptive_dt:
             vel_max = jnp.maximum(
                 jnp.maximum(jnp.max(jnp.abs(u)), jnp.max(jnp.abs(v))),
                 jnp.maximum(jnp.max(jnp.abs(w)), 1e-10),
             )
             dt_cfl = cfg.cfl_target * cfl_scale * h / vel_max
-            dt_visc = 0.125 * h * h / cfg.nu  # 3D bound h²/6ν with margin
+            dt_visc = 0.125 * h * h / nu_stab  # 3D bound h²/6ν, margin
             dt = jnp.clip(
                 jnp.minimum(dt_cfl, dt_visc), cfg.dt_min, cfg.dt_max
             ).astype(jnp.float32)
         else:
             dt = jnp.float32(cfg.dt_base)
 
-        ghosts = bcs.ghosts(u, v, w)
         conv_u, conv_v, conv_w = advect3d(
             u, v, w, ghosts, dx, dy, dz, cfg.scheme
         )
-        lap_u, lap_v, lap_w = diffuse3d(u, v, w, ghosts, dx, dy, dz)
+        if cfg.use_les:
+            visc_u, visc_v, visc_w = _diffuse_les3d(
+                u, v, w, ghosts, cfg.nu + nu_t, dx, dy, dz
+            )
+        else:
+            lap_u, lap_v, lap_w = diffuse3d(u, v, w, ghosts, dx, dy, dz)
+            visc_u = cfg.nu * lap_u
+            visc_v = cfg.nu * lap_v
+            visc_w = cfg.nu * lap_w
 
-        u_star = u.at[:, :, 1:-1].add(dt * (cfg.nu * lap_u - conv_u))
-        v_star = v.at[:, 1:-1, :].add(dt * (cfg.nu * lap_v - conv_v))
-        w_star = w.at[1:-1].add(dt * (cfg.nu * lap_w - conv_w))
+        u_star = u.at[:, :, 1:-1].add(dt * (visc_u - conv_u))
+        v_star = v.at[:, 1:-1, :].add(dt * (visc_v - conv_v))
+        w_star = w.at[1:-1].add(dt * (visc_w - conv_w))
         u_star, v_star, w_star = bcs.set_normal(u_star, v_star, w_star)
 
         # --- exact projection

@@ -151,3 +151,109 @@ def test_mac3d_upwind_and_tvd_schemes():
         assert 0.0 < float(m.energy) < 0.5, scheme
         if scheme == "upwind":
             assert float(m.max_vel) <= 1.0 + 1e-3
+
+
+def test_mac3d_les_constant_nu_matches_laplacian():
+    # flux-form variable-ν diffusion with CONSTANT ν must reduce exactly
+    # to ν·(7-point Laplacian) — discrete conservation identity
+    import numpy as np
+
+    from cfdsim_tpu.models.mac3d import (
+        _diffuse_les3d,
+        cavity3d_bcs,
+        diffuse3d,
+    )
+
+    rng = np.random.RandomState(1)
+    nz, ny, nx = 6, 7, 8
+    u = jnp.asarray(rng.randn(nz, ny, nx + 1), jnp.float32)
+    v = jnp.asarray(rng.randn(nz, ny + 1, nx), jnp.float32)
+    w = jnp.asarray(rng.randn(nz + 1, ny, nx), jnp.float32)
+    gh = cavity3d_bcs(0.7).ghosts(u, v, w)
+    nu = 0.013
+    nu_c = jnp.full((nz, ny, nx), nu, jnp.float32)
+    l0 = diffuse3d(u, v, w, gh, 0.11, 0.09, 0.13)
+    l1 = _diffuse_les3d(u, v, w, gh, nu_c, 0.11, 0.09, 0.13)
+    for a, b in zip(l1, l0):
+        np.testing.assert_allclose(
+            np.asarray(a), nu * np.asarray(b), rtol=2e-5, atol=2e-5
+        )
+
+
+def test_mac3d_les_zero_for_rigid_rotation():
+    # rigid rotation about z: zero strain rate → ν_t vanishes in the
+    # interior (the 3D habitat of test_mac_les_zero_for_rigid_rotation)
+    import numpy as np
+
+    from cfdsim_tpu.models.mac3d import smagorinsky_viscosity_mac3d
+
+    n = 16
+    h = 1.0 / n
+    yu = (np.arange(n) + 0.5) * h
+    xv = (np.arange(n) + 0.5) * h
+    om = 2.0
+    u = np.broadcast_to(
+        -om * (yu[None, :, None] - 0.5), (n, n, n + 1)
+    ).astype(np.float32)
+    v = np.broadcast_to(
+        om * (xv[None, None, :] - 0.5), (n, n + 1, n)
+    ).astype(np.float32)
+    w = np.zeros((n + 1, n, n), np.float32)
+    u, v, w = jnp.asarray(u), jnp.asarray(v), jnp.asarray(w)
+
+    # linear-extrapolation ghosts (the interior formula continued)
+    def ext(a, axis):
+        lo = 2 * jax.lax.slice_in_dim(a, 0, 1, axis=axis) - \
+            jax.lax.slice_in_dim(a, 1, 2, axis=axis)
+        hi = 2 * jax.lax.slice_in_dim(a, a.shape[axis] - 1, a.shape[axis],
+                                      axis=axis) - \
+            jax.lax.slice_in_dim(a, a.shape[axis] - 2, a.shape[axis] - 1,
+                                 axis=axis)
+        return jnp.concatenate([lo, a, hi], axis=axis)
+
+    gh = (ext(u, 1), ext(u, 0), ext(v, 2), ext(v, 0), ext(w, 2), ext(w, 1))
+    nu_t = smagorinsky_viscosity_mac3d(u, v, w, gh, h, h, h, cs=0.17)
+    assert float(jnp.abs(nu_t).max()) < 1e-5
+
+
+def test_mac3d_les_adds_dissipation_taylor_green():
+    # 3D Taylor–Green vortex in the free-slip [0,π]³ box: with LES on,
+    # kinetic energy decays faster than molecular-ν only (ν_t ≥ 0)
+    import numpy as np
+
+    from cfdsim_tpu.grid import Grid3D
+    from cfdsim_tpu.models import mac3d
+
+    n = 24
+    h = np.pi / n
+    xf = np.arange(n + 1) * h          # face coords
+    xc = (np.arange(n) + 0.5) * h      # center coords
+    # u = sin x cos y cos z ; v = −cos x sin y cos z ; w = 0
+    u0 = (np.sin(xf)[None, None, :] * np.cos(xc)[None, :, None]
+          * np.cos(xc)[:, None, None]).astype(np.float32)
+    v0 = (-np.cos(xc)[None, None, :] * np.sin(xf)[None, :, None]
+          * np.cos(xc)[:, None, None]).astype(np.float32)
+
+    def run(use_les):
+        cfg = mac3d.MAC3DConfig(
+            grid=Grid3D(nx=n, ny=n, nz=n, x_max=np.pi, y_max=np.pi,
+                        z_max=np.pi, centering="cell"),
+            nu=1e-4, use_les=use_les, adaptive_dt=False, dt_base=4e-3,
+        )
+        step = mac3d.make_step(cfg, mac3d.free_slip_bcs3d())
+        s = mac3d.init_state(cfg)._replace(
+            u=jnp.asarray(u0), v=jnp.asarray(v0)
+        )
+        s, ms = jax.jit(lambda s0: jax.lax.scan(
+            lambda st, _: step(st, jnp.float32(1.0)), s0, None, length=150
+        ))(s)
+        assert bool(jnp.all(jnp.isfinite(s.u)))
+        assert float(np.asarray(ms.div_post)[-1]) < 1e-3
+        return float(np.asarray(ms.energy)[-1])
+
+    e_plain = run(False)
+    e_les = run(True)
+    assert e_les < e_plain - 1e-5
+    # implied eddy viscosity must be of the (C_s Δ)²|S| order (~1e-4)
+    nu_t_eff = float(np.log(e_plain / e_les)) / (4.0 * 150 * 4e-3)
+    assert 1e-5 < nu_t_eff < 2e-3
