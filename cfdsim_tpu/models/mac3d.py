@@ -255,12 +255,18 @@ def _slopes_axis(q, axis: int):
 
 
 def advect3d(u, v, w, ghosts, dx: float, dy: float, dz: float,
-             scheme: str = "central"):
+             scheme: str = "central", slope_fix=None):
     """Conservative divergence-form 3D MAC advection (central, or
     upwind/van-Leer-MUSCL face values exactly as the 2D mac._advect);
     ``ghosts`` = (u_gy, u_gz, v_gx, v_gz, w_gx, w_gy) from MAC3DBCs.
     Returns (conv_u, conv_v, conv_w) on interior faces. Shared by the
-    momentum solvers (make_step) and the Boussinesq tier."""
+    momentum solvers (make_step) and the Boussinesq tier.
+
+    ``slope_fix(name, s) -> s`` (optional) post-processes each MUSCL
+    slope array — the sharded step (parallel/mac3d_explicit.py) uses it
+    to zero slopes at *global*-domain boundary lines, which on a local
+    halo window are interior positions `_slopes_axis` cannot see. Names:
+    "ux","uy","uz","vx","vy","vz","wx","wy","wz" (component, axis)."""
     u_gy, u_gz, v_gx, v_gz, w_gx, w_gy = ghosts
     # shared edge interpolants (each used by two momentum equations)
     u_y = 0.5 * (u_gy[:, :-1, :] + u_gy[:, 1:, :])  # (nz, ny+1, nx+1)
@@ -286,15 +292,16 @@ def advect3d(u, v, w, ghosts, dx: float, dy: float, dz: float,
 
         tvd = scheme == "tvd"
         z3 = jnp.zeros_like
-        sux = _slopes_axis(u, 2) if tvd else z3(u)
-        suy = _slopes_axis(u_gy, 1) if tvd else z3(u_gy)
-        suz = _slopes_axis(u_gz, 0) if tvd else z3(u_gz)
-        svx = _slopes_axis(v_gx, 2) if tvd else z3(v_gx)
-        svy = _slopes_axis(v, 1) if tvd else z3(v)
-        svz = _slopes_axis(v_gz, 0) if tvd else z3(v_gz)
-        swx = _slopes_axis(w_gx, 2) if tvd else z3(w_gx)
-        swy = _slopes_axis(w_gy, 1) if tvd else z3(w_gy)
-        swz = _slopes_axis(w, 0) if tvd else z3(w)
+        fix = (lambda name, s: s) if slope_fix is None else slope_fix
+        sux = fix("ux", _slopes_axis(u, 2)) if tvd else z3(u)
+        suy = fix("uy", _slopes_axis(u_gy, 1)) if tvd else z3(u_gy)
+        suz = fix("uz", _slopes_axis(u_gz, 0)) if tvd else z3(u_gz)
+        svx = fix("vx", _slopes_axis(v_gx, 2)) if tvd else z3(v_gx)
+        svy = fix("vy", _slopes_axis(v, 1)) if tvd else z3(v)
+        svz = fix("vz", _slopes_axis(v_gz, 0)) if tvd else z3(v_gz)
+        swx = fix("wx", _slopes_axis(w_gx, 2)) if tvd else z3(w_gx)
+        swy = fix("wy", _slopes_axis(w_gy, 1)) if tvd else z3(w_gy)
+        swz = fix("wz", _slopes_axis(w, 0)) if tvd else z3(w)
         F_u = uc * fv(u[:, :, :-1], u[:, :, 1:], uc,
                       sux[:, :, :-1], sux[:, :, 1:])
         G_u = v_x * fv(u_gy[:, :-1, :], u_gy[:, 1:, :], v_x,

@@ -6,14 +6,21 @@ miscompilation as the 2D MAC state (see test_parallel.py xfails). Here
 the *trimmed* 3D state (last boundary face of each component dropped —
 u[..., :-1], v[:, :-1, :], w[:-1] — all (nz, ny, nx)) is sharded
 P(None, "y", "x"): z stays local (the cavity3d layout, BASELINE config
-5), y/x ride width-1 ``ppermute`` halos, boundary faces and tangential
-ghosts are global-index masked writes (z-direction ghosts are plain local
+5), y/x ride ``ppermute`` halos, boundary faces and tangential ghosts
+are global-index masked writes (z-direction ghosts are plain local
 concatenations), and the projection is the exact distributed 3D DCT
 (``transforms.dct_poisson3d_local``).
 
-Cavity BCs only (lid at z_hi moving in +x — the only 3D MAC case);
-central conservative advection, matching mac3d.make_step. Equality with
-the single-device step on an 8-device mesh: tests/test_mac3d_explicit.py.
+Advection/diffusion run the SINGLE-DEVICE mac3d operators on a width-2
+halo window (the ±2-center virtual local domain) and crop to owned
+faces — every window position within the stencil radius of an owned
+face holds the exact global value, so all schemes (central/upwind/tvd
+via ``advect3d`` + a slope_fix zeroing MUSCL slopes at global boundary
+lines the window runs through) and the Smagorinsky LES tier
+(``use_les``, with the global edge-clamp of ν_t emulated by masked
+rolls) come along for free. Cavity BCs (lid at z_hi moving in +x — the
+only 3D MAC case). Equality with the single-device step on an 8-device
+mesh: tests/test_mac3d_explicit.py.
 """
 
 from __future__ import annotations
@@ -128,7 +135,6 @@ def make_cavity3d_mac_explicit_step(cfg: MAC3DConfig, mesh: Mesh,
     g = cfg.grid
     nx, ny, nz = g.nx, g.ny, g.nz
     dx, dy, dz = g.dx, g.dy, g.dz
-    ax, ay, az = 1.0 / dx**2, 1.0 / dy**2, 1.0 / dz**2
     h = min(dx, dy, dz)
     py = mesh.shape["y"]
     px = mesh.shape["x"]
@@ -136,15 +142,18 @@ def make_cavity3d_mac_explicit_step(cfg: MAC3DConfig, mesh: Mesh,
     if ny % py or nx % px:
         raise ValueError(f"grid {ny}x{nx} not divisible by mesh {py}x{px}")
     if ny_l < 2 or nx_l < 2:
-        raise ValueError("local blocks must be at least 2x2 for width-1 halos")
+        raise ValueError("local blocks must be at least 2x2 for width-2 halos")
     if cfg.poisson.method != "dct":
         raise ValueError("explicit 3D MAC step supports poisson method 'dct'")
-    if getattr(cfg, "scheme", "central") != "central":
-        raise ValueError(
-            "the explicit sharded 3D MAC step implements the central "
-            "scheme; upwind/tvd need width-2 halos (run single-device)"
-        )
+    if cfg.scheme not in ("central", "upwind", "tvd"):
+        raise ValueError(f"unknown MAC3D scheme {cfg.scheme!r}")
 
+    from cfdsim_tpu.models.mac3d import (
+        _diffuse_les3d,
+        advect3d,
+        diffuse3d,
+        smagorinsky_viscosity_mac3d,
+    )
     from cfdsim_tpu.parallel.transforms import dct_poisson3d_local
 
     spec = P(None, "y", "x")
@@ -157,14 +166,102 @@ def make_cavity3d_mac_explicit_step(cfg: MAC3DConfig, mesh: Mesh,
         iy = lax.axis_index("y")
         ix = lax.axis_index("x")
         ro, co, rp, cp, set_normal, pad = bc_kit(iy, ix)
+        gy0 = iy * ny_l
+        gx0 = ix * nx_l
 
         u_t, v_t, w_t = set_normal(ts.u, ts.v, ts.w)
-        U, V, Wz = pad(u_t, v_t, w_t)
-        # z-direction ghosts (local): no-slip bottom, moving lid at z_hi
-        UZG = jnp.concatenate(
-            [-U[:1], U, 2.0 * lid_velocity - U[-1:]], axis=0
+
+        # --- width-2 halo windows: the ±2-center virtual local domain
+        # on which the SINGLE-DEVICE mac3d operators run verbatim. Every
+        # window position within the stencil radius of an owned face
+        # holds the exact global value: halo lines from neighbors
+        # (zero-filled past the chain ends by _exchange_axis), global
+        # boundary faces/tangential ghosts as masked writes. The cropped
+        # outputs are therefore bitwise the single-device ones.
+        U2 = _halo_yx(u_t, py, px, w=2)  # (nz, ny_l+4, nx_l+4)
+        V2 = _halo_yx(v_t, py, px, w=2)
+        W2 = _halo_yx(w_t, py, px, w=2)
+        shp2 = (ny_l + 4, nx_l + 4)
+        r2 = gy0 - 2 + lax.broadcasted_iota(jnp.int32, shp2, 0)[None]
+        c2 = gx0 - 2 + lax.broadcasted_iota(jnp.int32, shp2, 1)[None]
+        # u: columns are x-faces — dropped/virtual faces ≥ nx are 0
+        U2 = jnp.where(c2 >= nx, 0.0, U2)
+        # tangential wall ghosts in y: u(−1) = −u(0), u(ny) = −u(ny−1)
+        U2 = jnp.where(r2 == -1, -jnp.roll(U2, -1, axis=1), U2)
+        U2 = jnp.where(r2 == ny, -jnp.roll(U2, 1, axis=1), U2)
+        # v: rows are y-faces — dropped/virtual faces ≥ ny are 0
+        V2 = jnp.where(r2 >= ny, 0.0, V2)
+        V2 = jnp.where(c2 == -1, -jnp.roll(V2, -1, axis=2), V2)
+        V2 = jnp.where(c2 == nx, -jnp.roll(V2, 1, axis=2), V2)
+        # w: planes are z-faces (local); tangential ghosts in y AND x
+        W2 = jnp.where(r2 == -1, -jnp.roll(W2, -1, axis=1), W2)
+        W2 = jnp.where(r2 == ny, -jnp.roll(W2, 1, axis=1), W2)
+        W2 = jnp.where(c2 == -1, -jnp.roll(W2, -1, axis=2), W2)
+        W2 = jnp.where(c2 == nx, -jnp.roll(W2, 1, axis=2), W2)
+
+        def zpad(a, axis):
+            z = jnp.zeros_like(lax.slice_in_dim(a, 0, 1, axis=axis))
+            return jnp.concatenate([z, a, z], axis=axis)
+
+        # virtual-domain arrays in mac3d's (u, v, w) + ghosts layout
+        # (NY = ny_l+4, NX = nx_l+4 centers); the single zero lines
+        # appended beyond the window feed only cropped positions or
+        # slope lines zeroed below
+        zcol = jnp.zeros_like(U2[:, :, :1])
+        u_win = jnp.concatenate([U2, zcol], axis=2)      # (nz, NY, NX+1)
+        zrow = jnp.zeros_like(V2[:, :1, :])
+        v_win = jnp.concatenate([V2, zrow], axis=1)      # (nz, NY+1, NX)
+        w_win = jnp.concatenate(
+            [W2, jnp.zeros_like(W2[:1])], axis=0
+        )                                                # (nz+1, NY, NX)
+        u_gy = zpad(u_win, 1)
+        u_gz = jnp.concatenate(
+            [-u_win[:1], u_win, 2.0 * lid_velocity - u_win[-1:]], axis=0
         )
-        VZG = jnp.concatenate([-V[:1], V, -V[-1:]], axis=0)
+        v_gx = zpad(v_win, 2)
+        v_gz = jnp.concatenate([-v_win[:1], v_win, -v_win[-1:]], axis=0)
+        w_gx = zpad(w_win, 2)
+        w_gy = zpad(w_win, 1)
+        ghosts_win = (u_gy, u_gz, v_gx, v_gz, w_gx, w_gy)
+
+        def slope_fix(name, s):
+            # zero MUSCL slopes at GLOBAL boundary lines: the global
+            # arrays end there (`_slopes_axis` zeroes its own boundary
+            # lines), but on the halo window those lines are interior
+            if name in ("uz", "vz", "wz"):
+                return s  # z is local — window boundary IS the global one
+            base, bnds = {
+                "ux": (gx0 - 2, (0, nx)),   # slopes of u along x-faces
+                "uy": (gy0 - 3, (-1, ny)),  # of u_gy along y-centers
+                "vx": (gx0 - 3, (-1, nx)),  # of v_gx along x-centers
+                "vy": (gy0 - 2, (0, ny)),   # of v along y-faces
+                "wx": (gx0 - 3, (-1, nx)),
+                "wy": (gy0 - 3, (-1, ny)),
+            }[name]
+            axis = 2 if name[1] == "x" else 1
+            idx = base + lax.broadcasted_iota(jnp.int32, s.shape, axis)
+            return jnp.where((idx == bnds[0]) | (idx == bnds[1]), 0.0, s)
+
+        # --- LES eddy viscosity (valid on the ±1 ring around owned
+        # cells; the window-boundary ring uses the fake zero ghost lines
+        # and is never read for owned faces)
+        if cfg.use_les:
+            NUT = smagorinsky_viscosity_mac3d(
+                u_win, v_win, w_win, ghosts_win, dx, dy, dz,
+                cfg.smagorinsky_constant,
+            )
+            # single-device edge-clamp (pad mode="edge") at GLOBAL edges
+            NUT = jnp.where(r2 == -1, jnp.roll(NUT, -1, axis=1), NUT)
+            NUT = jnp.where(r2 == ny, jnp.roll(NUT, 1, axis=1), NUT)
+            NUT = jnp.where(c2 == -1, jnp.roll(NUT, -1, axis=2), NUT)
+            NUT = jnp.where(c2 == nx, jnp.roll(NUT, 1, axis=2), NUT)
+            nu_mean = _psum(
+                jnp.sum(NUT[:, 2 : 2 + ny_l, 2 : 2 + nx_l])
+            ) / float(nx * ny * nz)
+            nu_stab = cfg.nu + nu_mean
+        else:
+            NUT = None
+            nu_stab = cfg.nu
 
         # --- adaptive dt (mac3d; dropped faces are all 0 for the cavity,
         # so the trimmed max equals the full-array max)
@@ -176,84 +273,41 @@ def make_cavity3d_mac_explicit_step(cfg: MAC3DConfig, mesh: Mesh,
                 )
             )
             dt_cfl = cfg.cfl_target * cfl_scale * h / vel_max
-            dt_visc = 0.125 * h * h / cfg.nu
+            dt_visc = 0.125 * h * h / nu_stab
             dt = jnp.clip(
                 jnp.minimum(dt_cfl, dt_visc), cfg.dt_min, cfg.dt_max
             ).astype(jnp.float32)
         else:
             dt = jnp.float32(cfg.dt_base)
 
-        # --- edge interpolants (index maps: U[z,r,c] ↔ u(z, gy0−1+r,
-        # face gx0−1+c); UY rows / VX cols are corner-aligned at +0)
-        UC = 0.5 * (U[:, :, :-1] + U[:, :, 1:])
-        VCC = 0.5 * (V[:, :-1, :] + V[:, 1:, :])
-        WCC = 0.5 * (Wz[:-1] + Wz[1:])
-        UY = 0.5 * (U[:, :-1, :] + U[:, 1:, :])     # (nz, ny_l+1, nx_l+2)
-        VX = 0.5 * (V[:, :, :-1] + V[:, :, 1:])     # (nz, ny_l+2, nx_l+1)
-        UZ = 0.5 * (UZG[:-1] + UZG[1:])             # (nz+1, ny_l+2, nx_l+2)
-        WX = 0.5 * (Wz[:, :, :-1] + Wz[:, :, 1:])   # (nz+1, ny_l+2, nx_l+1)
-        VZ = 0.5 * (VZG[:-1] + VZG[1:])             # (nz+1, ny_l+2, nx_l+2)
-        WY = 0.5 * (Wz[:, :-1, :] + Wz[:, 1:, :])   # (nz+1, ny_l+1, nx_l+2)
-
-        # --- conservative central fluxes (mac3d.make_step)
-        FU = UC * UC
-        GU = VX[:, 1:, :] * UY[:, :, 1:]       # (zf·row: y-face gy0+a, x-face gx0+b)
-        HU = WX[:, 1:-1, :] * UZ[:, 1:-1, 1:]  # (z-face, row gy0+r, x-face gx0+c)
-        conv_u = (
-            (FU[:, 1 : 1 + ny_l, 1:] - FU[:, 1 : 1 + ny_l, :-1]) * (1.0 / dx)
-        )[:, :, :nx_l] + (
-            (GU[:, 1:, :] - GU[:, :-1, :]) * (1.0 / dy)
-        )[:, :, :nx_l] + (
-            (HU[1:] - HU[:-1]) * (1.0 / dz)
-        )[:, :, :nx_l]
-
-        GVC = VCC * VCC
-        HV = WY[:, :ny_l, 1 : 1 + nx_l] * VZ[:, 1 : 1 + ny_l, 1 : 1 + nx_l]
-        conv_v = (
-            (GU[:, :, 1:] - GU[:, :, :-1]) * (1.0 / dx)
-        )[:, :ny_l, :] + (
-            (GVC[:, 1:, :] - GVC[:, :-1, :]) * (1.0 / dy)
-        )[:, :ny_l, 1 : 1 + nx_l] + (HV[1:] - HV[:-1]) * (1.0 / dz)
-
-        FW = UZ[:, 1:-1, 1:] * WX[:, 1:-1, :]
-        GW = VZ[:, 1:, 1 : 1 + nx_l] * WY[:, :, 1 : 1 + nx_l]
-        HWC = WCC * WCC
-        dHW = jnp.pad(
-            (HWC[1:] - HWC[:-1]) * (1.0 / dz), ((1, 0), (0, 0), (0, 0))
+        # --- single-device advection/diffusion on the window, cropped
+        # to owned faces
+        conv_u, conv_v, conv_w = advect3d(
+            u_win, v_win, w_win, ghosts_win, dx, dy, dz, cfg.scheme,
+            slope_fix=slope_fix,
         )
-        conv_w = (
-            (FW[:, :, 1:] - FW[:, :, :-1]) * (1.0 / dx)
-        )[:nz] + (
-            (GW[:, 1:, :] - GW[:, :-1, :]) * (1.0 / dy)
-        )[:nz] + dHW[:, 1 : 1 + ny_l, 1 : 1 + nx_l]
+        if cfg.use_les:
+            visc_u, visc_v, visc_w = _diffuse_les3d(
+                u_win, v_win, w_win, ghosts_win, cfg.nu + NUT, dx, dy, dz
+            )
+        else:
+            lap_u, lap_v, lap_w = diffuse3d(
+                u_win, v_win, w_win, ghosts_win, dx, dy, dz
+            )
+            visc_u = cfg.nu * lap_u
+            visc_v = cfg.nu * lap_v
+            visc_w = cfg.nu * lap_w
+        # crops: conv/visc_u rows = window centers (owned = 2..2+ny_l),
+        # cols = window interior x-faces gx0−1+j (owned = 1..1+nx_l);
+        # conv/visc_v rows = interior y-faces gy0−1+i; conv/visc_w planes
+        # = interior z-faces 1..nz−1 (all of them owned, z is local)
+        du = (visc_u - conv_u)[:, 2 : 2 + ny_l, 1 : 1 + nx_l]
+        dv = (visc_v - conv_v)[:, 1 : 1 + ny_l, 2 : 2 + nx_l]
+        dw = (visc_w - conv_w)[:, 2 : 2 + ny_l, 2 : 2 + nx_l]
 
-        # --- 7-point diffusion on owned faces
-        lap_u = (
-            (U[:, 1:-1, 2:] - 2.0 * U[:, 1:-1, 1:-1] + U[:, 1:-1, :-2]) * ax
-            + (U[:, 2:, 1:-1] - 2.0 * U[:, 1:-1, 1:-1] + U[:, :-2, 1:-1]) * ay
-            + (UZG[2:, 1:-1, 1:-1] - 2.0 * U[:, 1:-1, 1:-1]
-               + UZG[:-2, 1:-1, 1:-1]) * az
-        )
-        lap_v = (
-            (V[:, 1:-1, 2:] - 2.0 * V[:, 1:-1, 1:-1] + V[:, 1:-1, :-2]) * ax
-            + (V[:, 2:, 1:-1] - 2.0 * V[:, 1:-1, 1:-1] + V[:, :-2, 1:-1]) * ay
-            + (VZG[2:, 1:-1, 1:-1] - 2.0 * V[:, 1:-1, 1:-1]
-               + VZG[:-2, 1:-1, 1:-1]) * az
-        )
-        Wp = Wz[:nz]  # trimmed-aligned padded w (z-faces 0..nz−1)
-        lap_w = (
-            (Wp[:, 1:-1, 2:] - 2.0 * Wp[:, 1:-1, 1:-1] + Wp[:, 1:-1, :-2]) * ax
-            + (Wp[:, 2:, 1:-1] - 2.0 * Wp[:, 1:-1, 1:-1] + Wp[:, :-2, 1:-1]) * ay
-            + (Wz[1:nz + 1, 1:-1, 1:-1] - 2.0 * Wp[:, 1:-1, 1:-1]
-               + jnp.concatenate([Wz[:1], Wz[: nz - 1]], axis=0)[:, 1:-1, 1:-1])
-            * az
-        )
-
-        u_star = u_t + jnp.where(co >= 1, dt * (cfg.nu * lap_u - conv_u), 0.0)
-        v_star = v_t + jnp.where(ro >= 1, dt * (cfg.nu * lap_v - conv_v), 0.0)
-        w_star = w_t.at[1:].add(
-            dt * (cfg.nu * lap_w - conv_w)[1:]
-        )
+        u_star = u_t + jnp.where(co >= 1, dt * du, 0.0)
+        v_star = v_t + jnp.where(ro >= 1, dt * dv, 0.0)
+        w_star = w_t.at[1:].add(dt * dw)
         u_star, v_star, w_star = set_normal(u_star, v_star, w_star)
 
         # --- exact distributed 3D projection

@@ -56,6 +56,43 @@ def test_mac3d_explicit_matches_single_device(mesh):
     assert len(t.u.sharding.device_set) == 8
 
 
+@pytest.mark.parametrize(
+    "scheme,use_les",
+    [("upwind", False), ("tvd", False), ("central", True), ("tvd", True)],
+)
+def test_mac3d_explicit_schemes_les_match_single_device(mesh, scheme, use_les):
+    """Width-2 window path: upwind/van-Leer-MUSCL advection and the 3D
+    Smagorinsky LES tier must match the single-device mac3d step (LES
+    runs carry one psum'd ν_t mean into dt, so equality is to roundoff,
+    not bitwise)."""
+    n = 16
+    case = cavity3d_mac(n=n, Re=500.0, scheme=scheme, use_les=use_les)
+    rng = np.random.default_rng(1)
+    s_ref = case.state._replace(
+        u=jnp.asarray(0.1 * rng.standard_normal((n, n, n + 1)), jnp.float32),
+        v=jnp.asarray(0.1 * rng.standard_normal((n, n + 1, n)), jnp.float32),
+        w=jnp.asarray(0.1 * rng.standard_normal((n + 1, n, n)), jnp.float32),
+    )
+    step_ref = jax.jit(case.step)
+    step_ex = make_cavity3d_mac_explicit_step(case.cfg, mesh)
+    t = shard_trimmed_state3d(trim_state3d(s_ref), mesh)
+    r = s_ref
+    for _ in range(4):
+        t, m_ex = step_ex(t, jnp.float32(1.0))
+        r, m_ref = step_ref(r, jnp.float32(1.0))
+    np.testing.assert_allclose(np.asarray(t.u), np.asarray(r.u)[:, :, :-1],
+                               rtol=0, atol=3e-5)
+    np.testing.assert_allclose(np.asarray(t.v), np.asarray(r.v)[:, :-1, :],
+                               rtol=0, atol=3e-5)
+    np.testing.assert_allclose(np.asarray(t.w), np.asarray(r.w)[:-1],
+                               rtol=0, atol=3e-5)
+    np.testing.assert_allclose(np.asarray(t.p), np.asarray(r.p),
+                               rtol=0, atol=3e-4)
+    np.testing.assert_allclose(float(m_ex.dt), float(m_ref.dt), rtol=1e-5)
+    np.testing.assert_allclose(float(m_ex.energy), float(m_ref.energy),
+                               rtol=1e-5)
+
+
 def test_mac3d_explicit_cavity_develops(mesh):
     # 30 steps from rest: lid-driven flow develops, divergence-free, no
     # blow-up (z-ghost lid handling + projection under sharding)
