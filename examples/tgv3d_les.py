@@ -1,0 +1,114 @@
+"""3D Taylor-Green vortex at Re=1600 — the classic LES validation.
+
+The TGV (u = sin x cos y cos z, v = −cos x sin y cos z, w = 0, E₀ =
+0.125) transitions to turbulence and its energy-dissipation rate
+ε(t) = −dE/dt peaks near t ≈ 9 (Brachet et al. 1983 DNS: ε_max ≈
+0.0117 at t ≈ 9.0 for Re = 1600). The [0,π]³ free-slip box preserves
+the TGV symmetry planes, so the full 2π-periodic solution is recovered
+at 1/8 the cells (`mac3d.free_slip_bcs3d`) — the standard trick.
+
+At 64³ the flow is under-resolved past t ≈ 7; the Smagorinsky LES
+(`use_les=True`, the 3D habitat of the reference's v5.py:96-110 model)
+supplies the missing subgrid dissipation. This driver runs LES vs
+no-model at matched settings and reports the ε(t) peak against the DNS
+reference — the quantitative check that the eddy viscosity activates
+when (and only when) the cascade reaches the grid scale.
+
+Usage: python examples/tgv3d_les.py [--n 64] [--re 1600] [--t-final 14]
+"""
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def run_tgv(n=64, re=1600.0, t_final=14.0, use_les=True, chunk=200,
+            verbose=True):
+    import jax
+    import jax.numpy as jnp
+
+    from cfdsim_tpu.grid import Grid3D
+    from cfdsim_tpu.models import mac3d
+
+    h = np.pi / n
+    xf = np.arange(n + 1) * h          # face coordinates
+    xc = (np.arange(n) + 0.5) * h      # center coordinates
+    u0 = (np.sin(xf)[None, None, :] * np.cos(xc)[None, :, None]
+          * np.cos(xc)[:, None, None]).astype(np.float32)
+    v0 = (-np.cos(xc)[None, None, :] * np.sin(xf)[None, :, None]
+          * np.cos(xc)[:, None, None]).astype(np.float32)
+
+    cfg = mac3d.MAC3DConfig(
+        grid=Grid3D(nx=n, ny=n, nz=n, x_max=np.pi, y_max=np.pi,
+                    z_max=np.pi, centering="cell"),
+        nu=1.0 / re,
+        scheme="central",  # energy-conserving — dissipation comes from
+        # ν and (with use_les) the Smagorinsky model only, so ε(t) is a
+        # clean read on the subgrid model rather than upwind diffusion
+        use_les=use_les,
+        cfl_target=0.3,
+    )
+    step = mac3d.make_step(cfg, mac3d.free_slip_bcs3d())
+    state = mac3d.init_state(cfg)._replace(
+        u=jnp.asarray(u0), v=jnp.asarray(v0)
+    )
+
+    def run_chunk(s, _):
+        def body(st, _):
+            st2, m = step(st, jnp.float32(1.0))
+            return st2, (m.energy, m.dt)
+
+        return jax.lax.scan(body, s, None, length=chunk)
+
+    run_chunk = jax.jit(run_chunk)
+    ts, es = [0.0], [float(0.125)]
+    t0 = time.perf_counter()
+    while float(state.t) < t_final:
+        state, (e, dts) = run_chunk(state, None)
+        # chunk-resolved energy series (times from the dt sequence)
+        tt = float(ts[-1]) + np.cumsum(np.asarray(dts, np.float64))
+        ts.extend(tt.tolist())
+        es.extend(np.asarray(e, np.float64).tolist())
+        if verbose:
+            el = time.perf_counter() - t0
+            print(f"  t={ts[-1]:6.2f}  E={es[-1]:.5f}  "
+                  f"[{len(ts) / el:6.0f} steps/s]", flush=True)
+        if not np.isfinite(es[-1]):
+            raise RuntimeError("blow-up")
+    ts = np.asarray(ts)
+    es = np.asarray(es)
+    # dissipation rate from a smoothed derivative (window ~0.25 time
+    # units kills the dt-level noise without moving the peak)
+    t_mid = 0.5 * (ts[1:] + ts[:-1])
+    eps = -np.diff(es) / np.diff(ts)
+    n_w = max(1, int(0.25 / np.mean(np.diff(ts))))
+    kern = np.ones(n_w) / n_w
+    eps_s = np.convolve(eps, kern, mode="same")
+    k = int(np.argmax(eps_s))
+    return {"t": ts, "E": es, "t_eps": t_mid, "eps": eps_s,
+            "t_peak": float(t_mid[k]), "eps_peak": float(eps_s[k])}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=64)
+    ap.add_argument("--re", type=float, default=1600.0)
+    ap.add_argument("--t-final", type=float, default=14.0)
+    ap.add_argument("--no-les", action="store_true")
+    args = ap.parse_args()
+    r = run_tgv(n=args.n, re=args.re, t_final=args.t_final,
+                use_les=not args.no_les)
+    tag = "no-model" if args.no_les else "LES"
+    print(f"TGV {args.n}³ Re={args.re:g} [{tag}]: "
+          f"eps peak {r['eps_peak']:.4f} at t={r['t_peak']:.2f} "
+          f"(Brachet DNS: ~0.0117 at t~9.0)")
+    return r
+
+
+if __name__ == "__main__":
+    sys.exit(0 if main() else 0)
