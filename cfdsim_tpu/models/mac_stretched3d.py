@@ -2,9 +2,11 @@
 
 Completes the solver matrix: {2D, 3D} × {uniform, wall-clustered}. This is
 the 3D member of the stretched tier (models/mac_stretched.py is 2D): face
-velocities on a nonuniform tensor-product grid, conservative central
-advection in divergence form with metric-weighted interpolants, flux-form
-diffusion, and the *exact* pressure projection via the 3D
+velocities on a nonuniform tensor-product grid, conservative advection
+in divergence form with metric-weighted interpolants (central, or
+upwind / van-Leer-MUSCL donor values on the nonuniform metrics —
+``scheme``), flux-form diffusion, and the *exact* pressure projection
+via the 3D
 fast-diagonalization method (solvers/fdm.py make_fdm_solver_3d — six MXU
 matmuls, the stretched analog of the 3D DCT). Boundary-layer clustering in
 3D is the capability the reference's gmsh/FEM path was meant for
@@ -23,11 +25,39 @@ from typing import Callable
 
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 from cfdsim_tpu.models.incompressible import StepMetrics
 from cfdsim_tpu.models.mac3d import MAC3DBCs, MAC3DState, cavity3d_bcs
-from cfdsim_tpu.models.mac_stretched import _metrics
+from cfdsim_tpu.models.mac_stretched import _limited_gradient, _metrics
 from cfdsim_tpu.solvers.fdm import make_fdm_solver_3d
+
+
+def _muscl_axis(q, inv_sp, d_lo, d_hi, axis: int, tvd: bool):
+    """(q_lo, q_hi) MUSCL donor values at the targets between consecutive
+    samples of ``q`` along ``axis`` on a nonuniform grid: van-Leer
+    limited gradients from the one-sided divided differences (inv_sp =
+    1/gap per sample interval), advanced by the donor→target distances
+    d_lo/d_hi; tvd=False returns the plain donor samples (1st-order
+    upwind). The 3D habitat of mac_stretched.py's per-direction blocks;
+    on uniform spacing reduces exactly to mac._face_value's q ± σ/2."""
+    n = q.shape[axis]
+    lo = lax.slice_in_dim(q, 0, n - 1, axis=axis)
+    hi = lax.slice_in_dim(q, 1, n, axis=axis)
+    if not tvd:
+        return lo, hi
+    dq = (hi - lo) * inv_sp
+    m = dq.shape[axis]
+    g = _limited_gradient(
+        lax.slice_in_dim(dq, 0, m - 1, axis=axis),
+        lax.slice_in_dim(dq, 1, m, axis=axis),
+    )
+    pads = [(0, 0)] * q.ndim
+    pads[axis] = (1, 1)
+    g = jnp.pad(g, pads)  # zero gradient at the end samples
+    glo = lax.slice_in_dim(g, 0, n - 1, axis=axis)
+    ghi = lax.slice_in_dim(g, 1, n, axis=axis)
+    return lo + glo * d_lo, hi - ghi * d_hi
 
 
 @dataclasses.dataclass(frozen=True)
@@ -36,6 +66,7 @@ class StretchedMAC3DConfig:
     ny: int
     nz: int
     nu: float
+    scheme: str = "central"  # central | upwind | tvd (van Leer MUSCL)
     adaptive_dt: bool = True
     cfl_target: float = 0.4
     dt_base: float = 1e-3
@@ -89,6 +120,26 @@ def make_step(
     wfz = f32(np.concatenate([[0.5], mz.wf, [0.5]]))[:, None, None]
     h_min = float(min(mx.h.min(), my.h.min(), mz.h.min()))
 
+    if cfg.scheme not in ("central", "upwind", "tvd"):
+        raise ValueError(f"unknown stretched-3D scheme {cfg.scheme!r}")
+    tvd = cfg.scheme == "tvd"
+    # donor→target distances for the MUSCL reconstructions (numpy once):
+    # *_c = face-sample arrays advected to cell centers; *_f = ghost-
+    # extended center-sample arrays advected to faces
+    xf, yf, zf = (np.asarray(a) for a in (x_faces, y_faces, z_faces))
+    xg = np.concatenate([[mx.xc[0] - mx.h[0]], mx.xc, [mx.xc[-1] + mx.h[-1]]])
+    yg = np.concatenate([[my.xc[0] - my.h[0]], my.xc, [my.xc[-1] + my.h[-1]]])
+    zg = np.concatenate([[mz.xc[0] - mz.h[0]], mz.xc, [mz.xc[-1] + mz.h[-1]]])
+    bx = lambda a: f32(a)[None, None, :]
+    by = lambda a: f32(a)[None, :, None]
+    bz = lambda a: f32(a)[:, None, None]
+    dxl_c, dxr_c = bx(mx.xc - xf[:-1]), bx(xf[1:] - mx.xc)
+    dyl_c, dyr_c = by(my.xc - yf[:-1]), by(yf[1:] - my.xc)
+    dzl_c, dzr_c = bz(mz.xc - zf[:-1]), bz(zf[1:] - mz.xc)
+    dxl_f, dxr_f = bx(xf - xg[:-1]), bx(xg[1:] - xf)
+    dyl_f, dyr_f = by(yf - yg[:-1]), by(yg[1:] - yf)
+    dzl_f, dzr_f = bz(zf - zg[:-1]), bz(zg[1:] - zf)
+
     solve_p = make_fdm_solver_3d(mx.h, my.h, mz.h)
 
     def step(state: MAC3DState, cfl_scale):
@@ -123,27 +174,57 @@ def make_step(
         vc = 0.5 * (v[:, :-1, :] + v[:, 1:, :])
         wc = 0.5 * (w[:-1] + w[1:])
 
-        # --- conservative central fluxes (divergence form; each momentum
-        # flux divided by its control-volume extent in the sweep direction)
-        F_u = uc * uc
-        G_u = v_x * u_y
-        H_u = w_x * u_z
+        # --- conservative fluxes (divergence form; each momentum flux
+        # divided by its control-volume extent in the sweep direction).
+        # central: symmetric interpolants; upwind/tvd: MUSCL donor
+        # values on the nonuniform metrics (mac_stretched.py pattern)
+        if cfg.scheme == "central":
+            F_u = uc * uc
+            G_u = v_x * u_y
+            H_u = w_x * u_z
+            F_v = u_y * v_x
+            G_v = vc * vc
+            H_v = w_y * v_z
+            F_w = u_z * w_x
+            G_w = v_z * w_y
+            H_w = wc * wc
+        else:
+
+            def upw(adv, lo_hi):
+                lo, hi = lo_hi
+                return jnp.where(adv >= 0.0, lo, hi)
+
+            F_u = uc * upw(uc, _muscl_axis(u, inv_hx, dxl_c, dxr_c, 2, tvd))
+            G_u = v_x * upw(
+                v_x, _muscl_axis(u_gy, inv_dfy, dyl_f, dyr_f, 1, tvd)
+            )
+            H_u = w_x * upw(
+                w_x, _muscl_axis(u_gz, inv_dfz, dzl_f, dzr_f, 0, tvd)
+            )
+            F_v = u_y * upw(
+                u_y, _muscl_axis(v_gx, inv_dfx, dxl_f, dxr_f, 2, tvd)
+            )
+            G_v = vc * upw(vc, _muscl_axis(v, inv_hy, dyl_c, dyr_c, 1, tvd))
+            H_v = w_y * upw(
+                w_y, _muscl_axis(v_gz, inv_dfz, dzl_f, dzr_f, 0, tvd)
+            )
+            F_w = u_z * upw(
+                u_z, _muscl_axis(w_gx, inv_dfx, dxl_f, dxr_f, 2, tvd)
+            )
+            G_w = v_z * upw(
+                v_z, _muscl_axis(w_gy, inv_dfy, dyl_f, dyr_f, 1, tvd)
+            )
+            H_w = wc * upw(wc, _muscl_axis(w, inv_hz, dzl_c, dzr_c, 0, tvd))
         conv_u = (
             (F_u[:, :, 1:] - F_u[:, :, :-1]) * inv_dcx
             + (G_u[:, 1:, 1:-1] - G_u[:, :-1, 1:-1]) * inv_hy
             + (H_u[1:, :, 1:-1] - H_u[:-1, :, 1:-1]) * inv_hz
         )
-        F_v = u_y * v_x
-        G_v = vc * vc
-        H_v = w_y * v_z
         conv_v = (
             (F_v[:, 1:-1, 1:] - F_v[:, 1:-1, :-1]) * inv_hx
             + (G_v[:, 1:, :] - G_v[:, :-1, :]) * inv_dcy
             + (H_v[1:, 1:-1, :] - H_v[:-1, 1:-1, :]) * inv_hz
         )
-        F_w = u_z * w_x
-        G_w = v_z * w_y
-        H_w = wc * wc
         conv_w = (
             (F_w[1:-1, :, 1:] - F_w[1:-1, :, :-1]) * inv_hx
             + (G_w[1:-1, 1:, :] - G_w[1:-1, :-1, :]) * inv_hy

@@ -84,3 +84,49 @@ def test_cavity3d_stretched_runs_divergence_free():
     # wall clustering actually happened: finest cell ≪ uniform h
     xf = case.extras["x_faces"]
     assert (xf[1] - xf[0]) < 0.6 / 16
+
+
+def test_stretched3d_uniform_matches_mac3d_schemes():
+    # upwind / van-Leer MUSCL: on uniform faces the nonuniform donor
+    # reconstruction (_muscl_axis: limited gradient × donor distance)
+    # must reduce exactly to mac3d's _face_value q ± σ/2 form
+    n = 12
+    rng = np.random.default_rng(3)
+    for scheme in ("upwind", "tvd"):
+        ref = cavity3d_mac(n=n, Re=300.0, scheme=scheme)
+        xf = np.linspace(0.0, 1.0, n + 1)
+        cfg = ms3.StretchedMAC3DConfig(
+            nx=n, ny=n, nz=n, nu=ref.cfg.nu, scheme=scheme,
+            cfl_target=ref.cfg.cfl_target, dt_max=ref.cfg.dt_max,
+            max_velocity=ref.cfg.max_velocity,
+        )
+        bcs = ms3.cavity3d_bcs(1.0)
+        step_s = jax.jit(ms3.make_step(cfg, bcs, xf, xf, xf))
+        step_r = jax.jit(ref.step)
+        u0 = jnp.asarray(0.1 * rng.standard_normal((n, n, n + 1)), jnp.float32)
+        v0 = jnp.asarray(0.1 * rng.standard_normal((n, n + 1, n)), jnp.float32)
+        w0 = jnp.asarray(0.1 * rng.standard_normal((n + 1, n, n)), jnp.float32)
+        ss = ms3.init_state(cfg)._replace(u=u0, v=v0, w=w0)
+        sr = ref.state._replace(u=u0, v=v0, w=w0)
+        for _ in range(4):
+            ss, m_s = step_s(ss, jnp.float32(1.0))
+            sr, m_r = step_r(sr, jnp.float32(1.0))
+        np.testing.assert_allclose(np.asarray(ss.u), np.asarray(sr.u),
+                                   rtol=0, atol=3e-5, err_msg=scheme)
+        np.testing.assert_allclose(np.asarray(ss.v), np.asarray(sr.v),
+                                   rtol=0, atol=3e-5, err_msg=scheme)
+        np.testing.assert_allclose(np.asarray(ss.w), np.asarray(sr.w),
+                                   rtol=0, atol=3e-5, err_msg=scheme)
+        np.testing.assert_allclose(float(m_s.energy), float(m_r.energy),
+                                   rtol=1e-4)
+
+
+def test_cavity3d_stretched_tvd_runs_healthy():
+    case = cavity3d_stretched(n=16, Re=1000.0, beta=1.6, scheme="tvd")
+    step = jax.jit(case.step)
+    s = case.state
+    for _ in range(12):
+        s, m = step(s, jnp.float32(1.0))
+    assert bool(jnp.all(jnp.isfinite(s.u)))
+    assert float(m.div_post) < 5e-3
+    assert 0.0 < float(m.energy) < 0.5
