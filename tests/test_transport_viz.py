@@ -156,3 +156,34 @@ def test_palette_gif(tmp_path):
     except EOFError:
         pass
     assert n == 6
+
+
+def test_energy_spectrum_parseval_and_peak():
+    # Parseval: sum E(k) = mean kinetic energy (k=0 share excluded when
+    # the field has zero mean); a single-mode field peaks in its shell
+    import numpy as np
+
+    from cfdsim_tpu.viz import energy_spectrum, spectrum_slope
+
+    n = 64
+    x = np.arange(n) * 2 * np.pi / n
+    X, Y = np.meshgrid(x, x, indexing="xy")
+    u = np.sin(4 * X) * np.cos(Y)
+    v = -0.25 * np.cos(4 * X) * np.sin(Y)
+    k, E = energy_spectrum(u, v)
+    np.testing.assert_allclose(
+        E.sum(), np.mean(0.5 * (u * u + v * v)), rtol=1e-5
+    )
+    assert k[np.argmax(E)] == 4  # |k| = sqrt(16+1) ~ 4.1 -> shell 4
+
+    # 3D path + slope helper on a synthetic k^-5/3 spectrum
+    rng = np.random.default_rng(0)
+    w3 = rng.standard_normal((16, 16, 16))
+    k3, E3 = energy_spectrum(w3, w3 * 0.5, w3 * 0.25)
+    tot = np.mean(0.5 * (w3**2 + 0.25 * w3**2 + 0.0625 * w3**2))
+    mean_share = 0.5 * (
+        w3.mean() ** 2 + (0.5 * w3).mean() ** 2 + (0.25 * w3).mean() ** 2
+    )
+    np.testing.assert_allclose(E3.sum(), tot - mean_share, rtol=1e-4)
+    ks = np.arange(1, 30)
+    assert abs(spectrum_slope(ks, ks ** (-5.0 / 3.0), 2, 20) + 5 / 3) < 1e-6
