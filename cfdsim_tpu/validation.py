@@ -136,6 +136,67 @@ def energy_spectrum(u, v, lx: float = 1.0, ly: float = 1.0, n_bins=None):
     return 0.5 * (edges[:-1] + edges[1:]), E
 
 
+def energy_spectrum_shells(*components, lengths=None):
+    """Integer-shell-binned kinetic-energy spectrum for 2D OR 3D
+    periodic velocity fields: E(k) = ½ Σ_{|k'| rounds to k} |û(k')|²,
+    normalized so Σ_k E(k) = mean(½|u|²) minus the k=0 (mean-flow)
+    share (Parseval — tested). The dimension-generic companion of
+    ``energy_spectrum`` (which keeps the 2D density-normalized binning);
+    FFTs run on device, one small host transfer for the binned result.
+
+    ``components``: 2 or 3 equal-shape arrays (u, v[, w]) on a uniform
+    periodic grid; ``lengths``: physical domain lengths (default 2π
+    per axis, making shells integer wavenumbers). Returns (k, E) for
+    k = 1..k_max.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if len(components) not in (2, 3):
+        raise ValueError("energy_spectrum_shells expects 2 or 3 components")
+    shape = components[0].shape
+    ndim = len(shape)
+    if ndim != len(components):
+        raise ValueError(
+            f"{len(components)} components but {ndim}-dimensional arrays"
+        )
+    if lengths is None:
+        lengths = (2.0 * np.pi,) * ndim
+    n_tot = float(np.prod(shape))
+
+    ks = []
+    for ax, (n, L) in enumerate(zip(shape, lengths)):
+        k1 = np.fft.fftfreq(n, d=1.0 / n) * (2.0 * np.pi / L)
+        sh = [1] * ndim
+        sh[ax] = n
+        ks.append(k1.reshape(sh))
+    k_mag = np.sqrt(sum(np.broadcast_to(k * k, shape) for k in ks))
+    k_bin = np.rint(k_mag).astype(np.int32)
+    k_max = int(k_bin.max())
+    flat_bins = jnp.asarray(k_bin.ravel())
+
+    e_hat = 0.0
+    for c in components:
+        ch = jnp.fft.fftn(jnp.asarray(c))
+        e_hat = e_hat + 0.5 * (jnp.abs(ch) ** 2)
+    e_hat = e_hat / (n_tot * n_tot)
+
+    spec = np.asarray(
+        jax.ops.segment_sum(e_hat.ravel(), flat_bins, num_segments=k_max + 1)
+    )
+    return np.arange(1, k_max + 1), spec[1:]
+
+
+def spectrum_slope(k, E, k_lo, k_hi):
+    """Least-squares log-log slope of E(k) over [k_lo, k_hi] — the
+    inertial-range exponent (Kolmogorov: −5/3)."""
+    k = np.asarray(k, np.float64)
+    E = np.asarray(E, np.float64)
+    m = (k >= k_lo) & (k <= k_hi) & (E > 0)
+    lk, lE = np.log(k[m]), np.log(E[m])
+    return float(np.polyfit(lk, lE, 1)[0])
+
+
 def dominant_frequency(signal, sample_dt: float) -> float:
     """Frequency (Hz) of the strongest non-DC component of a time series."""
     s = np.asarray(signal, dtype=np.float64)

@@ -4,13 +4,10 @@ energy-history plots, frames → MP4/GIF assembly, and frame thinning."""
 from cfdsim_tpu.viz.frames import render_frames_from_hdf5, plot_energy_history
 from cfdsim_tpu.viz.video import make_video
 from cfdsim_tpu.viz.cleanup import thin_frames
-from cfdsim_tpu.viz.spectra import energy_spectrum, spectrum_slope
 
 __all__ = [
     "render_frames_from_hdf5",
     "plot_energy_history",
     "make_video",
     "thin_frames",
-    "energy_spectrum",
-    "spectrum_slope",
 ]

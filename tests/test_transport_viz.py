@@ -163,7 +163,7 @@ def test_energy_spectrum_parseval_and_peak():
     # the field has zero mean); a single-mode field peaks in its shell
     import numpy as np
 
-    from cfdsim_tpu.viz import energy_spectrum, spectrum_slope
+    from cfdsim_tpu.validation import energy_spectrum_shells as energy_spectrum, spectrum_slope
 
     n = 64
     x = np.arange(n) * 2 * np.pi / n
