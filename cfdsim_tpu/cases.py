@@ -1045,6 +1045,80 @@ def cylinder_fem(
     )
 
 
+def cavity_fem(
+    n: int = 48,
+    Re: float = 100.0,
+    space: str = "p1p1",
+    dt: float = 0.05,
+    lid_velocity: float = 1.0,
+    gmres_tol: float = 1e-5,
+    theta: float = 1.0,
+    stab: str = "bp",
+    viz_shape: tuple = (128, 128),
+):
+    """Lid-driven cavity on the unstructured FEM tier — cross-validates
+    the FEM discretization against the structured tiers on the same
+    Ghia benchmark (`validation.ghia_error_profiles`). All four sides
+    are velocity-Dirichlet (``build_spaces(dirichlet_tags=...)``; no
+    do-nothing outlet), lid u=V on the top edge with zeroed corners
+    (non-leaky); the enclosed pressure is defined only up to a constant
+    — GMRES minimizes in the quotient space and the τ/PSPG continuity
+    stabilization keeps the solve well-behaved. Monolithic scheme only
+    (the projection scheme needs pressure-Dirichlet outflow nodes).
+    Beyond-reference: the reference's FEM family only ran the cylinder
+    channel (v2.jl)."""
+    from cfdsim_tpu.fem.mesh import rectangle_mesh
+    from cfdsim_tpu.fem.sample import build_sampler
+    from cfdsim_tpu.fem.spaces import build_spaces, dirichlet_values
+    from cfdsim_tpu.fem.assembly import build_element_ops
+    from cfdsim_tpu.models import fem as mfem
+
+    mesh = rectangle_mesh(n, n, crisscross=True)
+    spaces = build_spaces(
+        mesh, space, dirichlet_tags=("inlet", "outlet", "walls", "cylinder")
+    )
+    ops = build_element_ops(spaces)
+    nu = lid_velocity / Re
+    cfg = mfem.FEMConfig(
+        nu=nu, dt=dt, space=space, v_inf=lid_velocity,
+        gmres_tol=gmres_tol, theta=theta, stab=stab,
+    )
+    eps = 0.25 / n
+
+    def lid(x, y):
+        on_lid = (y > 1.0 - eps) & (x > eps) & (x < 1.0 - eps)
+        return (lid_velocity * on_lid.astype(np.float64), 0.0 * y)
+
+    zero = lambda x, y: (0.0 * x, 0.0 * y)
+    g = dirichlet_values(
+        spaces, {"walls": lid, "inlet": zero, "outlet": zero}
+    )
+    state = mfem.solve_stokes(
+        ops,
+        dataclasses.replace(cfg, gmres_restart=40, gmres_maxiter=30,
+                            pc_sweeps=4),
+        g,
+    )
+    if not bool(jnp.isfinite(state.u).all()):
+        state = state._replace(
+            u=jnp.asarray(g, jnp.float32),
+            p=jnp.zeros((ops.n_p,), jnp.float32),
+        )
+    step = mfem.make_step(ops, cfg, g)
+    ny, nx = viz_shape
+    grid = Grid(nx=nx, ny=ny)
+    sampler = build_sampler(spaces, grid.x_coords(), grid.y_coords())
+    return Case(
+        "cavity_fem",
+        cfg,
+        step,
+        state,
+        grid,
+        {"mesh": mesh, "spaces": spaces, "ops": ops, "sampler": sampler,
+         "g": g, "re": Re},
+    )
+
+
 def schafer_turek_fem(
     re: float = 100.0,
     space: str = "p1p1",
@@ -1177,6 +1251,7 @@ CASES: dict[str, Callable[..., Case]] = {
     "cylinder": cylinder,
     "cylinder_mac": cylinder_mac,
     "cylinder_fem": cylinder_fem,
+    "cavity_fem": cavity_fem,
     "schafer_turek_fem": schafer_turek_fem,
     "cylinder_stretched": cylinder_stretched,
     "wedge": wedge,

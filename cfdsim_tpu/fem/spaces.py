@@ -91,10 +91,18 @@ def _classify_boundary_edges(mesh: TriMesh) -> Dict[str, np.ndarray]:
     return {k: np.asarray(v, dtype=np.int32) for k, v in out.items()}
 
 
-def build_spaces(mesh: TriMesh, kind: str = "p1p1") -> FESpaces:
-    """Construct the DOF layout. ``kind`` ∈ {"p1p1", "p2p1"}."""
+def build_spaces(
+    mesh: TriMesh, kind: str = "p1p1", dirichlet_tags=None
+) -> FESpaces:
+    """Construct the DOF layout. ``kind`` ∈ {"p1p1", "p2p1"}.
+
+    ``dirichlet_tags``: which boundary tags carry velocity Dirichlet
+    conditions (default inlet/walls/cylinder — the cylinder-channel
+    convention with a do-nothing outlet, v2.jl:151-156). Fully enclosed
+    cases (lid-driven cavity) pass all four tags."""
     if kind not in ("p1p1", "p2p1"):
         raise ValueError(f"unknown FE space kind {kind!r}")
+    tags_d = DIRICHLET_TAGS if dirichlet_tags is None else tuple(dirichlet_tags)
     n_pts = mesh.n_points
     elem_p = mesh.tris.astype(np.int32)
 
@@ -102,7 +110,7 @@ def build_spaces(mesh: TriMesh, kind: str = "p1p1") -> FESpaces:
         n_u = n_pts
         u_points = mesh.points.copy()
         elem_u = elem_p.copy()
-        tag_nodes = {t: mesh.tags[t].copy() for t in DIRICHLET_TAGS}
+        tag_nodes = {t: mesh.tags[t].copy() for t in tags_d}
     else:
         # P2: append one midside node per unique edge.
         mids = 0.5 * (mesh.points[mesh.edges[:, 0]] + mesh.points[mesh.edges[:, 1]])
@@ -122,14 +130,14 @@ def build_spaces(mesh: TriMesh, kind: str = "p1p1") -> FESpaces:
             [mesh.tris, n_pts + mesh.tri_edges], axis=1
         ).astype(np.int32)
         tag_nodes = {}
-        for t in DIRICHLET_TAGS:
+        for t in tags_d:
             mid_nodes = n_pts + edge_tags[t]
             tag_nodes[t] = np.concatenate([mesh.tags[t], mid_nodes]).astype(
                 np.int32
             )
 
     dir_mask = np.zeros(n_u, dtype=bool)
-    for t in DIRICHLET_TAGS:
+    for t in tags_d:
         dir_mask[tag_nodes[t]] = True
     return FESpaces(
         mesh=mesh,

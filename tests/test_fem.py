@@ -343,3 +343,32 @@ def test_cylinder_fem_failed_solve_keeps_previous():
     np.testing.assert_array_equal(
         np.asarray(st.u), np.asarray(case.state.u)
     )
+
+
+def test_fem_cavity_ghia_re100():
+    """Lid-driven cavity on the FEM tier (all-Dirichlet rectangle,
+    enclosed pressure up to a constant): centerline profiles vs the
+    Ghia et al. (1982) Re=100 tables — the same cross-validation bar
+    as the structured tiers (RMS ~3e-3 at n=32, measured)."""
+    from cfdsim_tpu.cases import build
+    from cfdsim_tpu.fem.sample import point_sampler, sample_fields
+    from cfdsim_tpu.validation import GHIA_U, GHIA_V, GHIA_X, GHIA_Y
+
+    case = build("cavity_fem", n=32, Re=100.0, dt=0.1)
+    step = jax.jit(case.step)
+    st = case.state
+    for _ in range(100):
+        st, m = step(st, 1.0)
+    assert float(m.poisson_res) < 1e-4
+    sp = case.extras["spaces"]
+    tu = point_sampler(
+        sp, np.stack([0.5 * np.ones_like(GHIA_Y), GHIA_Y], axis=1)
+    )
+    tv = point_sampler(
+        sp, np.stack([GHIA_X, 0.5 * np.ones_like(GHIA_X)], axis=1)
+    )
+    u_c = np.asarray(sample_fields(tu, st.u)["u"]).ravel()
+    v_c = np.asarray(sample_fields(tv, st.u)["v"]).ravel()
+    eu = float(np.sqrt(np.mean((u_c - GHIA_U[100]) ** 2)))
+    ev = float(np.sqrt(np.mean((v_c - GHIA_V[100]) ** 2)))
+    assert eu < 0.01 and ev < 0.01, (eu, ev)
