@@ -157,3 +157,29 @@ def test_mac_runner_snapshot_restore_roundtrip(tmp_path):
                 np.asarray(getattr(s_cont, k)), np.asarray(getattr(s_res, k)),
                 err_msg=f"{case.name}.{k}",
             )
+
+
+def test_fem_projection_snapshot_restore_roundtrip(tmp_path):
+    # FEMState (incl. the projection scheme's phi warm-start carry)
+    # rides the same snapshot/restore contract bit-exactly
+    import jax
+
+    from cfdsim_tpu.cases import build
+    from cfdsim_tpu.io_ import restore
+
+    case = build("cylinder_fem", re=80, h_far=0.5, h_near=0.12,
+                 viz_shape=(24, 36), scheme="projection")
+    step = jax.jit(case.step)
+    s = case.state
+    for _ in range(3):
+        s, _ = step(s, 1.0)
+    w = SnapshotWriter(tmp_path / "fem.h5")
+    w.save(int(s.step), float(s.t), u=s.u, p=s.p, phi=s.phi)
+    s_cont = s
+    for _ in range(2):
+        s_cont, _ = step(s_cont, 1.0)
+    s_res = restore(case.state, tmp_path / "fem.h5")
+    for _ in range(2):
+        s_res, _ = step(s_res, 1.0)
+    np.testing.assert_array_equal(np.asarray(s_cont.u), np.asarray(s_res.u))
+    np.testing.assert_array_equal(np.asarray(s_cont.p), np.asarray(s_res.p))
