@@ -68,6 +68,7 @@ class StepMetrics(NamedTuple):
     poisson_res: jax.Array
     fx: jax.Array = jnp.float32(0.0)  # body drag force (per unit density)
     fy: jax.Array = jnp.float32(0.0)  # body lift force
+    fz: jax.Array = jnp.float32(0.0)  # body lateral force (3D IBM bodies)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -127,6 +127,41 @@ def free_slip_bcs3d() -> MAC3DBCs:
     return MAC3DBCs(set_normal, ghosts)
 
 
+def external_flow_bcs3d(v_inf: float, inlet_profile=None) -> MAC3DBCs:
+    """External flow along +x (sphere / bluff-body cases): Dirichlet
+    inflow at x_lo (optionally scaled by a static (nz, ny) profile — a
+    steady symmetry-breaking trigger for supercritical Re; below the
+    sphere's Hopf bifurcation at Re≈270 none is needed, unlike the 2D
+    cylinder's unsteady trigger mac.external_flow_bcs / v5.py:349-360),
+    mass-consistent zero-gradient outflow at x_hi (keeps the all-Neumann
+    DCT pressure problem solvable, exactly as the 2D version), and
+    free-slip far-field on the four lateral faces."""
+
+    def set_normal(u, v, w):
+        uin = v_inf if inlet_profile is None else v_inf * inlet_profile
+        u = u.at[:, :, 0].set(uin)
+        # shift the outflow so outflow flux exactly equals inflow flux
+        out = u[:, :, -2] + jnp.mean(u[:, :, 0] - u[:, :, -2])
+        u = u.at[:, :, -1].set(out)
+        v = v.at[:, 0, :].set(0.0).at[:, -1, :].set(0.0)
+        w = w.at[0].set(0.0).at[-1].set(0.0)
+        return u, v, w
+
+    def ghosts(u, v, w):
+        # lateral far-field: free slip (zero tangential shear)
+        u_gy = jnp.concatenate([u[:, :1], u, u[:, -1:]], axis=1)
+        u_gz = jnp.concatenate([u[:1], u, u[-1:]], axis=0)
+        # inflow: tangential v,w = 0 on the inlet plane (reflective
+        # ghost); outflow: zero-gradient
+        v_gx = jnp.concatenate([-v[:, :, :1], v, v[:, :, -1:]], axis=2)
+        v_gz = jnp.concatenate([v[:1], v, v[-1:]], axis=0)
+        w_gx = jnp.concatenate([-w[:, :, :1], w, w[:, :, -1:]], axis=2)
+        w_gy = jnp.concatenate([w[:, :1], w, w[:, -1:]], axis=1)
+        return u_gy, u_gz, v_gx, v_gz, w_gx, w_gy
+
+    return MAC3DBCs(set_normal, ghosts)
+
+
 def smagorinsky_viscosity_mac3d(u, v, w, ghosts, dx, dy, dz, cs: float):
     """ν_t = (C_s Δ)²|S| at cell centers, Δ = (dx dy dz)^{1/3}
     (reference physics v5.py:96-110 lifted to the 3D staggered layout):
@@ -360,7 +395,21 @@ def diffuse3d(u, v, w, ghosts, dx: float, dy: float, dz: float):
     return lap_u, lap_v, lap_w
 
 
-def make_step(cfg: MAC3DConfig, bcs: MAC3DBCs) -> Callable:
+def make_step(
+    cfg: MAC3DConfig,
+    bcs: MAC3DBCs,
+    ibm_mask_u=None,
+    ibm_mask_v=None,
+    ibm_mask_w=None,
+    ibm_ramp_steps: int = 0,
+) -> Callable:
+    """Build ``step(state, cfl_scale) -> (state, StepMetrics)``.
+
+    ``ibm_mask_{u,v,w}`` are face-sampled Gaussian-shell penalization
+    masks (the reference's IBM, v5.py:228-237, lifted to 3D faces —
+    ibm.sphere_masks_mac3d); the momentum each penalization removes is
+    reported as the body force (fx, fy, fz), exactly as the 2D
+    mac.make_step."""
     if cfg.scheme not in ("central", "upwind", "tvd"):
         raise ValueError(f"unknown MAC3D scheme {cfg.scheme!r}")
     g = cfg.grid
@@ -410,6 +459,25 @@ def make_step(cfg: MAC3DConfig, bcs: MAC3DBCs) -> Callable:
         w_star = w.at[1:-1].add(dt * (visc_w - conv_w))
         u_star, v_star, w_star = bcs.set_normal(u_star, v_star, w_star)
 
+        fx = fy = fz = jnp.float32(0.0)
+        if ibm_mask_u is not None:
+            from cfdsim_tpu.ibm import ibm_ramp
+
+            strength = ibm_ramp(state.step, ibm_ramp_steps)
+            du_ibm = u_star * (strength * ibm_mask_u)
+            dv_ibm = v_star * (strength * ibm_mask_v)
+            dw_ibm = w_star * (strength * ibm_mask_w)
+            u_star = u_star - du_ibm
+            v_star = v_star - dv_ibm
+            w_star = w_star - dw_ibm
+            if cfg.compute_metrics:
+                # force on the body = momentum sink of the penalization,
+                # per unit density (2D analog: mac.make_step)
+                cell = dx * dy * dz
+                fx = jnp.sum(du_ibm) * cell / dt
+                fy = jnp.sum(dv_ibm) * cell / dt
+                fz = jnp.sum(dw_ibm) * cell / dt
+
         # --- exact projection
         div_star = divergence_mac3d(u_star, v_star, w_star, dx, dy, dz)
         rhs = div_star / dt
@@ -455,6 +523,9 @@ def make_step(cfg: MAC3DConfig, bcs: MAC3DBCs) -> Callable:
                 ),
                 vort_max=jnp.max(jnp.abs(dwdy - dvdz)),
                 poisson_res=jnp.float32(0.0),
+                fx=fx,
+                fy=fy,
+                fz=fz,
             )
         else:
             zero = jnp.float32(0.0)

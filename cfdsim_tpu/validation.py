@@ -197,6 +197,14 @@ def spectrum_slope(k, E, k_lo, k_hi):
     return float(np.polyfit(lk, lE, 1)[0])
 
 
+def sphere_drag_schiller_naumann(re: float) -> float:
+    """Standard-drag-curve correlation for a sphere,
+    Cd = 24/Re·(1 + 0.15·Re^0.687) (Schiller & Naumann 1935; within a
+    few % of experiment for Re ≲ 800) — the validation target for the
+    ``sphere`` case's penalization-force drag."""
+    return 24.0 / re * (1.0 + 0.15 * re**0.687)
+
+
 def dominant_frequency(signal, sample_dt: float) -> float:
     """Frequency (Hz) of the strongest non-DC component of a time series."""
     s = np.asarray(signal, dtype=np.float64)
