@@ -25,6 +25,8 @@ mesh: tests/test_mac3d_explicit.py.
 
 from __future__ import annotations
 
+from typing import Callable, NamedTuple
+
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -128,10 +130,197 @@ def cavity3d_bc_kit(nx: int, ny: int, py: int, px: int,
     return build
 
 
-def make_cavity3d_mac_explicit_step(cfg: MAC3DConfig, mesh: Mesh,
-                                    lid_velocity: float = 1.0):
-    """Build ``step(tstate, cfl_scale) -> (tstate, StepMetrics)`` on the
-    trimmed 3D representation, P(None, "y", "x")-sharded."""
+class MAC3DLocalBCs(NamedTuple):
+    """3D MAC boundary conditions in the masked-write local form (the 3D
+    analog of mac_explicit.MACLocalBCs).
+
+    ``pre(u_t, v_t, w_t, ro, co, state)`` applies the set_normal writes
+    living inside the trimmed arrays; ``aux(...)`` computes BC scalars
+    needing global reductions (the mass-consistent outflow shift);
+    ``win(U2, V2, W2, r2, c2, state, aux)`` writes dropped boundary faces
+    and y/x tangential ghosts on the width-2 halo windows;
+    ``zghost_u/zghost_v`` build the z-direction ghost extensions of the
+    window arrays; ``pad_writes(U, V, Wz, rp, cp, state, aux)`` the same
+    BC writes on width-1 padded blocks (divergence/metrics);
+    ``velmax_extra(u_t, aux)`` the |value| bound of dropped faces the
+    trimmed max cannot see (the outflow face)."""
+
+    pre: Callable
+    aux: Callable
+    win: Callable
+    zghost_u: Callable
+    zghost_v: Callable
+    pad_writes: Callable
+    velmax_extra: Callable
+
+
+def cavity3d_local_bcs(nx: int, ny: int,
+                       lid_velocity: float = 1.0) -> MAC3DLocalBCs:
+    """Masked-write form of mac3d.cavity3d_bcs (no-slip box, lid at z_hi
+    moving in +x)."""
+
+    def pre(u_t, v_t, w_t, ro, co, state):
+        u_t = jnp.where(co == 0, 0.0, u_t)
+        v_t = jnp.where(ro == 0, 0.0, v_t)
+        w_t = w_t.at[0].set(0.0)
+        return u_t, v_t, w_t
+
+    def aux(u_t, v_t, w_t, ro, co, state):
+        return ()
+
+    def win(U2, V2, W2, r2, c2, state, a):
+        # u: columns are x-faces — dropped/virtual faces ≥ nx are 0
+        U2 = jnp.where(c2 >= nx, 0.0, U2)
+        # tangential wall ghosts in y: u(−1) = −u(0), u(ny) = −u(ny−1)
+        U2 = jnp.where(r2 == -1, -jnp.roll(U2, -1, axis=1), U2)
+        U2 = jnp.where(r2 == ny, -jnp.roll(U2, 1, axis=1), U2)
+        # v: rows are y-faces — dropped/virtual faces ≥ ny are 0
+        V2 = jnp.where(r2 >= ny, 0.0, V2)
+        V2 = jnp.where(c2 == -1, -jnp.roll(V2, -1, axis=2), V2)
+        V2 = jnp.where(c2 == nx, -jnp.roll(V2, 1, axis=2), V2)
+        # w: planes are z-faces (local); tangential ghosts in y AND x
+        W2 = jnp.where(r2 == -1, -jnp.roll(W2, -1, axis=1), W2)
+        W2 = jnp.where(r2 == ny, -jnp.roll(W2, 1, axis=1), W2)
+        W2 = jnp.where(c2 == -1, -jnp.roll(W2, -1, axis=2), W2)
+        W2 = jnp.where(c2 == nx, -jnp.roll(W2, 1, axis=2), W2)
+        return U2, V2, W2
+
+    def zghost_u(u_win):
+        return jnp.concatenate(
+            [-u_win[:1], u_win, 2.0 * lid_velocity - u_win[-1:]], axis=0
+        )
+
+    def zghost_v(v_win):
+        return jnp.concatenate([-v_win[:1], v_win, -v_win[-1:]], axis=0)
+
+    def pad_writes(U, V, Wz, rp, cp, state, a):
+        U = jnp.where(cp == nx, 0.0, U)
+        V = jnp.where(rp == ny, 0.0, V)
+        U = jnp.where(rp == -1, -jnp.roll(U, -1, axis=1), U)
+        U = jnp.where(rp == ny, -jnp.roll(U, 1, axis=1), U)
+        V = jnp.where(cp == -1, -jnp.roll(V, -1, axis=2), V)
+        V = jnp.where(cp == nx, -jnp.roll(V, 1, axis=2), V)
+        Wz = jnp.where(rp == -1, -jnp.roll(Wz, -1, axis=1), Wz)
+        Wz = jnp.where(rp == ny, -jnp.roll(Wz, 1, axis=1), Wz)
+        Wz = jnp.where(cp == -1, -jnp.roll(Wz, -1, axis=2), Wz)
+        Wz = jnp.where(cp == nx, -jnp.roll(Wz, 1, axis=2), Wz)
+        return U, V, Wz
+
+    def velmax_extra(u_t, a):
+        return jnp.float32(0.0)
+
+    return MAC3DLocalBCs(pre, aux, win, zghost_u, zghost_v, pad_writes,
+                         velmax_extra)
+
+
+def external_flow3d_local_bcs(nx: int, ny: int, nz: int,
+                              v_inf: float) -> MAC3DLocalBCs:
+    """Masked-write form of mac3d.external_flow_bcs3d: Dirichlet inflow
+    at x_lo, mass-consistent zero-gradient outflow at x_hi (the dropped
+    u face nx, reconstructed as u(nx−1) + the psum'd global shift),
+    free-slip far-field on the four lateral faces."""
+
+    def pre(u_t, v_t, w_t, ro, co, state):
+        u_t = jnp.where(co == 0, v_inf, u_t)
+        v_t = jnp.where(ro == 0, 0.0, v_t)
+        w_t = w_t.at[0].set(0.0)
+        return u_t, v_t, w_t
+
+    def aux(u_t, v_t, w_t, ro, co, state):
+        # mass-consistent outflow shift: mean over the (nz, ny) plane of
+        # u(face 0) − u(face nx−1) (mac3d.external_flow_bcs3d set_normal)
+        s0 = _psum(jnp.sum(jnp.where(co == 0, u_t, 0.0)))
+        s1 = _psum(jnp.sum(jnp.where(co == nx - 1, u_t, 0.0)))
+        return (s0 - s1) / float(ny * nz)
+
+    def win(U2, V2, W2, r2, c2, state, mcorr):
+        # u: virtual faces > nx are 0; the dropped outflow face nx is the
+        # zero-gradient copy of face nx−1 plus the global shift
+        U2 = jnp.where(c2 > nx, 0.0, U2)
+        U2 = jnp.where(c2 == nx, jnp.roll(U2, 1, axis=2) + mcorr, U2)
+        # free-slip lateral ghosts: edge copy (zero tangential shear)
+        U2 = jnp.where(r2 == -1, jnp.roll(U2, -1, axis=1), U2)
+        U2 = jnp.where(r2 == ny, jnp.roll(U2, 1, axis=1), U2)
+        V2 = jnp.where(r2 >= ny, 0.0, V2)
+        V2 = jnp.where(c2 == -1, -jnp.roll(V2, -1, axis=2), V2)  # inflow v=0
+        V2 = jnp.where(c2 == nx, jnp.roll(V2, 1, axis=2), V2)  # outflow ∂v/∂x=0
+        W2 = jnp.where(r2 == -1, jnp.roll(W2, -1, axis=1), W2)
+        W2 = jnp.where(r2 == ny, jnp.roll(W2, 1, axis=1), W2)
+        W2 = jnp.where(c2 == -1, -jnp.roll(W2, -1, axis=2), W2)
+        W2 = jnp.where(c2 == nx, jnp.roll(W2, 1, axis=2), W2)
+        return U2, V2, W2
+
+    def zghost_u(u_win):
+        # free slip in z: ∂u/∂z = 0
+        return jnp.concatenate([u_win[:1], u_win, u_win[-1:]], axis=0)
+
+    def zghost_v(v_win):
+        return jnp.concatenate([v_win[:1], v_win, v_win[-1:]], axis=0)
+
+    def pad_writes(U, V, Wz, rp, cp, state, mcorr):
+        U = jnp.where(cp == nx, jnp.roll(U, 1, axis=2) + mcorr, U)
+        V = jnp.where(rp == ny, 0.0, V)
+        U = jnp.where(rp == -1, jnp.roll(U, -1, axis=1), U)
+        U = jnp.where(rp == ny, jnp.roll(U, 1, axis=1), U)
+        V = jnp.where(cp == -1, -jnp.roll(V, -1, axis=2), V)
+        V = jnp.where(cp == nx, jnp.roll(V, 1, axis=2), V)
+        Wz = jnp.where(rp == -1, jnp.roll(Wz, -1, axis=1), Wz)
+        Wz = jnp.where(rp == ny, jnp.roll(Wz, 1, axis=1), Wz)
+        Wz = jnp.where(cp == -1, -jnp.roll(Wz, -1, axis=2), Wz)
+        Wz = jnp.where(cp == nx, jnp.roll(Wz, 1, axis=2), Wz)
+        return U, V, Wz
+
+    def velmax_extra(u_t, mcorr):
+        # the dropped outflow face (≈ v_inf) must join the CFL max —
+        # it exists only on the last x-rank
+        ix = lax.axis_index("x")
+        px = lax.axis_size("x")
+        return jnp.where(
+            ix == px - 1,
+            jnp.max(jnp.abs(u_t[:, :, -1] + mcorr)),
+            jnp.float32(0.0),
+        )
+
+    return MAC3DLocalBCs(pre, aux, win, zghost_u, zghost_v, pad_writes,
+                         velmax_extra)
+
+
+def trim_face_masks3d(mask_u, mask_v, mask_w):
+    """Trim 3D face-sampled IBM masks to the shardable (nz, ny, nx)
+    shape, asserting the boundary-adjacent entries the explicit step
+    cannot see are exactly zero (any body well inside the domain)."""
+    import numpy as np
+
+    mu = np.asarray(mask_u)
+    mv = np.asarray(mask_v)
+    mw = np.asarray(mask_w)
+    if not (
+        np.all(mu[:, :, 0] == 0.0)
+        and np.all(mu[:, :, -2:] == 0.0)
+        and np.all(mv[:, 0, :] == 0.0)
+        and np.all(mv[:, -2:, :] == 0.0)
+        and np.all(mw[0] == 0.0)
+        and np.all(mw[-2:] == 0.0)
+    ):
+        raise ValueError(
+            "IBM body touches the domain boundary; the trimmed sharded "
+            "representation requires zero mask on boundary-adjacent faces"
+        )
+    return (
+        jnp.asarray(mu[:, :, :-1]),
+        jnp.asarray(mv[:, :-1, :]),
+        jnp.asarray(mw[:-1]),
+    )
+
+
+def make_mac3d_explicit_step(cfg: MAC3DConfig, mesh: Mesh,
+                             bcs: MAC3DLocalBCs,
+                             use_ibm: bool = False,
+                             ibm_ramp_steps: int = 0):
+    """Build ``step(tstate, cfl_scale[, mask_u_t, mask_v_t, mask_w_t]) ->
+    (tstate, StepMetrics)`` on the trimmed 3D representation,
+    P(None, "y", "x")-sharded. Optional IBM masks are the trimmed
+    face-sampled penalization masks from ``trim_face_masks3d``."""
     g = cfg.grid
     nx, ny, nz = g.nx, g.ny, g.nz
     dx, dy, dz = g.dx, g.dy, g.dz
@@ -159,17 +348,39 @@ def make_cavity3d_mac_explicit_step(cfg: MAC3DConfig, mesh: Mesh,
     spec = P(None, "y", "x")
     state_spec = MAC3DState(u=spec, v=spec, w=spec, p=spec, t=P(), step=P())
     metric_spec = StepMetrics(*([P()] * len(StepMetrics._fields)))
+    in_specs = [state_spec, P()]
+    if use_ibm:
+        in_specs += [spec, spec, spec]
 
-    bc_kit = cavity3d_bc_kit(nx, ny, py, px, ny_l, nx_l)
-
-    def step_local(ts: MAC3DState, cfl_scale):
+    def step_local(ts: MAC3DState, cfl_scale, *extras):
         iy = lax.axis_index("y")
         ix = lax.axis_index("x")
-        ro, co, rp, cp, set_normal, pad = bc_kit(iy, ix)
         gy0 = iy * ny_l
         gx0 = ix * nx_l
+        ro = gy0 + lax.broadcasted_iota(jnp.int32, (ny_l, nx_l), 0)[None]
+        co = gx0 + lax.broadcasted_iota(jnp.int32, (ny_l, nx_l), 1)[None]
+        shp_p = (ny_l + 2, nx_l + 2)
+        rp = gy0 - 1 + lax.broadcasted_iota(jnp.int32, shp_p, 0)[None]
+        cp = gx0 - 1 + lax.broadcasted_iota(jnp.int32, shp_p, 1)[None]
 
-        u_t, v_t, w_t = set_normal(ts.u, ts.v, ts.w)
+        def set_normal(u_t, v_t, w_t):
+            u_t, v_t, w_t = bcs.pre(u_t, v_t, w_t, ro, co, ts)
+            a = bcs.aux(u_t, v_t, w_t, ro, co, ts)
+            return u_t, v_t, w_t, a
+
+        def pad(u_t, v_t, w_t, a):
+            """Halo-pad + all boundary-face and tangential-ghost writes →
+            the padded arrays agree with mac3d's ghost-extended arrays at
+            every in-domain and ghost position."""
+            U = _halo_yx(u_t, py, px)
+            V = _halo_yx(v_t, py, px)
+            W = _halo_yx(w_t, py, px)
+            Wz = jnp.concatenate(
+                [W, jnp.zeros_like(W[:1])], axis=0
+            )  # w z-face nz = 0
+            return bcs.pad_writes(U, V, Wz, rp, cp, ts, a)
+
+        u_t, v_t, w_t, a = set_normal(ts.u, ts.v, ts.w)
 
         # --- width-2 halo windows: the ±2-center virtual local domain
         # on which the SINGLE-DEVICE mac3d operators run verbatim. Every
@@ -184,20 +395,7 @@ def make_cavity3d_mac_explicit_step(cfg: MAC3DConfig, mesh: Mesh,
         shp2 = (ny_l + 4, nx_l + 4)
         r2 = gy0 - 2 + lax.broadcasted_iota(jnp.int32, shp2, 0)[None]
         c2 = gx0 - 2 + lax.broadcasted_iota(jnp.int32, shp2, 1)[None]
-        # u: columns are x-faces — dropped/virtual faces ≥ nx are 0
-        U2 = jnp.where(c2 >= nx, 0.0, U2)
-        # tangential wall ghosts in y: u(−1) = −u(0), u(ny) = −u(ny−1)
-        U2 = jnp.where(r2 == -1, -jnp.roll(U2, -1, axis=1), U2)
-        U2 = jnp.where(r2 == ny, -jnp.roll(U2, 1, axis=1), U2)
-        # v: rows are y-faces — dropped/virtual faces ≥ ny are 0
-        V2 = jnp.where(r2 >= ny, 0.0, V2)
-        V2 = jnp.where(c2 == -1, -jnp.roll(V2, -1, axis=2), V2)
-        V2 = jnp.where(c2 == nx, -jnp.roll(V2, 1, axis=2), V2)
-        # w: planes are z-faces (local); tangential ghosts in y AND x
-        W2 = jnp.where(r2 == -1, -jnp.roll(W2, -1, axis=1), W2)
-        W2 = jnp.where(r2 == ny, -jnp.roll(W2, 1, axis=1), W2)
-        W2 = jnp.where(c2 == -1, -jnp.roll(W2, -1, axis=2), W2)
-        W2 = jnp.where(c2 == nx, -jnp.roll(W2, 1, axis=2), W2)
+        U2, V2, W2 = bcs.win(U2, V2, W2, r2, c2, ts, a)
 
         def zpad(a, axis):
             z = jnp.zeros_like(lax.slice_in_dim(a, 0, 1, axis=axis))
@@ -215,11 +413,9 @@ def make_cavity3d_mac_explicit_step(cfg: MAC3DConfig, mesh: Mesh,
             [W2, jnp.zeros_like(W2[:1])], axis=0
         )                                                # (nz+1, NY, NX)
         u_gy = zpad(u_win, 1)
-        u_gz = jnp.concatenate(
-            [-u_win[:1], u_win, 2.0 * lid_velocity - u_win[-1:]], axis=0
-        )
+        u_gz = bcs.zghost_u(u_win)
         v_gx = zpad(v_win, 2)
-        v_gz = jnp.concatenate([-v_win[:1], v_win, -v_win[-1:]], axis=0)
+        v_gz = bcs.zghost_v(v_win)
         w_gx = zpad(w_win, 2)
         w_gy = zpad(w_win, 1)
         ghosts_win = (u_gy, u_gz, v_gx, v_gz, w_gx, w_gy)
@@ -263,13 +459,19 @@ def make_cavity3d_mac_explicit_step(cfg: MAC3DConfig, mesh: Mesh,
             NUT = None
             nu_stab = cfg.nu
 
-        # --- adaptive dt (mac3d; dropped faces are all 0 for the cavity,
-        # so the trimmed max equals the full-array max)
+        # --- adaptive dt (mac3d; dropped faces are 0 for the cavity and
+        # supplied by velmax_extra for external flow — max is
+        # association-free, so the reduction matches single-device)
         if cfg.adaptive_dt:
             vel_max = _pmax(
                 jnp.maximum(
                     jnp.maximum(jnp.max(jnp.abs(u_t)), jnp.max(jnp.abs(v_t))),
-                    jnp.maximum(jnp.max(jnp.abs(w_t)), 1e-10),
+                    jnp.maximum(
+                        jnp.maximum(
+                            jnp.max(jnp.abs(w_t)), bcs.velmax_extra(u_t, a)
+                        ),
+                        1e-10,
+                    ),
                 )
             )
             dt_cfl = cfg.cfl_target * cfl_scale * h / vel_max
@@ -308,10 +510,29 @@ def make_cavity3d_mac_explicit_step(cfg: MAC3DConfig, mesh: Mesh,
         u_star = u_t + jnp.where(co >= 1, dt * du, 0.0)
         v_star = v_t + jnp.where(ro >= 1, dt * dv, 0.0)
         w_star = w_t.at[1:].add(dt * dw)
-        u_star, v_star, w_star = set_normal(u_star, v_star, w_star)
+        u_star, v_star, w_star, a = set_normal(u_star, v_star, w_star)
+
+        # --- IBM penalization + body force (mac3d.make_step ibm block)
+        fx = fy = fz = jnp.float32(0.0)
+        if use_ibm:
+            mask_u_t, mask_v_t, mask_w_t = extras
+            from cfdsim_tpu.ibm import ibm_ramp
+
+            strength = ibm_ramp(ts.step, ibm_ramp_steps)
+            du_ibm = u_star * (strength * mask_u_t)
+            dv_ibm = v_star * (strength * mask_v_t)
+            dw_ibm = w_star * (strength * mask_w_t)
+            u_star = u_star - du_ibm
+            v_star = v_star - dv_ibm
+            w_star = w_star - dw_ibm
+            if cfg.compute_metrics:
+                cell = dx * dy * dz
+                fx = _psum(jnp.sum(du_ibm)) * cell / dt
+                fy = _psum(jnp.sum(dv_ibm)) * cell / dt
+                fz = _psum(jnp.sum(dw_ibm)) * cell / dt
 
         # --- exact distributed 3D projection
-        US, VS, WSz = pad(u_star, v_star, w_star)
+        US, VS, WSz = pad(u_star, v_star, w_star, a)
         div_star = (
             (US[:, 1:-1, 2:] - US[:, 1:-1, 1:-1]) * (1.0 / dx)
             + (VS[:, 2:, 1:-1] - VS[:, 1:-1, 1:-1]) * (1.0 / dy)
@@ -324,7 +545,7 @@ def make_cavity3d_mac_explicit_step(cfg: MAC3DConfig, mesh: Mesh,
         u_new = u_star - jnp.where(co >= 1, dt * gx, 0.0)
         v_new = v_star - jnp.where(ro >= 1, dt * gy_, 0.0)
         w_new = w_star.at[1:].add(-dt * (phi[1:] - phi[:-1]) * (1.0 / dz))
-        u_new, v_new, w_new = set_normal(u_new, v_new, w_new)
+        u_new, v_new, w_new, a = set_normal(u_new, v_new, w_new)
         u_new = jnp.clip(u_new, -cfg.max_velocity, cfg.max_velocity)
         v_new = jnp.clip(v_new, -cfg.max_velocity, cfg.max_velocity)
         w_new = jnp.clip(w_new, -cfg.max_velocity, cfg.max_velocity)
@@ -335,7 +556,7 @@ def make_cavity3d_mac_explicit_step(cfg: MAC3DConfig, mesh: Mesh,
         )
 
         if cfg.compute_metrics:
-            UN, VN, WNz = pad(u_new, v_new, w_new)
+            UN, VN, WNz = pad(u_new, v_new, w_new, a)
             div_post = (
                 (UN[:, 1:-1, 2:] - UN[:, 1:-1, 1:-1]) * (1.0 / dx)
                 + (VN[:, 2:, 1:-1] - VN[:, 1:-1, 1:-1]) * (1.0 / dy)
@@ -369,15 +590,41 @@ def make_cavity3d_mac_explicit_step(cfg: MAC3DConfig, mesh: Mesh,
                 ) / float(nx * ny * nz),
                 vort_max=_pmax(jnp.max(jnp.abs(vort))),
                 poisson_res=jnp.float32(0.0),
+                fx=fx,
+                fy=fy,
+                fz=fz,
             )
         else:
             zero = jnp.float32(0.0)
             metrics = StepMetrics(dt, zero, zero, zero, zero, zero, zero)
         return new_ts, metrics
 
-    return jax.jit(jax.shard_map(
+    return jax.shard_map(
         step_local,
         mesh=mesh,
-        in_specs=(state_spec, P()),
+        in_specs=tuple(in_specs),
         out_specs=(state_spec, metric_spec),
+    )
+
+
+def make_cavity3d_mac_explicit_step(cfg: MAC3DConfig, mesh: Mesh,
+                                    lid_velocity: float = 1.0):
+    """Explicit-comm 3D MAC step for the lid-driven cavity (BASELINE
+    config 5): ``step(tstate, cfl_scale) -> (tstate, StepMetrics)``."""
+    g = cfg.grid
+    bcs = cavity3d_local_bcs(g.nx, g.ny, lid_velocity)
+    return jax.jit(make_mac3d_explicit_step(cfg, mesh, bcs))
+
+
+def make_sphere_mac3d_explicit_step(cfg: MAC3DConfig, mesh: Mesh,
+                                    v_inf: float = 1.0,
+                                    ibm_ramp_steps: int = 0):
+    """Explicit-comm 3D MAC step for external flow past an immersed body
+    (the ``sphere`` case). Call as ``step(tstate, cfl_scale, mask_u_t,
+    mask_v_t, mask_w_t)`` with the trimmed, P(None, "y", "x")-sharded
+    face masks from ``trim_face_masks3d``."""
+    g = cfg.grid
+    bcs = external_flow3d_local_bcs(g.nx, g.ny, g.nz, v_inf)
+    return jax.jit(make_mac3d_explicit_step(
+        cfg, mesh, bcs, use_ibm=True, ibm_ramp_steps=ibm_ramp_steps
     ))

@@ -147,3 +147,56 @@ def test_mac3d_stretched_explicit_matches_single_device(mesh):
                                rtol=1e-4, atol=1e-4)
     assert float(m_ex.div_post) < 5e-3  # exact distributed FDM projection
     assert len(t.u.sharding.device_set) == 8
+
+
+@pytest.mark.parametrize("scheme", ["central", "tvd"])
+def test_sphere_explicit_matches_single_device(mesh, scheme):
+    """External-flow BCs (Dirichlet inflow, psum'd mass-consistent
+    outflow, free-slip far field) + 3D IBM penalization: the sharded
+    sphere step must match the single-device sphere case, forces
+    included."""
+    from cfdsim_tpu.cases import sphere_mac3d
+    from cfdsim_tpu.parallel.mac3d_explicit import (
+        make_sphere_mac3d_explicit_step,
+        trim_face_masks3d,
+    )
+
+    case = sphere_mac3d(
+        nx=32, ny=16, nz=16, Re=100.0, domain=(8.0, 4.0, 4.0),
+        center=(2.0, 2.0, 2.0), scheme=scheme, ibm_ramp_steps=4,
+        compute_metrics=True,
+    )
+    step_ref = jax.jit(case.step)
+    step_ex = make_sphere_mac3d_explicit_step(
+        case.cfg, mesh, v_inf=case.extras["v_inf"], ibm_ramp_steps=4
+    )
+    masks_t = trim_face_masks3d(*case.extras["ibm_masks"])
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sh = NamedSharding(mesh, P(None, "y", "x"))
+    masks_t = tuple(jax.device_put(m, sh) for m in masks_t)
+
+    t = shard_trimmed_state3d(trim_state3d(case.state), mesh)
+    r = case.state
+    for _ in range(6):
+        t, m_ex = step_ex(t, jnp.float32(1.0), *masks_t)
+        r, m_ref = step_ref(r, jnp.float32(1.0))
+    np.testing.assert_allclose(np.asarray(t.u), np.asarray(r.u)[:, :, :-1],
+                               rtol=0, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(t.v), np.asarray(r.v)[:, :-1, :],
+                               rtol=0, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(t.w), np.asarray(r.w)[:-1],
+                               rtol=0, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(t.p), np.asarray(r.p),
+                               rtol=0, atol=2e-4)
+    np.testing.assert_allclose(float(m_ex.dt), float(m_ref.dt), rtol=1e-6)
+    np.testing.assert_allclose(float(m_ex.fx), float(m_ref.fx),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(float(m_ex.fy), float(m_ref.fy),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(float(m_ex.fz), float(m_ref.fz),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(float(m_ex.max_vel), float(m_ref.max_vel),
+                               rtol=1e-5)
+    assert float(m_ex.fx) > 0.0
+    assert len(t.u.sharding.device_set) == 8
