@@ -141,6 +141,19 @@ def run_secondary(n=1024):
         "value": ns * ns * 500 / (t2 - t1), "unit": "cells/s",
     })
 
+    # 3D IBM tier: full TVD + exact 3D DCT + sphere penalization at
+    # 12 cells/D (the examples/sphere_wake.py validation configuration)
+    from cfdsim_tpu.cases import sphere_mac3d
+
+    case = sphere_mac3d(compute_metrics=False)
+    ncells = case.grid.n_cells
+    t1, _ = _timed_chunk(case, case.state, 50)
+    t2, _ = _timed_chunk(case, case.state, 250)
+    results.append({
+        "metric": "cell_updates_per_sec_sphere3d",
+        "value": ncells * 200 / (t2 - t1), "unit": "cells/s",
+    })
+
     # unstructured FEM tier: implicit steps/sec on the reference Gridap
     # cylinder domain — monolithic (reference-parity scheme) and
     # projection (the production scheme, BENCHNOTES "FEM tier")

@@ -741,6 +741,7 @@ def sphere_mac3d(
     ibm_ramp_steps: int = 200,
     ibm_profile: str = "sharp",
     use_les: bool = False,
+    perturb: float = 0.0,
     **cfg_overrides,
 ) -> Case:
     """Uniform flow past an immersed sphere on the 3D staggered MAC grid
@@ -757,7 +758,10 @@ def sphere_mac3d(
     ``validation.sphere_drag_schiller_naumann``). ``ibm_profile="sharp"``
     (default) makes the force quantitative; ``"shell"`` selects the
     reference's Gaussian-shell forcing (smoother, force only
-    qualitative — see ibm.sphere_masks_mac3d)."""
+    qualitative — see ibm.sphere_masks_mac3d). ``perturb`` adds a static
+    (nz, ny) inlet modulation 1 + ε·sin(2πy/Ly)·sin(2πz/Lz) — the
+    symmetry-breaking trigger for the unsteady regime Re ≳ 280 (Johnson
+    & Patel: hairpin shedding at St ≈ 0.137, Re=300)."""
     import numpy as np
 
     from cfdsim_tpu.grid import Grid3D
@@ -786,7 +790,20 @@ def sphere_mac3d(
         grid=grid, nu=v_inf * 2 * radius / Re, scheme=scheme,
         poisson=poisson or Poisson3DConfig(method="dct"), **defaults
     )
-    bcs = mac3d.external_flow_bcs3d(v_inf)
+    if perturb:
+        yc = (np.arange(ny) + 0.5) * (domain[1] / ny)
+        zc = (np.arange(nz) + 0.5) * (domain[2] / nz)
+        Zc, Yc = np.meshgrid(zc, yc, indexing="ij")
+        profile = jnp.asarray(
+            1.0
+            + perturb
+            * np.sin(2 * np.pi * Yc / domain[1])
+            * np.sin(2 * np.pi * Zc / domain[2]),
+            jnp.float32,
+        )
+    else:
+        profile = None
+    bcs = mac3d.external_flow_bcs3d(v_inf, inlet_profile=profile)
     step = mac3d.make_step(
         cfg, bcs, ibm_mask_u=mask_u, ibm_mask_v=mask_v, ibm_mask_w=mask_w,
         ibm_ramp_steps=ibm_ramp_steps,
