@@ -71,6 +71,11 @@ class MACConfig:
     use_les: bool = False
     smagorinsky_constant: float = 0.17
     poisson: PoissonConfig = PoissonConfig(method="dct")
+    # "euler" (reference parity, v5.py:375-441) or "rk2" — Heun's method
+    # with a projection per stage (u_{n+1} = ½u_n + ½·E(E(u_n)), E one
+    # projected Euler stage): 2nd order in time, ~2× cost/step; the
+    # average of two solenoidal fields stays exactly solenoidal
+    time_scheme: str = "euler"
     adaptive_dt: bool = True
     cfl_target: float = 0.5
     dt_base: float = 1e-3
@@ -400,6 +405,8 @@ def make_step(
     face locations); ``forcing`` is an optional (fu, fv) face-located
     body-force pair.
     """
+    if cfg.time_scheme not in ("euler", "rk2"):
+        raise ValueError(f"unknown MAC time scheme {cfg.time_scheme!r}")
     g = cfg.grid
     dx, dy = g.dx, g.dy
 
@@ -416,52 +423,87 @@ def make_step(
             nu_total = None
         dt = _adaptive_dt(cfg, u, v, state.step, cfl_scale, nu_total)
 
-        conv_u, conv_v = _advect(u, v, ue, ve, dx, dy, cfg.scheme)
-        if cfg.use_les:
-            visc_u, visc_v = _diffuse_les(ue, ve, cfg.nu + nu_t, dx, dy)
+        def stage(u, v, ue, ve, nu_t, p_warm):
+            """One projected Euler stage from BC-consistent (u, v):
+            returns (u_new, v_new, phi, (fx, fy, div_star, rhs))."""
+            conv_u, conv_v = _advect(u, v, ue, ve, dx, dy, cfg.scheme)
+            if cfg.use_les:
+                visc_u, visc_v = _diffuse_les(ue, ve, cfg.nu + nu_t, dx, dy)
+            else:
+                lap_u, lap_v = _diffuse(ue, ve, dx, dy)
+                visc_u, visc_v = cfg.nu * lap_u, cfg.nu * lap_v
+
+            u_star = u.at[:, 1:-1].add(dt * (visc_u - conv_u))
+            v_star = v.at[1:-1, :].add(dt * (visc_v - conv_v))
+            if forcing is not None:
+                u_star = u_star + dt * forcing[0]
+                v_star = v_star + dt * forcing[1]
+            u_star, v_star = bcs.set_normal(
+                u_star, v_star, state.step, state.t
+            )
+
+            fx = fy = jnp.float32(0.0)
+            if ibm_mask_u is not None:
+                from cfdsim_tpu.ibm import ibm_ramp
+
+                strength = ibm_ramp(state.step, ibm_ramp_steps)
+                du_ibm = u_star * (strength * ibm_mask_u)
+                dv_ibm = v_star * (strength * ibm_mask_v)
+                u_star = u_star - du_ibm
+                v_star = v_star - dv_ibm
+                if cfg.compute_metrics:
+                    # hydrodynamic force on the body = momentum sink of
+                    # the penalization, per unit density: F = Σ Δu·dA / dt
+                    cell = dx * dy
+                    fx = jnp.sum(du_ibm) * cell / dt
+                    fy = jnp.sum(dv_ibm) * cell / dt
+
+            # --- exact projection: the MAC divergence/gradient pair is
+            # adjoint, so ∇·(u* − dt∇φ) = ∇·u* − dt·L φ with L the
+            # clamped-edge 5-point operator — solved exactly by the DCT
+            # backend
+            div_star = divergence_mac(u_star, v_star, dx, dy)
+            rhs = div_star / dt
+            if cfg.poisson.method not in ("dct", "fft"):
+                # Neumann solvability for the iterative solvers; the
+                # direct solvers discard the k=0 mode in-spectrum
+                rhs = rhs - jnp.mean(rhs)
+            phi = solve_poisson(p_warm, rhs, dx, dy, cfg.poisson)
+            u_new = u_star.at[:, 1:-1].add(
+                -dt * (phi[:, 1:] - phi[:, :-1]) * (1.0 / dx)
+            )
+            v_new = v_star.at[1:-1, :].add(
+                -dt * (phi[1:, :] - phi[:-1, :]) * (1.0 / dy)
+            )
+            u_new, v_new = bcs.set_normal(u_new, v_new, state.step, state.t)
+            u_new = jnp.clip(u_new, -cfg.max_velocity, cfg.max_velocity)
+            v_new = jnp.clip(v_new, -cfg.max_velocity, cfg.max_velocity)
+            return u_new, v_new, phi, (fx, fy, div_star, rhs)
+
+        u_new, v_new, phi, (fx, fy, div_star, rhs) = stage(
+            u, v, ue, ve, nu_t, state.p
+        )
+        if cfg.time_scheme == "rk2":
+            # Heun: average the start state with a second projected Euler
+            # stage taken from the first stage's result (both solenoidal,
+            # so the average is too); ν_t is refreshed from stage 1
+            ue1, ve1 = bcs.extend(u_new, v_new, state.step, state.t)
+            if cfg.use_les:
+                nu_t = smagorinsky_viscosity_mac(
+                    u_new, v_new, ue1, ve1, dx, dy, cfg.smagorinsky_constant
+                )
+            u2, v2, phi2, (fx2, fy2, div_star, rhs) = stage(
+                u_new, v_new, ue1, ve1, nu_t, phi
+            )
+            u_new = 0.5 * (u + u2)
+            v_new = 0.5 * (v + v2)
+            u_new, v_new = bcs.set_normal(u_new, v_new, state.step, state.t)
+            phi_solve = phi2  # the field the stage-2 residual pairs with
+            phi = 0.5 * (phi + phi2)
+            fx = 0.5 * (fx + fx2)
+            fy = 0.5 * (fy + fy2)
         else:
-            lap_u, lap_v = _diffuse(ue, ve, dx, dy)
-            visc_u, visc_v = cfg.nu * lap_u, cfg.nu * lap_v
-
-        u_star = u.at[:, 1:-1].add(dt * (visc_u - conv_u))
-        v_star = v.at[1:-1, :].add(dt * (visc_v - conv_v))
-        if forcing is not None:
-            u_star = u_star + dt * forcing[0]
-            v_star = v_star + dt * forcing[1]
-        u_star, v_star = bcs.set_normal(u_star, v_star, state.step, state.t)
-
-        fx = fy = jnp.float32(0.0)
-        if ibm_mask_u is not None:
-            from cfdsim_tpu.ibm import ibm_ramp
-
-            strength = ibm_ramp(state.step, ibm_ramp_steps)
-            du_ibm = u_star * (strength * ibm_mask_u)
-            dv_ibm = v_star * (strength * ibm_mask_v)
-            u_star = u_star - du_ibm
-            v_star = v_star - dv_ibm
-            if cfg.compute_metrics:
-                # hydrodynamic force on the body = momentum sink of the
-                # penalization, per unit density: F = Σ Δu·dA / dt
-                cell = dx * dy
-                fx = jnp.sum(du_ibm) * cell / dt
-                fy = jnp.sum(dv_ibm) * cell / dt
-
-        # --- exact projection: the MAC divergence/gradient pair is adjoint,
-        # so ∇·(u* − dt∇φ) = ∇·u* − dt·L φ with L the clamped-edge 5-point
-        # operator — solved exactly by the DCT backend
-        div_star = divergence_mac(u_star, v_star, dx, dy)
-        rhs = div_star / dt
-        if cfg.poisson.method not in ("dct", "fft"):
-            # Neumann solvability for the iterative solvers; the direct
-            # solvers discard the k=0 mode in-spectrum
-            rhs = rhs - jnp.mean(rhs)
-        phi = solve_poisson(state.p, rhs, dx, dy, cfg.poisson)
-        u_new = u_star.at[:, 1:-1].add(-dt * (phi[:, 1:] - phi[:, :-1]) * (1.0 / dx))
-        v_new = v_star.at[1:-1, :].add(-dt * (phi[1:, :] - phi[:-1, :]) * (1.0 / dy))
-        u_new, v_new = bcs.set_normal(u_new, v_new, state.step, state.t)
-
-        u_new = jnp.clip(u_new, -cfg.max_velocity, cfg.max_velocity)
-        v_new = jnp.clip(v_new, -cfg.max_velocity, cfg.max_velocity)
+            phi_solve = phi
 
         new_state = MACState(
             u=u_new, v=v_new, p=phi, t=state.t + dt, step=state.step + 1
@@ -481,7 +523,9 @@ def make_step(
                 ),
                 energy=jnp.mean(0.5 * (ucc * ucc + vcc * vcc)),
                 vort_max=jnp.max(jnp.abs(vort)),
-                poisson_res=poisson_residual(phi, rhs, dx, dy, None, "neumann"),
+                poisson_res=poisson_residual(
+                    phi_solve, rhs, dx, dy, None, "neumann"
+                ),
                 fx=fx,
                 fy=fy,
             )

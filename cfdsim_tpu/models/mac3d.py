@@ -47,6 +47,9 @@ class MAC3DConfig:
     use_les: bool = False
     smagorinsky_constant: float = 0.17
     poisson: Poisson3DConfig = Poisson3DConfig(method="dct")
+    # "euler" or "rk2" (Heun with a projection per stage — see
+    # mac.MACConfig.time_scheme)
+    time_scheme: str = "euler"
     adaptive_dt: bool = True
     cfl_target: float = 0.4
     dt_base: float = 1e-3
@@ -412,6 +415,8 @@ def make_step(
     mac.make_step."""
     if cfg.scheme not in ("central", "upwind", "tvd"):
         raise ValueError(f"unknown MAC3D scheme {cfg.scheme!r}")
+    if cfg.time_scheme not in ("euler", "rk2"):
+        raise ValueError(f"unknown MAC3D time scheme {cfg.time_scheme!r}")
     g = cfg.grid
     dx, dy, dz = g.dx, g.dy, g.dz
     h = min(dx, dy, dz)
@@ -441,62 +446,89 @@ def make_step(
         else:
             dt = jnp.float32(cfg.dt_base)
 
-        conv_u, conv_v, conv_w = advect3d(
-            u, v, w, ghosts, dx, dy, dz, cfg.scheme
-        )
-        if cfg.use_les:
-            visc_u, visc_v, visc_w = _diffuse_les3d(
-                u, v, w, ghosts, cfg.nu + nu_t, dx, dy, dz
+        def stage(u, v, w, ghosts, nu_t, p_warm):
+            """One projected Euler stage from BC-consistent (u, v, w)."""
+            conv_u, conv_v, conv_w = advect3d(
+                u, v, w, ghosts, dx, dy, dz, cfg.scheme
             )
-        else:
-            lap_u, lap_v, lap_w = diffuse3d(u, v, w, ghosts, dx, dy, dz)
-            visc_u = cfg.nu * lap_u
-            visc_v = cfg.nu * lap_v
-            visc_w = cfg.nu * lap_w
+            if cfg.use_les:
+                visc_u, visc_v, visc_w = _diffuse_les3d(
+                    u, v, w, ghosts, cfg.nu + nu_t, dx, dy, dz
+                )
+            else:
+                lap_u, lap_v, lap_w = diffuse3d(u, v, w, ghosts, dx, dy, dz)
+                visc_u = cfg.nu * lap_u
+                visc_v = cfg.nu * lap_v
+                visc_w = cfg.nu * lap_w
 
-        u_star = u.at[:, :, 1:-1].add(dt * (visc_u - conv_u))
-        v_star = v.at[:, 1:-1, :].add(dt * (visc_v - conv_v))
-        w_star = w.at[1:-1].add(dt * (visc_w - conv_w))
-        u_star, v_star, w_star = bcs.set_normal(u_star, v_star, w_star)
+            u_star = u.at[:, :, 1:-1].add(dt * (visc_u - conv_u))
+            v_star = v.at[:, 1:-1, :].add(dt * (visc_v - conv_v))
+            w_star = w.at[1:-1].add(dt * (visc_w - conv_w))
+            u_star, v_star, w_star = bcs.set_normal(u_star, v_star, w_star)
 
-        fx = fy = fz = jnp.float32(0.0)
-        if ibm_mask_u is not None:
-            from cfdsim_tpu.ibm import ibm_ramp
+            fx = fy = fz = jnp.float32(0.0)
+            if ibm_mask_u is not None:
+                from cfdsim_tpu.ibm import ibm_ramp
 
-            strength = ibm_ramp(state.step, ibm_ramp_steps)
-            du_ibm = u_star * (strength * ibm_mask_u)
-            dv_ibm = v_star * (strength * ibm_mask_v)
-            dw_ibm = w_star * (strength * ibm_mask_w)
-            u_star = u_star - du_ibm
-            v_star = v_star - dv_ibm
-            w_star = w_star - dw_ibm
-            if cfg.compute_metrics:
-                # force on the body = momentum sink of the penalization,
-                # per unit density (2D analog: mac.make_step)
-                cell = dx * dy * dz
-                fx = jnp.sum(du_ibm) * cell / dt
-                fy = jnp.sum(dv_ibm) * cell / dt
-                fz = jnp.sum(dw_ibm) * cell / dt
+                strength = ibm_ramp(state.step, ibm_ramp_steps)
+                du_ibm = u_star * (strength * ibm_mask_u)
+                dv_ibm = v_star * (strength * ibm_mask_v)
+                dw_ibm = w_star * (strength * ibm_mask_w)
+                u_star = u_star - du_ibm
+                v_star = v_star - dv_ibm
+                w_star = w_star - dw_ibm
+                if cfg.compute_metrics:
+                    # force on the body = momentum sink of the
+                    # penalization, per unit density (2D: mac.make_step)
+                    cell = dx * dy * dz
+                    fx = jnp.sum(du_ibm) * cell / dt
+                    fy = jnp.sum(dv_ibm) * cell / dt
+                    fz = jnp.sum(dw_ibm) * cell / dt
 
-        # --- exact projection
-        div_star = divergence_mac3d(u_star, v_star, w_star, dx, dy, dz)
-        rhs = div_star / dt
-        if cfg.poisson.method != "dct":
-            rhs = rhs - jnp.mean(rhs)
-        phi = solve_poisson_3d(state.p, rhs, dx, dy, dz, cfg.poisson)
-        u_new = u_star.at[:, :, 1:-1].add(
-            -dt * (phi[:, :, 1:] - phi[:, :, :-1]) * (1.0 / dx)
+            # --- exact projection
+            div_star = divergence_mac3d(u_star, v_star, w_star, dx, dy, dz)
+            rhs = div_star / dt
+            if cfg.poisson.method != "dct":
+                rhs = rhs - jnp.mean(rhs)
+            phi = solve_poisson_3d(p_warm, rhs, dx, dy, dz, cfg.poisson)
+            u_new = u_star.at[:, :, 1:-1].add(
+                -dt * (phi[:, :, 1:] - phi[:, :, :-1]) * (1.0 / dx)
+            )
+            v_new = v_star.at[:, 1:-1, :].add(
+                -dt * (phi[:, 1:, :] - phi[:, :-1, :]) * (1.0 / dy)
+            )
+            w_new = w_star.at[1:-1].add(
+                -dt * (phi[1:] - phi[:-1]) * (1.0 / dz)
+            )
+            u_new, v_new, w_new = bcs.set_normal(u_new, v_new, w_new)
+            u_new = jnp.clip(u_new, -cfg.max_velocity, cfg.max_velocity)
+            v_new = jnp.clip(v_new, -cfg.max_velocity, cfg.max_velocity)
+            w_new = jnp.clip(w_new, -cfg.max_velocity, cfg.max_velocity)
+            return u_new, v_new, w_new, phi, (fx, fy, fz, div_star)
+
+        u_new, v_new, w_new, phi, (fx, fy, fz, div_star) = stage(
+            u, v, w, ghosts, nu_t, state.p
         )
-        v_new = v_star.at[:, 1:-1, :].add(
-            -dt * (phi[:, 1:, :] - phi[:, :-1, :]) * (1.0 / dy)
-        )
-        w_new = w_star.at[1:-1].add(
-            -dt * (phi[1:] - phi[:-1]) * (1.0 / dz)
-        )
-        u_new, v_new, w_new = bcs.set_normal(u_new, v_new, w_new)
-        u_new = jnp.clip(u_new, -cfg.max_velocity, cfg.max_velocity)
-        v_new = jnp.clip(v_new, -cfg.max_velocity, cfg.max_velocity)
-        w_new = jnp.clip(w_new, -cfg.max_velocity, cfg.max_velocity)
+        if cfg.time_scheme == "rk2":
+            # Heun: average with a second projected Euler stage (both
+            # solenoidal ⇒ so is the average); ν_t refreshed from stage 1
+            ghosts1 = bcs.ghosts(u_new, v_new, w_new)
+            if cfg.use_les:
+                nu_t = smagorinsky_viscosity_mac3d(
+                    u_new, v_new, w_new, ghosts1, dx, dy, dz,
+                    cfg.smagorinsky_constant,
+                )
+            u2, v2, w2, phi2, (fx2, fy2, fz2, div_star) = stage(
+                u_new, v_new, w_new, ghosts1, nu_t, phi
+            )
+            u_new = 0.5 * (u + u2)
+            v_new = 0.5 * (v + v2)
+            w_new = 0.5 * (w + w2)
+            u_new, v_new, w_new = bcs.set_normal(u_new, v_new, w_new)
+            phi = 0.5 * (phi + phi2)
+            fx = 0.5 * (fx + fx2)
+            fy = 0.5 * (fy + fy2)
+            fz = 0.5 * (fz + fz2)
 
         new_state = MAC3DState(
             u=u_new, v=v_new, w=w_new, p=phi,

@@ -336,6 +336,10 @@ def make_mac3d_explicit_step(cfg: MAC3DConfig, mesh: Mesh,
         raise ValueError("explicit 3D MAC step supports poisson method 'dct'")
     if cfg.scheme not in ("central", "upwind", "tvd"):
         raise ValueError(f"unknown MAC3D scheme {cfg.scheme!r}")
+    if getattr(cfg, "time_scheme", "euler") != "euler":
+        raise ValueError(
+            "the explicit sharded 3D MAC step implements time_scheme='euler'"
+        )
 
     from cfdsim_tpu.models.mac3d import (
         _diffuse_les3d,

@@ -227,6 +227,10 @@ def make_mac_explicit_step(
         )
     if cfg.poisson.method == "rbsor" and cfg.poisson.tol > 0.0:
         raise ValueError("explicit MAC rbsor runs a fixed sweep budget (tol=0)")
+    if getattr(cfg, "time_scheme", "euler") != "euler":
+        raise ValueError(
+            "the explicit sharded MAC step implements time_scheme='euler'"
+        )
 
     spec = P("y", "x")
     state_spec = MACState(u=spec, v=spec, p=spec, t=P(), step=P())
