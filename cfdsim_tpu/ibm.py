@@ -61,20 +61,33 @@ def cylinder_masks_mac(grid: Grid, center: tuple[float, float], radius: float):
     )
 
 
-def sphere_masks_mac3d(grid, center, radius: float, profile: str = "sharp"):
-    """Face-sampled IBM masks for the 3D staggered layout, evaluated at
-    u faces (nz, ny, nx+1), v faces (nz, ny+1, nx) and w faces
-    (nz+1, ny, nx) of a cell-centered ``Grid3D``.
+def sphere_masks_faces(x_faces, y_faces, z_faces, center, radius: float,
+                       profile: str = "sharp", width: float | None = None):
+    """Face-sampled IBM masks for the 3D staggered layout on an arbitrary
+    tensor-product grid given by the three face-coordinate vectors
+    (uniform or stretched): u faces (nz, ny, nx+1), v faces
+    (nz, ny+1, nx), w faces (nz+1, ny, nx).
 
     ``profile="sharp"`` (default): 1 inside r < R with a half-cell
-    linear taper — the effective radius is R + O(dx/2), so the
-    penalization momentum sink is a *quantitative* drag measurement
-    (validated against Schiller–Naumann, examples/sphere_wake.py).
+    linear taper of width ``width`` (default: the minimum spacing across
+    the three axes — the near-body resolution on a graded grid) — the
+    effective radius is R + O(width/2), so the penalization momentum
+    sink is a *quantitative* drag measurement (validated against
+    Schiller–Naumann, examples/sphere_wake.py).
     ``profile="shell"``: the reference's Gaussian shell
     (``cylinder_masks_mac``, v5.py:275-283), which pads the body by
-    ~2dx of parasitic forcing — smoother but only qualitative in force."""
-    nx, ny, nz = grid.nx, grid.ny, grid.nz
-    dx, dy, dz = grid.dx, grid.dy, grid.dz
+    ~2·width of parasitic forcing — smoother but only qualitative in
+    force."""
+    xf = np.asarray(x_faces, np.float64)
+    yf = np.asarray(y_faces, np.float64)
+    zf = np.asarray(z_faces, np.float64)
+    xc = 0.5 * (xf[:-1] + xf[1:])
+    yc = 0.5 * (yf[:-1] + yf[1:])
+    zc = 0.5 * (zf[:-1] + zf[1:])
+    if width is None:
+        width = float(
+            min(np.diff(xf).min(), np.diff(yf).min(), np.diff(zf).min())
+        )
     cx, cy, cz = center
 
     def dist(xs, ys, zs):
@@ -83,19 +96,13 @@ def sphere_masks_mac3d(grid, center, radius: float, profile: str = "sharp"):
 
     if profile == "sharp":
         def shape(d):
-            return np.clip((radius + 0.5 * dx - d) / dx, 0.0, 1.0)
+            return np.clip((radius + 0.5 * width - d) / width, 0.0, 1.0)
     elif profile == "shell":
         def shape(d):
-            return _gaussian_shell(d, radius, dx)
+            return _gaussian_shell(d, radius, width)
     else:
         raise ValueError(f"unknown IBM mask profile {profile!r}")
 
-    xf = grid.x_min + np.arange(nx + 1) * dx
-    xc = grid.x_min + (np.arange(nx) + 0.5) * dx
-    yf = grid.y_min + np.arange(ny + 1) * dy
-    yc = grid.y_min + (np.arange(ny) + 0.5) * dy
-    zf = grid.z_min + np.arange(nz + 1) * dz
-    zc = grid.z_min + (np.arange(nz) + 0.5) * dz
     return (
         jnp.asarray(shape(dist(xf, yc, zc)), jnp.float32),
         jnp.asarray(shape(dist(xc, yf, zc)), jnp.float32),
@@ -103,17 +110,38 @@ def sphere_masks_mac3d(grid, center, radius: float, profile: str = "sharp"):
     )
 
 
-def potential_flow_sphere_mac3d(
-    grid, center, radius: float, v_inf: float, mask_u, mask_v, mask_w
+def sphere_masks_mac3d(grid, center, radius: float, profile: str = "sharp"):
+    """``sphere_masks_faces`` on a uniform cell-centered ``Grid3D``."""
+    xf = grid.x_min + np.arange(grid.nx + 1) * grid.dx
+    yf = grid.y_min + np.arange(grid.ny + 1) * grid.dy
+    zf = grid.z_min + np.arange(grid.nz + 1) * grid.dz
+    return sphere_masks_faces(
+        xf, yf, zf, center, radius, profile=profile, width=grid.dx
+    )
+
+
+def potential_flow_sphere_faces(
+    x_faces, y_faces, z_faces, center, radius: float, v_inf: float,
+    mask_u, mask_v, mask_w, width: float | None = None,
 ):
     """Potential-flow initial condition around a sphere on 3D MAC faces
-    (the 3D habitat of ``potential_flow_cylinder_mac``): velocity
-    potential φ = V·x·(1 + R³/2r³), so u = V(1 + R³/2r³ − 3R³x²/2r⁵)
-    and v,w = −3VR³·x·{y,z}/2r⁵ (x,y,z body-relative). Near/inside the
-    body the field is blended to the IBM no-slip state exactly as the
-    2D version (reference init v5.py:299-314)."""
-    nx, ny, nz = grid.nx, grid.ny, grid.nz
-    dx, dy, dz = grid.dx, grid.dy, grid.dz
+    of an arbitrary tensor-product grid (the 3D habitat of
+    ``potential_flow_cylinder_mac``): velocity potential
+    φ = V·x·(1 + R³/2r³), so u = V(1 + R³/2r³ − 3R³x²/2r⁵) and
+    v,w = −3VR³·x·{y,z}/2r⁵ (x,y,z body-relative). Near/inside the body
+    the field is blended to the IBM no-slip state exactly as the 2D
+    version (reference init v5.py:299-314); the blend length scales
+    with ``width`` (default: the minimum grid spacing)."""
+    xf = np.asarray(x_faces, np.float64)
+    yf = np.asarray(y_faces, np.float64)
+    zf = np.asarray(z_faces, np.float64)
+    xc = 0.5 * (xf[:-1] + xf[1:])
+    yc = 0.5 * (yf[:-1] + yf[1:])
+    zc = 0.5 * (zf[:-1] + zf[1:])
+    if width is None:
+        width = float(
+            min(np.diff(xf).min(), np.diff(yf).min(), np.diff(zf).min())
+        )
     cx, cy, cz = center
 
     def fields(xs, ys, zs):
@@ -124,19 +152,13 @@ def potential_flow_sphere_mac3d(
         u = v_inf * (1.0 + fac - 3.0 * fac * X * X / r**2)
         v = -3.0 * v_inf * fac * X * Y / r**2
         w = -3.0 * v_inf * fac * X * Z / r**2
-        blend = np.minimum(1.0, ((r - radius) / (4.0 * dx)) ** 2)
-        near = r <= radius + 4.0 * dx
+        blend = np.minimum(1.0, ((r - radius) / (4.0 * width)) ** 2)
+        near = r <= radius + 4.0 * width
         u = np.where(near, v_inf * blend, u)
         v = np.where(near, 0.0, v)
         w = np.where(near, 0.0, w)
         return u, v, w
 
-    xf = grid.x_min + np.arange(nx + 1) * dx
-    xc = grid.x_min + (np.arange(nx) + 0.5) * dx
-    yf = grid.y_min + np.arange(ny + 1) * dy
-    yc = grid.y_min + (np.arange(ny) + 0.5) * dy
-    zf = grid.z_min + np.arange(nz + 1) * dz
-    zc = grid.z_min + (np.arange(nz) + 0.5) * dz
     u0, _, _ = fields(xf, yc, zc)
     _, v0, _ = fields(xc, yf, zc)
     _, _, w0 = fields(xc, yc, zf)
@@ -147,6 +169,20 @@ def potential_flow_sphere_mac3d(
         jnp.asarray(u0, jnp.float32),
         jnp.asarray(v0, jnp.float32),
         jnp.asarray(w0, jnp.float32),
+    )
+
+
+def potential_flow_sphere_mac3d(
+    grid, center, radius: float, v_inf: float, mask_u, mask_v, mask_w
+):
+    """``potential_flow_sphere_faces`` on a uniform cell-centered
+    ``Grid3D``."""
+    xf = grid.x_min + np.arange(grid.nx + 1) * grid.dx
+    yf = grid.y_min + np.arange(grid.ny + 1) * grid.dy
+    zf = grid.z_min + np.arange(grid.nz + 1) * grid.dz
+    return potential_flow_sphere_faces(
+        xf, yf, zf, center, radius, v_inf, mask_u, mask_v, mask_w,
+        width=grid.dx,
     )
 
 

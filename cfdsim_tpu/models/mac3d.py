@@ -130,7 +130,8 @@ def free_slip_bcs3d() -> MAC3DBCs:
     return MAC3DBCs(set_normal, ghosts)
 
 
-def external_flow_bcs3d(v_inf: float, inlet_profile=None) -> MAC3DBCs:
+def external_flow_bcs3d(v_inf: float, inlet_profile=None,
+                        face_weights=None) -> MAC3DBCs:
     """External flow along +x (sphere / bluff-body cases): Dirichlet
     inflow at x_lo (optionally scaled by a static (nz, ny) profile — a
     steady symmetry-breaking trigger for supercritical Re; below the
@@ -138,14 +139,24 @@ def external_flow_bcs3d(v_inf: float, inlet_profile=None) -> MAC3DBCs:
     cylinder's unsteady trigger mac.external_flow_bcs / v5.py:349-360),
     mass-consistent zero-gradient outflow at x_hi (keeps the all-Neumann
     DCT pressure problem solvable, exactly as the 2D version), and
-    free-slip far-field on the four lateral faces."""
+    free-slip far-field on the four lateral faces.
+
+    On a stretched grid pass ``face_weights`` = the (nz, ny) x-face area
+    array (h_y⊗h_z), so the outflow shift balances the *area-weighted*
+    mass flux rather than the plain face mean."""
+    if face_weights is not None:
+        fw = jnp.asarray(face_weights, jnp.float32)
+        fw = fw / jnp.sum(fw)
 
     def set_normal(u, v, w):
         uin = v_inf if inlet_profile is None else v_inf * inlet_profile
         u = u.at[:, :, 0].set(uin)
         # shift the outflow so outflow flux exactly equals inflow flux
-        out = u[:, :, -2] + jnp.mean(u[:, :, 0] - u[:, :, -2])
-        u = u.at[:, :, -1].set(out)
+        if face_weights is None:
+            shift = jnp.mean(u[:, :, 0] - u[:, :, -2])
+        else:
+            shift = jnp.sum(fw * (u[:, :, 0] - u[:, :, -2]))
+        u = u.at[:, :, -1].set(u[:, :, -2] + shift)
         v = v.at[:, 0, :].set(0.0).at[:, -1, :].set(0.0)
         w = w.at[0].set(0.0).at[-1].set(0.0)
         return u, v, w

@@ -94,9 +94,19 @@ def make_step(
     x_faces,
     y_faces,
     z_faces,
+    ibm_mask_u=None,
+    ibm_mask_v=None,
+    ibm_mask_w=None,
+    ibm_ramp_steps: int = 0,
 ) -> Callable:
     """Build ``step(state, cfl_scale) -> (state, StepMetrics)`` on the
-    stretched grid defined by the three face-coordinate vectors."""
+    stretched grid defined by the three face-coordinate vectors.
+
+    ``ibm_mask_{u,v,w}`` are face-sampled penalization masks
+    (ibm.sphere_masks_faces on the same face vectors); the body force
+    reported in the metrics is the volume-weighted momentum sink
+    F = Σ Δu·V_face/dt (per unit density), V_face the staggered control
+    volume — the nonuniform analog of mac3d.make_step's IBM block."""
     mx = _metrics(x_faces)
     my = _metrics(y_faces)
     mz = _metrics(z_faces)
@@ -141,6 +151,21 @@ def make_step(
     dzl_f, dzr_f = bz(zf - zg[:-1]), bz(zg[1:] - zf)
 
     solve_p = make_fdm_solver_3d(mx.h, my.h, mz.h)
+
+    if ibm_mask_u is not None:
+        # staggered control volumes for the penalization force
+        cv_u = f32(
+            mz.h[:, None, None] * my.h[None, :, None]
+            * mx.dfull[None, None, :]
+        )
+        cv_v = f32(
+            mz.h[:, None, None] * my.dfull[None, :, None]
+            * mx.h[None, None, :]
+        )
+        cv_w = f32(
+            mz.dfull[:, None, None] * my.h[None, :, None]
+            * mx.h[None, None, :]
+        )
 
     def step(state: MAC3DState, cfl_scale):
         u, v, w = bcs.set_normal(state.u, state.v, state.w)
@@ -262,6 +287,22 @@ def make_step(
         w_star = w.at[1:-1].add(dt * (cfg.nu * lap_w - conv_w))
         u_star, v_star, w_star = bcs.set_normal(u_star, v_star, w_star)
 
+        fx = fy = fz = jnp.float32(0.0)
+        if ibm_mask_u is not None:
+            from cfdsim_tpu.ibm import ibm_ramp
+
+            strength = ibm_ramp(state.step, ibm_ramp_steps)
+            du_ibm = u_star * (strength * ibm_mask_u)
+            dv_ibm = v_star * (strength * ibm_mask_v)
+            dw_ibm = w_star * (strength * ibm_mask_w)
+            u_star = u_star - du_ibm
+            v_star = v_star - dv_ibm
+            w_star = w_star - dw_ibm
+            if cfg.compute_metrics:
+                fx = jnp.sum(du_ibm * cv_u) / dt
+                fy = jnp.sum(dv_ibm * cv_v) / dt
+                fz = jnp.sum(dw_ibm * cv_w) / dt
+
         # --- exact projection (FV divergence / center-gap gradient pair)
         div_star = (
             (u_star[:, :, 1:] - u_star[:, :, :-1]) * inv_hx
@@ -314,6 +355,9 @@ def make_step(
                 ) / vol,
                 vort_max=jnp.max(jnp.abs(dwdy - dvdz)),
                 poisson_res=jnp.float32(0.0),  # FDM is exact
+                fx=fx,
+                fy=fy,
+                fz=fz,
             )
         else:
             zero = jnp.float32(0.0)

@@ -130,3 +130,68 @@ def test_cavity3d_stretched_tvd_runs_healthy():
     assert bool(jnp.all(jnp.isfinite(s.u)))
     assert float(m.div_post) < 5e-3
     assert 0.0 < float(m.energy) < 0.5
+
+
+def test_sphere_stretched_uniform_matches_sphere():
+    """With strength-0 refinement the stretched sphere step must
+    reproduce the uniform ``sphere`` case (central scheme: identical
+    metric coefficients, identical external-flow BCs incl. the
+    mass-consistent outflow and the IBM penalization + force)."""
+    from cfdsim_tpu.cases import sphere_mac3d, sphere_stretched
+
+    kw = dict(nx=32, ny=16, nz=16, Re=100.0, domain=(8.0, 4.0, 4.0),
+              center=(2.0, 2.0, 2.0), scheme="central", ibm_ramp_steps=3,
+              compute_metrics=True)
+    c_u = sphere_mac3d(**kw)
+    c_s = sphere_stretched(refine_strength=0.0, wake_length=1.0, **kw)
+    np.testing.assert_allclose(
+        np.diff(c_s.extras["x_faces"]), 8.0 / 32, rtol=1e-12
+    )
+    su, ss = c_u.state, c_s.state
+    np.testing.assert_allclose(np.asarray(ss.u), np.asarray(su.u),
+                               rtol=0, atol=1e-6)
+    step_u = jax.jit(c_u.step)
+    step_s = jax.jit(c_s.step)
+    for _ in range(5):
+        su, mu = step_u(su, jnp.float32(1.0))
+        ss, ms = step_s(ss, jnp.float32(1.0))
+    np.testing.assert_allclose(np.asarray(ss.u), np.asarray(su.u),
+                               rtol=0, atol=5e-5)
+    np.testing.assert_allclose(np.asarray(ss.v), np.asarray(su.v),
+                               rtol=0, atol=5e-5)
+    np.testing.assert_allclose(np.asarray(ss.w), np.asarray(su.w),
+                               rtol=0, atol=5e-5)
+    np.testing.assert_allclose(float(ms.fx), float(mu.fx), rtol=1e-4)
+    np.testing.assert_allclose(float(ms.dt), float(mu.dt), rtol=1e-5)
+
+
+def test_sphere_stretched_graded_run():
+    """A genuinely graded sphere grid: near-body spacing ~3× finer than
+    uniform, step stays finite, exactly projected in the interior, and
+    the drag lands closer to Schiller–Naumann than the uniform grid at
+    the same cell count (the point of the tier)."""
+    from cfdsim_tpu.cases import sphere_stretched
+    from cfdsim_tpu.validation import sphere_drag_schiller_naumann
+
+    case = sphere_stretched(
+        nx=48, ny=24, nz=24, Re=100.0, domain=(12.0, 6.0, 6.0),
+        center=(3.0, 3.0, 3.0), ibm_ramp_steps=20, compute_metrics=True,
+    )
+    assert case.extras["h_min"] < 0.6 * (12.0 / 48)
+
+    def chunk(state, _):
+        def body(s, _):
+            s2, m = case.step(s, 1.0)
+            return s2, (m.fx, m.div_post)
+
+        return jax.lax.scan(body, state, None, length=40)
+
+    chunk = jax.jit(chunk)
+    state = case.state
+    for _ in range(5):
+        state, (fx, div) = chunk(state, None)
+    assert bool(jnp.isfinite(state.u).all())
+    cd = float(fx[-1]) * case.extras["coeff_scale"]
+    cd_ref = sphere_drag_schiller_naumann(100.0)
+    # uniform 6-cells/D measured 1.61 (+48%); the graded grid must beat it
+    assert cd_ref < cd < 1.45
