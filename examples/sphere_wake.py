@@ -24,16 +24,21 @@ import jax.numpy as jnp
 
 
 def run_sphere(re: float = 100.0, cells_per_d: int = 12, t_final: float = 40.0,
-               chunk_steps: int = 100, verbose: bool = True):
+               chunk_steps: int = 100, verbose: bool = True,
+               stretched: bool = False):
     from cfdsim_tpu.cases import build
     from cfdsim_tpu.validation import sphere_drag_schiller_naumann
 
     n = cells_per_d
     case = build(
-        "sphere", nx=16 * n, ny=8 * n, nz=8 * n, Re=re,
+        "sphere_stretched" if stretched else "sphere",
+        nx=16 * n, ny=8 * n, nz=8 * n, Re=re,
         domain=(16.0, 8.0, 8.0), center=(4.0, 4.0, 4.0),
         ibm_ramp_steps=100, compute_metrics=True,
     )
+    if stretched and verbose:
+        print(f"  stretched grid: h_min={case.extras['h_min']:.4f} "
+              f"({1 / case.extras['h_min']:.0f} cells/D near the body)")
 
     def chunk(state, _):
         def body(s, _):
@@ -66,7 +71,10 @@ def run_sphere(re: float = 100.0, cells_per_d: int = 12, t_final: float = 40.0,
         state.u[kmid - 1, jmid - 1] + state.u[kmid - 1, jmid]
         + state.u[kmid, jmid - 1] + state.u[kmid, jmid]
     )  # (nx+1,) at the y=z=4 centerline
-    xf = g.x_min + jnp.arange(g.nx + 1) * g.dx
+    if stretched:
+        xf = jnp.asarray(case.extras["x_faces"], jnp.float32)
+    else:
+        xf = g.x_min + jnp.arange(g.nx + 1) * g.dx
     cx, r = case.extras["center"][0], case.extras["radius"]
     behind = xf > cx + r
     neg = (u_line < 0.0) & behind
@@ -85,7 +93,12 @@ def run_sphere(re: float = 100.0, cells_per_d: int = 12, t_final: float = 40.0,
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--re", type=float, default=100.0)
-    ap.add_argument("--n", type=int, default=12, help="cells per diameter")
+    ap.add_argument("--n", type=int, default=12,
+                    help="cells per diameter (nominal for --stretched)")
     ap.add_argument("--t", type=float, default=40.0)
+    ap.add_argument("--stretched", action="store_true",
+                    help="body+wake-refined stretched grid "
+                         "(~2.5x the near-body resolution per cell)")
     args = ap.parse_args()
-    run_sphere(re=args.re, cells_per_d=args.n, t_final=args.t)
+    run_sphere(re=args.re, cells_per_d=args.n, t_final=args.t,
+               stretched=args.stretched)
