@@ -213,12 +213,36 @@ def cavity3d_local_bcs(nx: int, ny: int,
                          velmax_extra)
 
 
-def external_flow3d_local_bcs(nx: int, ny: int, nz: int,
-                              v_inf: float) -> MAC3DLocalBCs:
+def external_flow3d_local_bcs(nx: int, ny: int, nz: int, v_inf: float,
+                              face_weights=None) -> MAC3DLocalBCs:
     """Masked-write form of mac3d.external_flow_bcs3d: Dirichlet inflow
     at x_lo, mass-consistent zero-gradient outflow at x_hi (the dropped
     u face nx, reconstructed as u(nx−1) + the psum'd global shift),
-    free-slip far-field on the four lateral faces."""
+    free-slip far-field on the four lateral faces.
+
+    ``face_weights`` (optional, (nz, ny)): x-face areas h_y⊗h_z for the
+    area-weighted mass balance on a stretched grid — looked up per
+    shard by ``lax.dynamic_slice`` of the y-padded array (never a
+    gather: backend miscompile, CLAUDE.md)."""
+    import numpy as np
+
+    if face_weights is not None:
+        _pad = 4
+        fw_total = float(np.sum(face_weights))
+        fw_pad = jnp.asarray(
+            np.pad(np.asarray(face_weights, np.float32),
+                   ((0, 0), (_pad, _pad)), mode="edge")
+        )
+
+    def _weights_local(ro):
+        # ro is (1, ny_l, nx_l) of global row indices gy0..; weights vary
+        # over (z, y) only
+        gy0 = ro[0, 0, 0]
+        ny_l = ro.shape[1]
+        w = lax.dynamic_slice(
+            fw_pad, (0, gy0 + _pad), (fw_pad.shape[0], ny_l)
+        )
+        return w[:, :, None]
 
     def pre(u_t, v_t, w_t, ro, co, state):
         u_t = jnp.where(co == 0, v_inf, u_t)
@@ -227,11 +251,17 @@ def external_flow3d_local_bcs(nx: int, ny: int, nz: int,
         return u_t, v_t, w_t
 
     def aux(u_t, v_t, w_t, ro, co, state):
-        # mass-consistent outflow shift: mean over the (nz, ny) plane of
-        # u(face 0) − u(face nx−1) (mac3d.external_flow_bcs3d set_normal)
-        s0 = _psum(jnp.sum(jnp.where(co == 0, u_t, 0.0)))
-        s1 = _psum(jnp.sum(jnp.where(co == nx - 1, u_t, 0.0)))
-        return (s0 - s1) / float(ny * nz)
+        # mass-consistent outflow shift: (area-weighted) mean over the
+        # (nz, ny) plane of u(face 0) − u(face nx−1)
+        # (mac3d.external_flow_bcs3d set_normal)
+        if face_weights is None:
+            s0 = _psum(jnp.sum(jnp.where(co == 0, u_t, 0.0)))
+            s1 = _psum(jnp.sum(jnp.where(co == nx - 1, u_t, 0.0)))
+            return (s0 - s1) / float(ny * nz)
+        w = _weights_local(ro)
+        s0 = _psum(jnp.sum(w * jnp.where(co == 0, u_t, 0.0)))
+        s1 = _psum(jnp.sum(w * jnp.where(co == nx - 1, u_t, 0.0)))
+        return (s0 - s1) / fw_total
 
     def win(U2, V2, W2, r2, c2, state, mcorr):
         # u: virtual faces > nx are 0; the dropped outflow face nx is the

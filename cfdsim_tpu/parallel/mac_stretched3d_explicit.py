@@ -27,7 +27,7 @@ from cfdsim_tpu.models.mac3d import MAC3DState
 from cfdsim_tpu.models.mac_stretched import _metrics
 from cfdsim_tpu.models.mac_stretched3d import StretchedMAC3DConfig
 from cfdsim_tpu.parallel.mac_explicit import _pmax, _psum
-from cfdsim_tpu.parallel.mac3d_explicit import _halo_yx, cavity3d_bc_kit
+from cfdsim_tpu.parallel.mac3d_explicit import _halo_yx
 from cfdsim_tpu.parallel.transforms import make_fdm_poisson3d_local
 
 _PAD = 4
@@ -51,16 +51,29 @@ def _zc(vec):
     return jnp.asarray(np.asarray(vec, np.float32))[:, None, None]
 
 
-def make_cavity3d_stretched_explicit_step(
+def make_stretched3d_explicit_step(
     cfg: StretchedMAC3DConfig,
     mesh: Mesh,
     x_faces,
     y_faces,
     z_faces,
-    lid_velocity: float = 1.0,
+    bcs,
+    use_ibm: bool = False,
+    ibm_ramp_steps: int = 0,
 ):
-    """Build ``step(tstate, cfl_scale) -> (tstate, StepMetrics)`` on the
-    trimmed 3D representation, P(None, "y", "x")-sharded."""
+    """Build ``step(tstate, cfl_scale[, mask_u_t, mask_v_t, mask_w_t]) ->
+    (tstate, StepMetrics)`` on the trimmed 3D representation,
+    P(None, "y", "x")-sharded. ``bcs`` is a masked-write
+    ``mac3d_explicit.MAC3DLocalBCs`` kit (its width-2 ``win`` hook is
+    unused — this step runs width-1 halos, central scheme only);
+    optional IBM masks are the trimmed face masks from
+    ``mac3d_explicit.trim_face_masks3d``, with the body force
+    volume-weighted by the staggered control volumes (the sharded analog
+    of mac_stretched3d.make_step's IBM block)."""
+    if cfg.scheme != "central":
+        raise ValueError(
+            "the explicit stretched-3D step implements scheme='central'"
+        )
     mx = _metrics(x_faces)
     my = _metrics(y_faces)
     mz = _metrics(z_faces)
@@ -92,35 +105,57 @@ def make_cavity3d_stretched_explicit_step(
     hz_c = _zc(mz.h)
     h_min = float(min(mx.h.min(), my.h.min(), mz.h.min()))
     vol = float(np.sum(mx.h) * np.sum(my.h) * np.sum(mz.h))
+    dfx_at = _lut3(mx.dfull, 2)
+    dfy_at = _lut3(my.dfull, 1)
+    dfz_c = _zc(mz.dfull)
 
     solve_p = make_fdm_poisson3d_local(mx.h, my.h, mz.h, py, px)
 
     spec = P(None, "y", "x")
     state_spec = MAC3DState(u=spec, v=spec, w=spec, p=spec, t=P(), step=P())
     metric_spec = StepMetrics(*([P()] * len(StepMetrics._fields)))
+    in_specs = [state_spec, P()]
+    if use_ibm:
+        in_specs += [spec, spec, spec]
 
-    bc_kit = cavity3d_bc_kit(nx, ny, py, px, ny_l, nx_l)
-
-    def step_local(ts: MAC3DState, cfl_scale):
+    def step_local(ts: MAC3DState, cfl_scale, *extras):
         iy = lax.axis_index("y")
         ix = lax.axis_index("x")
         gy0 = iy * ny_l
         gx0 = ix * nx_l
-        ro, co, rp, cp, set_normal, pad = bc_kit(iy, ix)
-        del rp, cp  # only the trimmed-grid masks are used below
+        ro = gy0 + lax.broadcasted_iota(jnp.int32, (ny_l, nx_l), 0)[None]
+        co = gx0 + lax.broadcasted_iota(jnp.int32, (ny_l, nx_l), 1)[None]
+        shp_p = (ny_l + 2, nx_l + 2)
+        rp = gy0 - 1 + lax.broadcasted_iota(jnp.int32, shp_p, 0)[None]
+        cp = gx0 - 1 + lax.broadcasted_iota(jnp.int32, shp_p, 1)[None]
 
-        u_t, v_t, w_t = set_normal(ts.u, ts.v, ts.w)
-        U, V, Wz = pad(u_t, v_t, w_t)
-        UZG = jnp.concatenate(
-            [-U[:1], U, 2.0 * lid_velocity - U[-1:]], axis=0
-        )
-        VZG = jnp.concatenate([-V[:1], V, -V[-1:]], axis=0)
+        def set_normal(u_t, v_t, w_t):
+            u_t, v_t, w_t = bcs.pre(u_t, v_t, w_t, ro, co, ts)
+            a = bcs.aux(u_t, v_t, w_t, ro, co, ts)
+            return u_t, v_t, w_t, a
+
+        def pad(u_t, v_t, w_t, a):
+            U = _halo_yx(u_t, py, px)
+            V = _halo_yx(v_t, py, px)
+            W = _halo_yx(w_t, py, px)
+            Wz = jnp.concatenate([W, jnp.zeros_like(W[:1])], axis=0)
+            return bcs.pad_writes(U, V, Wz, rp, cp, ts, a)
+
+        u_t, v_t, w_t, a = set_normal(ts.u, ts.v, ts.w)
+        U, V, Wz = pad(u_t, v_t, w_t, a)
+        UZG = bcs.zghost_u(U)
+        VZG = bcs.zghost_v(V)
 
         if cfg.adaptive_dt:
             vel_max = _pmax(
                 jnp.maximum(
                     jnp.maximum(jnp.max(jnp.abs(u_t)), jnp.max(jnp.abs(v_t))),
-                    jnp.maximum(jnp.max(jnp.abs(w_t)), 1e-10),
+                    jnp.maximum(
+                        jnp.maximum(
+                            jnp.max(jnp.abs(w_t)), bcs.velmax_extra(u_t, a)
+                        ),
+                        1e-10,
+                    ),
                 )
             )
             dt_cfl = cfg.cfl_target * cfl_scale * h_min / vel_max
@@ -213,10 +248,32 @@ def make_cavity3d_stretched_explicit_step(
         u_star = u_t + jnp.where(co >= 1, dt * (cfg.nu * lap_u - conv_u), 0.0)
         v_star = v_t + jnp.where(ro >= 1, dt * (cfg.nu * lap_v - conv_v), 0.0)
         w_star = w_t.at[1:].add(dt * (cfg.nu * lap_w - conv_w)[1:])
-        u_star, v_star, w_star = set_normal(u_star, v_star, w_star)
+        u_star, v_star, w_star, a = set_normal(u_star, v_star, w_star)
+
+        # --- IBM penalization + volume-weighted body force
+        # (mac_stretched3d.make_step ibm block, psum'd)
+        fx = fy = fz = jnp.float32(0.0)
+        if use_ibm:
+            mask_u_t, mask_v_t, mask_w_t = extras
+            from cfdsim_tpu.ibm import ibm_ramp
+
+            strength = ibm_ramp(ts.step, ibm_ramp_steps)
+            du_ibm = u_star * (strength * mask_u_t)
+            dv_ibm = v_star * (strength * mask_v_t)
+            dw_ibm = w_star * (strength * mask_w_t)
+            u_star = u_star - du_ibm
+            v_star = v_star - dv_ibm
+            w_star = w_star - dw_ibm
+            if cfg.compute_metrics:
+                cv_u = hz_c * hy_at(gy0, ny_l) * dfx_at(gx0, nx_l)
+                cv_v = hz_c * dfy_at(gy0, ny_l) * hx_at(gx0, nx_l)
+                cv_w = dfz_c[:nz] * hy_at(gy0, ny_l) * hx_at(gx0, nx_l)
+                fx = _psum(jnp.sum(du_ibm * cv_u)) / dt
+                fy = _psum(jnp.sum(dv_ibm * cv_v)) / dt
+                fz = _psum(jnp.sum(dw_ibm * cv_w)) / dt
 
         # --- exact distributed 3D FDM projection
-        US, VS, WSz = pad(u_star, v_star, w_star)
+        US, VS, WSz = pad(u_star, v_star, w_star, a)
         div_star = (
             (US[:, 1:-1, 2:] - US[:, 1:-1, 1:-1]) * hx_own
             + (VS[:, 2:, 1:-1] - VS[:, 1:-1, 1:-1]) * hy_own
@@ -229,7 +286,7 @@ def make_cavity3d_stretched_explicit_step(
         u_new = u_star - jnp.where(co >= 1, dt * gx, 0.0)
         v_new = v_star - jnp.where(ro >= 1, dt * gy_, 0.0)
         w_new = w_star.at[1:].add(-dt * (phi[1:] - phi[:-1]) * inv_dcz)
-        u_new, v_new, w_new = set_normal(u_new, v_new, w_new)
+        u_new, v_new, w_new, a = set_normal(u_new, v_new, w_new)
         u_new = jnp.clip(u_new, -cfg.max_velocity, cfg.max_velocity)
         v_new = jnp.clip(v_new, -cfg.max_velocity, cfg.max_velocity)
         w_new = jnp.clip(w_new, -cfg.max_velocity, cfg.max_velocity)
@@ -240,7 +297,7 @@ def make_cavity3d_stretched_explicit_step(
         )
 
         if cfg.compute_metrics:
-            UN, VN, WNz = pad(u_new, v_new, w_new)
+            UN, VN, WNz = pad(u_new, v_new, w_new, a)
             div_post = (
                 (UN[:, 1:-1, 2:] - UN[:, 1:-1, 1:-1]) * hx_own
                 + (VN[:, 2:, 1:-1] - VN[:, 1:-1, 1:-1]) * hy_own
@@ -274,15 +331,64 @@ def make_cavity3d_stretched_explicit_step(
                 ) / vol,
                 vort_max=_pmax(jnp.max(jnp.abs(vort))),
                 poisson_res=jnp.float32(0.0),  # FDM is exact
+                fx=fx,
+                fy=fy,
+                fz=fz,
             )
         else:
             zero = jnp.float32(0.0)
             metrics = StepMetrics(dt, zero, zero, zero, zero, zero, zero)
         return new_ts, metrics
 
-    return jax.jit(jax.shard_map(
+    return jax.shard_map(
         step_local,
         mesh=mesh,
-        in_specs=(state_spec, P()),
+        in_specs=tuple(in_specs),
         out_specs=(state_spec, metric_spec),
+    )
+
+
+def make_cavity3d_stretched_explicit_step(
+    cfg: StretchedMAC3DConfig,
+    mesh: Mesh,
+    x_faces,
+    y_faces,
+    z_faces,
+    lid_velocity: float = 1.0,
+):
+    """Explicit-comm stretched 3D MAC step for the lid-driven cavity."""
+    from cfdsim_tpu.parallel.mac3d_explicit import cavity3d_local_bcs
+
+    bcs = cavity3d_local_bcs(cfg.nx, cfg.ny, lid_velocity)
+    return jax.jit(make_stretched3d_explicit_step(
+        cfg, mesh, x_faces, y_faces, z_faces, bcs
+    ))
+
+
+def make_sphere3d_stretched_explicit_step(
+    cfg: StretchedMAC3DConfig,
+    mesh: Mesh,
+    x_faces,
+    y_faces,
+    z_faces,
+    v_inf: float = 1.0,
+    ibm_ramp_steps: int = 0,
+):
+    """Explicit-comm stretched 3D MAC step for external flow past an
+    immersed body (the ``sphere_stretched`` case, central scheme): call
+    as ``step(tstate, cfl_scale, mask_u_t, mask_v_t, mask_w_t)`` with
+    the trimmed, P(None, "y", "x")-sharded masks from
+    ``mac3d_explicit.trim_face_masks3d``. The outflow mass balance is
+    area-weighted by the stretched x-face areas (h_y⊗h_z)."""
+    from cfdsim_tpu.parallel.mac3d_explicit import external_flow3d_local_bcs
+
+    hy = np.diff(np.asarray(y_faces))
+    hz = np.diff(np.asarray(z_faces))
+    fw = hz[:, None] * hy[None, :]
+    bcs = external_flow3d_local_bcs(
+        cfg.nx, cfg.ny, cfg.nz, v_inf, face_weights=fw
+    )
+    return jax.jit(make_stretched3d_explicit_step(
+        cfg, mesh, x_faces, y_faces, z_faces, bcs,
+        use_ibm=True, ibm_ramp_steps=ibm_ramp_steps,
     ))

@@ -200,3 +200,56 @@ def test_sphere_explicit_matches_single_device(mesh, scheme):
                                rtol=1e-5)
     assert float(m_ex.fx) > 0.0
     assert len(t.u.sharding.device_set) == 8
+
+
+def test_sphere_stretched_explicit_matches_single_device(mesh):
+    """Sharded stretched-3D external flow + IBM (the sphere_stretched
+    case on the central scheme): area-weighted psum'd outflow balance,
+    dynamic-sliced metric volumes in the force accounting — must match
+    the single-device mac_stretched3d step, forces included."""
+    from cfdsim_tpu.cases import sphere_stretched
+    from cfdsim_tpu.parallel.mac3d_explicit import trim_face_masks3d
+    from cfdsim_tpu.parallel.mac_stretched3d_explicit import (
+        make_sphere3d_stretched_explicit_step,
+    )
+
+    case = sphere_stretched(
+        nx=32, ny=16, nz=16, Re=100.0, domain=(8.0, 4.0, 4.0),
+        center=(2.0, 2.0, 2.0), scheme="central", refine_strength=1.5,
+        refine_width=1.0, wake_length=2.0, ibm_ramp_steps=4,
+        compute_metrics=True,
+    )
+    step_ref = jax.jit(case.step)
+    step_ex = make_sphere3d_stretched_explicit_step(
+        case.cfg, mesh, case.extras["x_faces"], case.extras["y_faces"],
+        case.extras["z_faces"], v_inf=case.extras["v_inf"],
+        ibm_ramp_steps=4,
+    )
+    masks_t = trim_face_masks3d(*case.extras["ibm_masks"])
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sh = NamedSharding(mesh, P(None, "y", "x"))
+    masks_t = tuple(jax.device_put(m, sh) for m in masks_t)
+
+    t = shard_trimmed_state3d(trim_state3d(case.state), mesh)
+    r = case.state
+    for _ in range(6):
+        t, m_ex = step_ex(t, jnp.float32(1.0), *masks_t)
+        r, m_ref = step_ref(r, jnp.float32(1.0))
+    np.testing.assert_allclose(np.asarray(t.u), np.asarray(r.u)[:, :, :-1],
+                               rtol=0, atol=3e-5)
+    np.testing.assert_allclose(np.asarray(t.v), np.asarray(r.v)[:, :-1, :],
+                               rtol=0, atol=3e-5)
+    np.testing.assert_allclose(np.asarray(t.w), np.asarray(r.w)[:-1],
+                               rtol=0, atol=3e-5)
+    np.testing.assert_allclose(np.asarray(t.p), np.asarray(r.p),
+                               rtol=0, atol=3e-4)
+    np.testing.assert_allclose(float(m_ex.dt), float(m_ref.dt), rtol=1e-6)
+    np.testing.assert_allclose(float(m_ex.fx), float(m_ref.fx),
+                               rtol=2e-4, atol=1e-6)
+    np.testing.assert_allclose(float(m_ex.fy), float(m_ref.fy),
+                               rtol=2e-4, atol=1e-6)
+    np.testing.assert_allclose(float(m_ex.fz), float(m_ref.fz),
+                               rtol=2e-4, atol=1e-6)
+    assert float(m_ex.fx) > 0.0
+    assert len(t.u.sharding.device_set) == 8
