@@ -930,6 +930,85 @@ def sphere_stretched(
     )
 
 
+def heated_sphere(
+    nx: int = 192,
+    ny: int = 96,
+    nz: int = 96,
+    Re: float = 100.0,
+    Pr: float = 0.7,
+    v_inf: float = 1.0,
+    radius: float = 0.5,
+    center: tuple[float, float, float] = (4.0, 4.0, 4.0),
+    domain: tuple[float, float, float] = (16.0, 8.0, 8.0),
+    scheme: str = "tvd",
+    theta_scheme: str = "upwind",
+    ibm_ramp_steps: int = 200,
+    ibm_profile: str = "sharp",
+    **cfg_overrides,
+) -> Case:
+    """Forced convection from an isothermal sphere — 3D scalar transport
+    coupled to the IBM external flow (models/transport3d.py): θ=1 body
+    in a θ=0 stream, heat flux from the θ-penalization source, Nusselt
+    number validated against Ranz–Marshall Nu = 2 + 0.6·Re^½·Pr^⅓
+    (``validation.sphere_nusselt_ranz_marshall``; Nu(Re=100, Pr=0.7)
+    ≈ 7.33). The reference's transport capability ceiling is 2D
+    (beyond-reference tier). Metrics: fx/fy/fz body forces, q_body,
+    nusselt, theta extrema."""
+    import numpy as np
+
+    from cfdsim_tpu.grid import Grid3D
+    from cfdsim_tpu.ibm import (
+        potential_flow_sphere_mac3d,
+        sphere_mask_cells,
+        sphere_masks_mac3d,
+    )
+    from cfdsim_tpu.models import mac3d
+    from cfdsim_tpu.models import transport3d as t3
+
+    grid = Grid3D(
+        nx=nx, ny=ny, nz=nz,
+        x_max=domain[0], y_max=domain[1], z_max=domain[2],
+        centering="cell",
+    )
+    mask_u, mask_v, mask_w = sphere_masks_mac3d(
+        grid, center, radius, profile=ibm_profile
+    )
+    xf = grid.x_min + np.arange(nx + 1) * grid.dx
+    yf = grid.y_min + np.arange(ny + 1) * grid.dy
+    zf = grid.z_min + np.arange(nz + 1) * grid.dz
+    mask_c = sphere_mask_cells(xf, yf, zf, center, radius,
+                               profile=ibm_profile, width=grid.dx)
+    h = min(grid.dx, grid.dy, grid.dz)
+    defaults = dict(
+        cfl_target=0.4,
+        dt_max=0.4 * h / max(v_inf, 1e-10),
+        max_velocity=5.0 * v_inf,
+    )
+    defaults.update(cfg_overrides)
+    cfg = t3.Transport3DConfig(
+        grid=grid, nu=v_inf * 2 * radius / Re, prandtl=Pr, scheme=scheme,
+        theta_scheme=theta_scheme, body_diameter=2 * radius, **defaults
+    )
+    bcs = mac3d.external_flow_bcs3d(v_inf)
+    step = t3.make_step(
+        cfg, bcs, ibm_mask_u=mask_u, ibm_mask_v=mask_v, ibm_mask_w=mask_w,
+        ibm_mask_c=mask_c, ibm_ramp_steps=ibm_ramp_steps,
+    )
+    u0, v0, w0 = potential_flow_sphere_mac3d(
+        grid, center, radius, v_inf, mask_u, mask_v, mask_w
+    )
+    state = t3.init_state(cfg, u0=u0, v0=v0, w0=w0)
+    return Case(
+        "heated_sphere", cfg, step, state, grid,
+        {
+            "ibm_masks": (mask_u, mask_v, mask_w, mask_c),
+            "center": center, "radius": radius, "v_inf": v_inf,
+            "bcs": bcs,
+            "coeff_scale": 2.0 / (v_inf**2 * np.pi * radius**2),
+        },
+    )
+
+
 def cavity3d_stretched(
     n: int = 48,
     Re: float = 400.0,
@@ -1466,6 +1545,7 @@ CASES: dict[str, Callable[..., Case]] = {
     "cavity3d_stretched": cavity3d_stretched,
     "sphere": sphere_mac3d,
     "sphere_stretched": sphere_stretched,
+    "heated_sphere": heated_sphere,
     "heated_cavity": heated_cavity,
     "rayleigh_benard": rayleigh_benard,
     "heated_cube": heated_cube,

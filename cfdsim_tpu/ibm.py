@@ -110,6 +110,33 @@ def sphere_masks_faces(x_faces, y_faces, z_faces, center, radius: float,
     )
 
 
+def sphere_mask_cells(x_faces, y_faces, z_faces, center, radius: float,
+                      profile: str = "sharp", width: float | None = None):
+    """Cell-centered sphere mask (nz, ny, nx) — the θ-penalization mask
+    for isothermal immersed bodies (models/transport3d.py); same
+    profiles as ``sphere_masks_faces``."""
+    xf = np.asarray(x_faces, np.float64)
+    yf = np.asarray(y_faces, np.float64)
+    zf = np.asarray(z_faces, np.float64)
+    xc = 0.5 * (xf[:-1] + xf[1:])
+    yc = 0.5 * (yf[:-1] + yf[1:])
+    zc = 0.5 * (zf[:-1] + zf[1:])
+    if width is None:
+        width = float(
+            min(np.diff(xf).min(), np.diff(yf).min(), np.diff(zf).min())
+        )
+    Z, Y, X = np.meshgrid(zc, yc, xc, indexing="ij")
+    d = np.sqrt((X - center[0]) ** 2 + (Y - center[1]) ** 2
+                + (Z - center[2]) ** 2)
+    if profile == "sharp":
+        m = np.clip((radius + 0.5 * width - d) / width, 0.0, 1.0)
+    elif profile == "shell":
+        m = _gaussian_shell(d, radius, width)
+    else:
+        raise ValueError(f"unknown IBM mask profile {profile!r}")
+    return jnp.asarray(m, jnp.float32)
+
+
 def sphere_masks_mac3d(grid, center, radius: float, profile: str = "sharp"):
     """``sphere_masks_faces`` on a uniform cell-centered ``Grid3D``."""
     xf = grid.x_min + np.arange(grid.nx + 1) * grid.dx

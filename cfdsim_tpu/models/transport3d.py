@@ -1,0 +1,292 @@
+"""3D scalar (temperature) transport coupled to the staggered MAC flow —
+the forced-convection tier.
+
+The 3D habitat of ``models/transport.py`` (the reference's capability
+ceiling is 2D scalar advection-diffusion): a passive temperature θ is
+advected by the mac3d velocities (conservative FV fluxes) and diffused
+with diffusivity α = ν/Pr, while the momentum step runs the full
+external-flow + IBM machinery (``mac3d.make_step`` physics inlined so
+the θ substep sees the updated velocities). An isothermal immersed body
+is imposed by the same penalization as the velocity IBM —
+θ ← θ + s·mask·(θ_body − θ) — and the heat the penalization injects is
+the body's convective heat flux:
+
+    Q = Σ Δθ·dV / dt   ⇒   Nu = Q / (π·D·α·Δθ)      (sphere, D = 2R)
+
+validated against the Ranz–Marshall correlation
+Nu = 2 + 0.6·Re^½·Pr^⅓ (examples/sphere_wake.py --heated /
+tests/test_transport3d.py).
+
+Flow BCs are any ``mac3d.MAC3DBCs``; θ boundary conditions are inflow
+Dirichlet θ=θ_in at x_lo (ghost mirror), zero-gradient outflow at x_hi,
+and adiabatic (zero-gradient) lateral faces — the open-domain analog of
+boussinesq3d's closed-box ghosts.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from cfdsim_tpu.grid import Grid3D
+from cfdsim_tpu.models import mac3d
+from cfdsim_tpu.solvers.poisson3d import Poisson3DConfig, solve_poisson_3d
+
+
+class Transport3DState(NamedTuple):
+    u: jax.Array      # (nz, ny, nx+1)
+    v: jax.Array      # (nz, ny+1, nx)
+    w: jax.Array      # (nz+1, ny, nx)
+    p: jax.Array      # (nz, ny, nx)
+    theta: jax.Array  # (nz, ny, nx)
+    t: jax.Array
+    step: jax.Array
+
+
+class Transport3DMetrics(NamedTuple):
+    dt: jax.Array
+    div_post: jax.Array
+    max_vel: jax.Array
+    energy: jax.Array
+    fx: jax.Array          # body drag (penalization momentum sink)
+    fy: jax.Array
+    fz: jax.Array
+    q_body: jax.Array      # body heat source Σ Δθ·dV/dt (per unit ρc_p)
+    nusselt: jax.Array     # Q/(π·D·α·Δθ) — sphere surface-average Nu
+    theta_min: jax.Array
+    theta_max: jax.Array
+
+    # runner/monitor interface passthrough
+    @property
+    def div_pre(self):
+        return self.div_post
+
+    @property
+    def vort_max(self):
+        return jnp.float32(0.0)
+
+    @property
+    def poisson_res(self):
+        return jnp.float32(0.0)
+
+
+@dataclasses.dataclass(frozen=True)
+class Transport3DConfig:
+    grid: Grid3D
+    nu: float                      # momentum diffusivity (from Re)
+    prandtl: float = 0.7           # α = nu/prandtl
+    scheme: str = "tvd"            # momentum advection (mac3d schemes)
+    theta_scheme: str = "upwind"   # θ face values: upwind | central
+    theta_body: float = 1.0        # isothermal body temperature
+    theta_in: float = 0.0          # inflow temperature
+    body_diameter: float = 1.0     # D for the Nusselt normalization
+    poisson: Poisson3DConfig = Poisson3DConfig(method="dct")
+    adaptive_dt: bool = True
+    cfl_target: float = 0.4
+    dt_base: float = 1e-3
+    dt_min: float = 1e-6
+    dt_max: float = 1.0
+    max_velocity: float = 1e3
+    compute_metrics: bool = True
+
+
+def init_state(cfg: Transport3DConfig, u0=None, v0=None, w0=None,
+               theta0=None) -> Transport3DState:
+    g = cfg.grid
+    nz, ny, nx = g.nz, g.ny, g.nx
+    z3 = lambda shp: jnp.zeros(shp, jnp.float32)
+    return Transport3DState(
+        u=z3((nz, ny, nx + 1)) if u0 is None else jnp.asarray(u0, jnp.float32),
+        v=z3((nz, ny + 1, nx)) if v0 is None else jnp.asarray(v0, jnp.float32),
+        w=z3((nz + 1, ny, nx)) if w0 is None else jnp.asarray(w0, jnp.float32),
+        p=z3((nz, ny, nx)),
+        theta=jnp.full((nz, ny, nx), cfg.theta_in, jnp.float32)
+        if theta0 is None else jnp.asarray(theta0, jnp.float32),
+        t=jnp.float32(0.0),
+        step=jnp.int32(0),
+    )
+
+
+def _theta_ghost_open(theta, theta_in: float):
+    """(nz+2, ny+2, nx+2) ghost-extended θ for the open domain: Dirichlet
+    inflow at x_lo (mirror), zero-gradient outflow at x_hi and adiabatic
+    lateral faces (copy)."""
+    te = jnp.pad(theta, 1)
+    te = te.at[1:-1, 1:-1, 0].set(2.0 * theta_in - theta[:, :, 0])
+    te = te.at[1:-1, 1:-1, -1].set(theta[:, :, -1])
+    te = te.at[:, 0, :].set(te[:, 1, :])
+    te = te.at[:, -1, :].set(te[:, -2, :])
+    te = te.at[0, :, :].set(te[1, :, :])
+    te = te.at[-1, :, :].set(te[-2, :, :])
+    return te
+
+
+def make_step(
+    cfg: Transport3DConfig,
+    bcs: mac3d.MAC3DBCs,
+    ibm_mask_u=None,
+    ibm_mask_v=None,
+    ibm_mask_w=None,
+    ibm_mask_c=None,
+    ibm_ramp_steps: int = 0,
+) -> Callable:
+    """``step(state, cfl_scale) -> (state, Transport3DMetrics)``.
+
+    ``ibm_mask_c`` is the cell-centered body mask for the θ penalization
+    (1 inside; sharp profile sampled at cell centers). The momentum
+    physics is mac3d.make_step's, inlined so θ advects with the
+    *projected* velocities of the same step."""
+    if cfg.scheme not in ("central", "upwind", "tvd"):
+        raise ValueError(f"unknown scheme {cfg.scheme!r}")
+    if cfg.theta_scheme not in ("central", "upwind"):
+        raise ValueError(f"unknown theta_scheme {cfg.theta_scheme!r}")
+    g = cfg.grid
+    dx, dy, dz = g.dx, g.dy, g.dz
+    h = min(dx, dy, dz)
+    alpha = cfg.nu / cfg.prandtl
+    ax, ay, az = 1.0 / dx**2, 1.0 / dy**2, 1.0 / dz**2
+    import numpy as np
+
+    qscale = 1.0 / (
+        np.pi * cfg.body_diameter * alpha
+        * max(abs(cfg.theta_body - cfg.theta_in), 1e-30)
+    )
+
+    def step(state: Transport3DState, cfl_scale):
+        u, v, w = bcs.set_normal(state.u, state.v, state.w)
+        ghosts = bcs.ghosts(u, v, w)
+        theta = state.theta
+
+        if cfg.adaptive_dt:
+            vel_max = jnp.maximum(
+                jnp.maximum(jnp.max(jnp.abs(u)), jnp.max(jnp.abs(v))),
+                jnp.maximum(jnp.max(jnp.abs(w)), 1e-10),
+            )
+            dt_cfl = cfg.cfl_target * cfl_scale * h / vel_max
+            dt_diff = 0.125 * h * h / max(cfg.nu, alpha)
+            dt = jnp.clip(
+                jnp.minimum(dt_cfl, dt_diff), cfg.dt_min, cfg.dt_max
+            ).astype(jnp.float32)
+        else:
+            dt = jnp.float32(cfg.dt_base)
+
+        conv_u, conv_v, conv_w = mac3d.advect3d(
+            u, v, w, ghosts, dx, dy, dz, cfg.scheme
+        )
+        lap_u, lap_v, lap_w = mac3d.diffuse3d(u, v, w, ghosts, dx, dy, dz)
+        u_star = u.at[:, :, 1:-1].add(dt * (cfg.nu * lap_u - conv_u))
+        v_star = v.at[:, 1:-1, :].add(dt * (cfg.nu * lap_v - conv_v))
+        w_star = w.at[1:-1].add(dt * (cfg.nu * lap_w - conv_w))
+        u_star, v_star, w_star = bcs.set_normal(u_star, v_star, w_star)
+
+        fx = fy = fz = jnp.float32(0.0)
+        if ibm_mask_u is not None:
+            from cfdsim_tpu.ibm import ibm_ramp
+
+            strength = ibm_ramp(state.step, ibm_ramp_steps)
+            du_ibm = u_star * (strength * ibm_mask_u)
+            dv_ibm = v_star * (strength * ibm_mask_v)
+            dw_ibm = w_star * (strength * ibm_mask_w)
+            u_star = u_star - du_ibm
+            v_star = v_star - dv_ibm
+            w_star = w_star - dw_ibm
+            if cfg.compute_metrics:
+                cell = dx * dy * dz
+                fx = jnp.sum(du_ibm) * cell / dt
+                fy = jnp.sum(dv_ibm) * cell / dt
+                fz = jnp.sum(dw_ibm) * cell / dt
+
+        div_star = mac3d.divergence_mac3d(u_star, v_star, w_star, dx, dy, dz)
+        rhs = div_star / dt
+        if cfg.poisson.method != "dct":
+            rhs = rhs - jnp.mean(rhs)
+        phi = solve_poisson_3d(state.p, rhs, dx, dy, dz, cfg.poisson)
+        u_new = u_star.at[:, :, 1:-1].add(
+            -dt * (phi[:, :, 1:] - phi[:, :, :-1]) * (1.0 / dx)
+        )
+        v_new = v_star.at[:, 1:-1, :].add(
+            -dt * (phi[:, 1:, :] - phi[:, :-1, :]) * (1.0 / dy)
+        )
+        w_new = w_star.at[1:-1].add(-dt * (phi[1:] - phi[:-1]) * (1.0 / dz))
+        u_new, v_new, w_new = bcs.set_normal(u_new, v_new, w_new)
+        u_new = jnp.clip(u_new, -cfg.max_velocity, cfg.max_velocity)
+        v_new = jnp.clip(v_new, -cfg.max_velocity, cfg.max_velocity)
+        w_new = jnp.clip(w_new, -cfg.max_velocity, cfg.max_velocity)
+
+        # --- θ: conservative FV advection with the projected velocities
+        # + diffusion (boussinesq3d pattern, open-domain ghosts)
+        te = _theta_ghost_open(theta, cfg.theta_in)
+        if cfg.theta_scheme == "upwind":
+            thx = jnp.where(u_new >= 0.0, te[1:-1, 1:-1, :-1],
+                            te[1:-1, 1:-1, 1:])
+            thy = jnp.where(v_new >= 0.0, te[1:-1, :-1, 1:-1],
+                            te[1:-1, 1:, 1:-1])
+            thz = jnp.where(w_new >= 0.0, te[:-1, 1:-1, 1:-1],
+                            te[1:, 1:-1, 1:-1])
+        else:
+            thx = 0.5 * (te[1:-1, 1:-1, :-1] + te[1:-1, 1:-1, 1:])
+            thy = 0.5 * (te[1:-1, :-1, 1:-1] + te[1:-1, 1:, 1:-1])
+            thz = 0.5 * (te[:-1, 1:-1, 1:-1] + te[1:, 1:-1, 1:-1])
+        fxa = u_new * thx
+        fya = v_new * thy
+        fza = w_new * thz
+        adv = (
+            (fxa[:, :, 1:] - fxa[:, :, :-1]) * (1.0 / dx)
+            + (fya[:, 1:, :] - fya[:, :-1, :]) * (1.0 / dy)
+            + (fza[1:] - fza[:-1]) * (1.0 / dz)
+        )
+        lap_t = (
+            (te[1:-1, 1:-1, 2:] - 2.0 * theta + te[1:-1, 1:-1, :-2]) * ax
+            + (te[1:-1, 2:, 1:-1] - 2.0 * theta + te[1:-1, :-2, 1:-1]) * ay
+            + (te[2:, 1:-1, 1:-1] - 2.0 * theta + te[:-2, 1:-1, 1:-1]) * az
+        )
+        theta_new = theta + dt * (alpha * lap_t - adv)
+
+        q_body = nusselt = jnp.float32(0.0)
+        if ibm_mask_c is not None:
+            from cfdsim_tpu.ibm import ibm_ramp
+
+            strength = ibm_ramp(state.step, ibm_ramp_steps)
+            dth = (cfg.theta_body - theta_new) * (strength * ibm_mask_c)
+            theta_new = theta_new + dth
+            if cfg.compute_metrics:
+                # heat the isothermal body injects, per unit ρc_p — the
+                # surface convective flux at steady state
+                q_body = jnp.sum(dth) * (dx * dy * dz) / dt
+                nusselt = q_body * qscale
+
+        new_state = Transport3DState(
+            u=u_new, v=v_new, w=w_new, p=phi, theta=theta_new,
+            t=state.t + dt, step=state.step + 1,
+        )
+        if cfg.compute_metrics:
+            div_post = mac3d.divergence_mac3d(u_new, v_new, w_new,
+                                              dx, dy, dz)
+            ucc, vcc, wcc = mac3d.center_velocities_3d(u_new, v_new, w_new)
+            metrics = Transport3DMetrics(
+                dt=dt,
+                div_post=jnp.max(jnp.abs(div_post)),
+                max_vel=jnp.maximum(
+                    jnp.maximum(jnp.max(jnp.abs(u_new)),
+                                jnp.max(jnp.abs(v_new))),
+                    jnp.max(jnp.abs(w_new)),
+                ),
+                energy=jnp.mean(0.5 * (ucc * ucc + vcc * vcc + wcc * wcc)),
+                fx=fx, fy=fy, fz=fz,
+                q_body=q_body,
+                nusselt=nusselt,
+                theta_min=jnp.min(theta_new),
+                theta_max=jnp.max(theta_new),
+            )
+        else:
+            zero = jnp.float32(0.0)
+            metrics = Transport3DMetrics(
+                dt, zero, zero, zero, zero, zero, zero, zero, zero,
+                zero, zero,
+            )
+        return new_state, metrics
+
+    return step

@@ -205,6 +205,13 @@ def sphere_drag_schiller_naumann(re: float) -> float:
     return 24.0 / re * (1.0 + 0.15 * re**0.687)
 
 
+def sphere_nusselt_ranz_marshall(re: float, pr: float = 0.7) -> float:
+    """Ranz & Marshall (1952) forced-convection correlation for a
+    sphere, Nu = 2 + 0.6·Re^½·Pr^⅓ (Re ≲ 5·10⁴) — the validation target
+    for the ``heated_sphere`` case's penalization heat flux."""
+    return 2.0 + 0.6 * re**0.5 * pr ** (1.0 / 3.0)
+
+
 def dominant_frequency(signal, sample_dt: float) -> float:
     """Frequency (Hz) of the strongest non-DC component of a time series."""
     s = np.asarray(signal, dtype=np.float64)

@@ -83,6 +83,15 @@ def test_every_registered_case_builds_and_steps():
         "cavity3d": dict(n=8),
         "cavity3d_mac": dict(n=8),
         "cavity3d_stretched": dict(n=8),
+        "sphere": dict(nx=24, ny=12, nz=12, domain=(8.0, 4.0, 4.0),
+                       center=(2.0, 2.0, 2.0), ibm_ramp_steps=2),
+        "sphere_stretched": dict(
+            nx=24, ny=12, nz=12, domain=(8.0, 4.0, 4.0),
+            center=(2.0, 2.0, 2.0), refine_strength=1.0,
+            refine_width=1.0, wake_length=1.0, ibm_ramp_steps=2,
+        ),
+        "heated_sphere": dict(nx=24, ny=12, nz=12, domain=(8.0, 4.0, 4.0),
+                              center=(2.0, 2.0, 2.0), ibm_ramp_steps=2),
         "heated_cavity": dict(n=16),
         "rayleigh_benard": dict(ny=8, aspect=2.0),
         "heated_cube": dict(n=8),
@@ -93,6 +102,7 @@ def test_every_registered_case_builds_and_steps():
         "schafer_turek_fem": dict(
             h_far=0.08, h_near=0.025, viz_shape=(24, 64), gmres_tol=1e-4
         ),
+        "cavity_fem": dict(n=8, viz_shape=(16, 16), gmres_tol=1e-4),
     }
     assert set(tiny) == set(CASES), "update the tiny-shape table"
     for name, kw in tiny.items():

@@ -1,0 +1,60 @@
+"""Forced convection from an isothermal immersed sphere: the 3D scalar
+transport tier (models/transport3d.py) — θ bounds, steady heat balance,
+and the penalization Nusselt number against Ranz–Marshall."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from cfdsim_tpu.cases import build
+from cfdsim_tpu.validation import sphere_nusselt_ranz_marshall
+
+
+def _run(re, n_chunks, **kw):
+    case = build(
+        "heated_sphere", nx=48, ny=24, nz=24, Re=re,
+        domain=(12.0, 6.0, 6.0), center=(3.0, 3.0, 3.0),
+        ibm_ramp_steps=20, **kw,
+    )
+
+    def chunk(state, _):
+        def body(s, _):
+            s2, m = case.step(s, 1.0)
+            return s2, (m.nusselt, m.fx, m.theta_min, m.theta_max)
+
+        return jax.lax.scan(body, state, None, length=40)
+
+    chunk = jax.jit(chunk)
+    state = case.state
+    for _ in range(n_chunks):
+        state, (nus, fx, tmin, tmax) = chunk(state, None)
+    return case, state, nus, fx, tmin, tmax
+
+
+def test_heated_sphere_nusselt_and_bounds():
+    """Coarse 6-cells/D run to a steady thermal wake: θ stays in
+    [θ_in, θ_body] (upwind + penalization are bound-preserving), the
+    momentum drag matches the pure-flow sphere case, and the
+    penalization Nu lands in the resolution-inflated band around
+    Ranz–Marshall (effective diameter D + O(dx), same O(dx/2) geometry
+    bias as the drag; measured 1.63× at this dx = R/2 grid — the
+    12-cells/D chip run in BENCHNOTES is the quantitative row)."""
+    case, state, nus, fx, tmin, tmax = _run(100.0, 5)
+    assert bool(jnp.isfinite(state.theta).all())
+    assert float(tmin.min()) > -1e-4
+    assert float(tmax.max()) < 1.0 + 1e-4
+    nu_ref = sphere_nusselt_ranz_marshall(100.0)
+    nu = float(nus[-1])
+    assert nu_ref < nu < 1.9 * nu_ref
+    # the drag must be the same as the non-heated sphere case (passive
+    # scalar; measured 1.610 at this grid in test_sphere3d)
+    cd = float(fx[-1]) * case.extras["coeff_scale"]
+    np.testing.assert_allclose(cd, 1.610, rtol=0.02)
+
+
+def test_heated_sphere_nu_grows_with_re():
+    """Forced-convection trend: Nu(Re=100) > Nu(Re=20) (boundary layer
+    thins), both above the conduction floor Nu=2."""
+    _, _, nus100, _, _, _ = _run(100.0, 4)
+    _, _, nus20, _, _, _ = _run(20.0, 4)
+    assert float(nus100[-1]) > float(nus20[-1]) > 2.0
