@@ -25,14 +25,18 @@ import jax.numpy as jnp
 
 def run_sphere(re: float = 100.0, cells_per_d: int = 12, t_final: float = 40.0,
                chunk_steps: int = 100, verbose: bool = True,
-               stretched: bool = False):
+               stretched: bool = False, heated: bool = False):
     from cfdsim_tpu.cases import build
-    from cfdsim_tpu.validation import sphere_drag_schiller_naumann
+    from cfdsim_tpu.validation import (
+        sphere_drag_schiller_naumann,
+        sphere_nusselt_ranz_marshall,
+    )
 
     n = cells_per_d
+    name = ("heated_sphere" if heated
+            else "sphere_stretched" if stretched else "sphere")
     case = build(
-        "sphere_stretched" if stretched else "sphere",
-        nx=16 * n, ny=8 * n, nz=8 * n, Re=re,
+        name, nx=16 * n, ny=8 * n, nz=8 * n, Re=re,
         domain=(16.0, 8.0, 8.0), center=(4.0, 4.0, 4.0),
         ibm_ramp_steps=100, compute_metrics=True,
     )
@@ -43,22 +47,25 @@ def run_sphere(re: float = 100.0, cells_per_d: int = 12, t_final: float = 40.0,
     def chunk(state, _):
         def body(s, _):
             s2, m = case.step(s, 1.0)
-            return s2, (m.fx, m.fy, m.fz, m.dt)
+            nus = m.nusselt if heated else jnp.float32(0.0)
+            return s2, (m.fx, m.fy, m.fz, m.dt, nus)
 
         return jax.lax.scan(body, state, None, length=chunk_steps)
 
     chunk = jax.jit(chunk)
     state, cs = case.state, case.extras["coeff_scale"]
     t0 = time.perf_counter()
-    cd = float("nan")
+    cd = nu_meas = float("nan")
     while float(state.t) < t_final:
-        state, (fx, fy, fz, dt) = chunk(state, None)
+        state, (fx, fy, fz, dt, nus) = chunk(state, None)
         cd = float(fx[-1]) * cs
+        nu_meas = float(nus[-1])
         if verbose:
             el = time.perf_counter() - t0
+            extra = f"  Nu={nu_meas:6.3f}" if heated else ""
             print(f"  t={float(state.t):6.2f}  Cd={cd:6.3f}  "
                   f"Cl_y={float(fy[-1]) * cs:+7.4f}  "
-                  f"Cl_z={float(fz[-1]) * cs:+7.4f}  "
+                  f"Cl_z={float(fz[-1]) * cs:+7.4f}{extra}  "
                   f"[{float(state.step) / el:6.1f} steps/s]")
 
     # rear recirculation length from the centerline u(x): distance from
@@ -87,7 +94,14 @@ def run_sphere(re: float = 100.0, cells_per_d: int = 12, t_final: float = 40.0,
         print(f"sphere Re={re:g} at {n} cells/D: Cd={cd:.3f} "
               f"(Schiller-Naumann {cd_sn:.3f}, {(cd / cd_sn - 1) * 100:+.1f}%)"
               f"  L_r/D={l_r_d:.2f} (J&P Re=100: 0.87)")
-    return {"cd": cd, "cd_sn": cd_sn, "l_r_d": l_r_d}
+    out = {"cd": cd, "cd_sn": cd_sn, "l_r_d": l_r_d}
+    if heated:
+        nu_rm = sphere_nusselt_ranz_marshall(re)
+        if verbose:
+            print(f"  Nu={nu_meas:.3f} (Ranz-Marshall {nu_rm:.3f}, "
+                  f"{(nu_meas / nu_rm - 1) * 100:+.1f}%)")
+        out.update({"nu": nu_meas, "nu_rm": nu_rm})
+    return out
 
 
 if __name__ == "__main__":
@@ -99,6 +113,9 @@ if __name__ == "__main__":
     ap.add_argument("--stretched", action="store_true",
                     help="body+wake-refined stretched grid "
                          "(~2.5x the near-body resolution per cell)")
+    ap.add_argument("--heated", action="store_true",
+                    help="isothermal sphere: forced-convection Nusselt "
+                         "vs Ranz-Marshall (heated_sphere case)")
     args = ap.parse_args()
     run_sphere(re=args.re, cells_per_d=args.n, t_final=args.t,
-               stretched=args.stretched)
+               stretched=args.stretched, heated=args.heated)
