@@ -37,6 +37,9 @@ class StretchedMACConfig:
     ny: int
     nu: float
     scheme: str = "central"  # central | upwind | tvd
+    # "euler" or "rk2" (Heun with a projection per stage — see
+    # mac.MACConfig.time_scheme)
+    time_scheme: str = "euler"
     adaptive_dt: bool = True
     cfl_target: float = 0.4
     dt_base: float = 1e-3
@@ -263,42 +266,65 @@ def make_step(
     def divergence(u, v):
         return (u[:, 1:] - u[:, :-1]) * inv_hx + (v[1:, :] - v[:-1, :]) * inv_hy
 
+    if cfg.time_scheme not in ("euler", "rk2"):
+        raise ValueError(f"unknown time scheme {cfg.time_scheme!r}")
+
     def step(state: MACState, cfl_scale):
         u, v = bcs.set_normal(state.u, state.v, state.step, state.t)
         dt = adaptive_dt(u, v, state.step, cfl_scale)
-        ue, ve = bcs.extend(u, v, state.step, state.t)
 
-        conv_u, conv_v = advect(u, v, ue, ve)
-        lap_u, lap_v = diffuse(ue, ve)
+        def stage(u, v, p_warm):
+            """One projected Euler stage (mac.make_step stage pattern)."""
+            ue, ve = bcs.extend(u, v, state.step, state.t)
+            conv_u, conv_v = advect(u, v, ue, ve)
+            lap_u, lap_v = diffuse(ue, ve)
 
-        u_star = u.at[:, 1:-1].add(dt * (cfg.nu * lap_u - conv_u))
-        v_star = v.at[1:-1, :].add(dt * (cfg.nu * lap_v - conv_v))
-        u_star, v_star = bcs.set_normal(u_star, v_star, state.step, state.t)
+            u_star = u.at[:, 1:-1].add(dt * (cfg.nu * lap_u - conv_u))
+            v_star = v.at[1:-1, :].add(dt * (cfg.nu * lap_v - conv_v))
+            u_star, v_star = bcs.set_normal(
+                u_star, v_star, state.step, state.t
+            )
 
-        fx = fy = jnp.float32(0.0)
-        if ibm_mask_u is not None:
-            from cfdsim_tpu.ibm import ibm_ramp
+            fx = fy = jnp.float32(0.0)
+            if ibm_mask_u is not None:
+                from cfdsim_tpu.ibm import ibm_ramp
 
-            strength = ibm_ramp(state.step, ibm_ramp_steps)
-            du_ibm = u_star * (strength * ibm_mask_u)
-            dv_ibm = v_star * (strength * ibm_mask_v)
-            u_star = u_star - du_ibm
-            v_star = v_star - dv_ibm
-            if cfg.compute_metrics:
-                # momentum sink weighted by each face's control volume
-                area_u = f32(np.outer(my.h, mx.dfull))
-                area_v = f32(np.outer(my.dfull, mx.h))
-                fx = jnp.sum(du_ibm * area_u) / dt
-                fy = jnp.sum(dv_ibm * area_v) / dt
+                strength = ibm_ramp(state.step, ibm_ramp_steps)
+                du_ibm = u_star * (strength * ibm_mask_u)
+                dv_ibm = v_star * (strength * ibm_mask_v)
+                u_star = u_star - du_ibm
+                v_star = v_star - dv_ibm
+                if cfg.compute_metrics:
+                    # momentum sink weighted by the face control volumes
+                    area_u = f32(np.outer(my.h, mx.dfull))
+                    area_v = f32(np.outer(my.dfull, mx.h))
+                    fx = jnp.sum(du_ibm * area_u) / dt
+                    fy = jnp.sum(dv_ibm * area_v) / dt
 
-        div_star = divergence(u_star, v_star)
-        phi = solve_p(div_star / dt)  # exact FDM solve (4 MXU matmuls)
-        u_new = u_star.at[:, 1:-1].add(-dt * (phi[:, 1:] - phi[:, :-1]) * inv_dcx)
-        v_new = v_star.at[1:-1, :].add(-dt * (phi[1:, :] - phi[:-1, :]) * inv_dcy)
-        u_new, v_new = bcs.set_normal(u_new, v_new, state.step, state.t)
+            div_star = divergence(u_star, v_star)
+            phi = solve_p(div_star / dt)  # exact FDM (4 MXU matmuls)
+            u_new = u_star.at[:, 1:-1].add(
+                -dt * (phi[:, 1:] - phi[:, :-1]) * inv_dcx
+            )
+            v_new = v_star.at[1:-1, :].add(
+                -dt * (phi[1:, :] - phi[:-1, :]) * inv_dcy
+            )
+            u_new, v_new = bcs.set_normal(u_new, v_new, state.step, state.t)
+            u_new = jnp.clip(u_new, -cfg.max_velocity, cfg.max_velocity)
+            v_new = jnp.clip(v_new, -cfg.max_velocity, cfg.max_velocity)
+            return u_new, v_new, phi, (fx, fy, div_star)
 
-        u_new = jnp.clip(u_new, -cfg.max_velocity, cfg.max_velocity)
-        v_new = jnp.clip(v_new, -cfg.max_velocity, cfg.max_velocity)
+        u_new, v_new, phi, (fx, fy, div_star) = stage(u, v, state.p)
+        if cfg.time_scheme == "rk2":
+            # Heun: average with a second projected Euler stage (both
+            # solenoidal ⇒ so is the average)
+            u2, v2, phi2, (fx2, fy2, div_star) = stage(u_new, v_new, phi)
+            u_new = 0.5 * (u + u2)
+            v_new = 0.5 * (v + v2)
+            u_new, v_new = bcs.set_normal(u_new, v_new, state.step, state.t)
+            phi = 0.5 * (phi + phi2)
+            fx = 0.5 * (fx + fx2)
+            fy = 0.5 * (fy + fy2)
 
         new_state = MACState(
             u=u_new, v=v_new, p=phi, t=state.t + dt, step=state.step + 1

@@ -67,6 +67,9 @@ class StretchedMAC3DConfig:
     nz: int
     nu: float
     scheme: str = "central"  # central | upwind | tvd (van Leer MUSCL)
+    # "euler" or "rk2" (Heun with a projection per stage — see
+    # mac.MACConfig.time_scheme)
+    time_scheme: str = "euler"
     adaptive_dt: bool = True
     cfl_target: float = 0.4
     dt_base: float = 1e-3
@@ -132,6 +135,8 @@ def make_step(
 
     if cfg.scheme not in ("central", "upwind", "tvd"):
         raise ValueError(f"unknown stretched-3D scheme {cfg.scheme!r}")
+    if cfg.time_scheme not in ("euler", "rk2"):
+        raise ValueError(f"unknown time scheme {cfg.time_scheme!r}")
     tvd = cfg.scheme == "tvd"
     # donor→target distances for the MUSCL reconstructions (numpy once):
     # *_c = face-sample arrays advected to cell centers; *_f = ghost-
@@ -183,144 +188,166 @@ def make_step(
         else:
             dt = jnp.float32(cfg.dt_base)
 
-        u_gy, u_gz, v_gx, v_gz, w_gx, w_gy = bcs.ghosts(u, v, w)
+        def stage(u, v, w, p_warm):
+            """One projected Euler stage (mac3d.make_step stage
+            pattern on the stretched metrics)."""
+            u_gy, u_gz, v_gx, v_gz, w_gx, w_gy = bcs.ghosts(u, v, w)
 
-        # --- edge interpolants with metric weights (mac3d.py uses 0.5;
-        # on a stretched grid the interior-face weight is wf toward the
-        # higher-index sample, ghosts stay 0.5 — the tangential ghost sits
-        # mirrored at the first cell width)
-        u_y = (1.0 - wfy) * u_gy[:, :-1, :] + wfy * u_gy[:, 1:, :]
-        v_x = (1.0 - wfx) * v_gx[:, :, :-1] + wfx * v_gx[:, :, 1:]
-        u_z = (1.0 - wfz) * u_gz[:-1] + wfz * u_gz[1:]
-        w_x = (1.0 - wfx) * w_gx[:, :, :-1] + wfx * w_gx[:, :, 1:]
-        v_z = (1.0 - wfz) * v_gz[:-1] + wfz * v_gz[1:]
-        w_y = (1.0 - wfy) * w_gy[:, :-1, :] + wfy * w_gy[:, 1:, :]
-        uc = 0.5 * (u[:, :, :-1] + u[:, :, 1:])
-        vc = 0.5 * (v[:, :-1, :] + v[:, 1:, :])
-        wc = 0.5 * (w[:-1] + w[1:])
+            # --- edge interpolants with metric weights (mac3d.py uses 0.5;
+            # on a stretched grid the interior-face weight is wf toward the
+            # higher-index sample, ghosts stay 0.5 — the tangential ghost sits
+            # mirrored at the first cell width)
+            u_y = (1.0 - wfy) * u_gy[:, :-1, :] + wfy * u_gy[:, 1:, :]
+            v_x = (1.0 - wfx) * v_gx[:, :, :-1] + wfx * v_gx[:, :, 1:]
+            u_z = (1.0 - wfz) * u_gz[:-1] + wfz * u_gz[1:]
+            w_x = (1.0 - wfx) * w_gx[:, :, :-1] + wfx * w_gx[:, :, 1:]
+            v_z = (1.0 - wfz) * v_gz[:-1] + wfz * v_gz[1:]
+            w_y = (1.0 - wfy) * w_gy[:, :-1, :] + wfy * w_gy[:, 1:, :]
+            uc = 0.5 * (u[:, :, :-1] + u[:, :, 1:])
+            vc = 0.5 * (v[:, :-1, :] + v[:, 1:, :])
+            wc = 0.5 * (w[:-1] + w[1:])
 
-        # --- conservative fluxes (divergence form; each momentum flux
-        # divided by its control-volume extent in the sweep direction).
-        # central: symmetric interpolants; upwind/tvd: MUSCL donor
-        # values on the nonuniform metrics (mac_stretched.py pattern)
-        if cfg.scheme == "central":
-            F_u = uc * uc
-            G_u = v_x * u_y
-            H_u = w_x * u_z
-            F_v = u_y * v_x
-            G_v = vc * vc
-            H_v = w_y * v_z
-            F_w = u_z * w_x
-            G_w = v_z * w_y
-            H_w = wc * wc
-        else:
+            # --- conservative fluxes (divergence form; each momentum flux
+            # divided by its control-volume extent in the sweep direction).
+            # central: symmetric interpolants; upwind/tvd: MUSCL donor
+            # values on the nonuniform metrics (mac_stretched.py pattern)
+            if cfg.scheme == "central":
+                F_u = uc * uc
+                G_u = v_x * u_y
+                H_u = w_x * u_z
+                F_v = u_y * v_x
+                G_v = vc * vc
+                H_v = w_y * v_z
+                F_w = u_z * w_x
+                G_w = v_z * w_y
+                H_w = wc * wc
+            else:
 
-            def upw(adv, lo_hi):
-                lo, hi = lo_hi
-                return jnp.where(adv >= 0.0, lo, hi)
+                def upw(adv, lo_hi):
+                    lo, hi = lo_hi
+                    return jnp.where(adv >= 0.0, lo, hi)
 
-            F_u = uc * upw(uc, _muscl_axis(u, inv_hx, dxl_c, dxr_c, 2, tvd))
-            G_u = v_x * upw(
-                v_x, _muscl_axis(u_gy, inv_dfy, dyl_f, dyr_f, 1, tvd)
+                F_u = uc * upw(uc, _muscl_axis(u, inv_hx, dxl_c, dxr_c, 2, tvd))
+                G_u = v_x * upw(
+                    v_x, _muscl_axis(u_gy, inv_dfy, dyl_f, dyr_f, 1, tvd)
+                )
+                H_u = w_x * upw(
+                    w_x, _muscl_axis(u_gz, inv_dfz, dzl_f, dzr_f, 0, tvd)
+                )
+                F_v = u_y * upw(
+                    u_y, _muscl_axis(v_gx, inv_dfx, dxl_f, dxr_f, 2, tvd)
+                )
+                G_v = vc * upw(vc, _muscl_axis(v, inv_hy, dyl_c, dyr_c, 1, tvd))
+                H_v = w_y * upw(
+                    w_y, _muscl_axis(v_gz, inv_dfz, dzl_f, dzr_f, 0, tvd)
+                )
+                F_w = u_z * upw(
+                    u_z, _muscl_axis(w_gx, inv_dfx, dxl_f, dxr_f, 2, tvd)
+                )
+                G_w = v_z * upw(
+                    v_z, _muscl_axis(w_gy, inv_dfy, dyl_f, dyr_f, 1, tvd)
+                )
+                H_w = wc * upw(wc, _muscl_axis(w, inv_hz, dzl_c, dzr_c, 0, tvd))
+            conv_u = (
+                (F_u[:, :, 1:] - F_u[:, :, :-1]) * inv_dcx
+                + (G_u[:, 1:, 1:-1] - G_u[:, :-1, 1:-1]) * inv_hy
+                + (H_u[1:, :, 1:-1] - H_u[:-1, :, 1:-1]) * inv_hz
             )
-            H_u = w_x * upw(
-                w_x, _muscl_axis(u_gz, inv_dfz, dzl_f, dzr_f, 0, tvd)
+            conv_v = (
+                (F_v[:, 1:-1, 1:] - F_v[:, 1:-1, :-1]) * inv_hx
+                + (G_v[:, 1:, :] - G_v[:, :-1, :]) * inv_dcy
+                + (H_v[1:, 1:-1, :] - H_v[:-1, 1:-1, :]) * inv_hz
             )
-            F_v = u_y * upw(
-                u_y, _muscl_axis(v_gx, inv_dfx, dxl_f, dxr_f, 2, tvd)
+            conv_w = (
+                (F_w[1:-1, :, 1:] - F_w[1:-1, :, :-1]) * inv_hx
+                + (G_w[1:-1, 1:, :] - G_w[1:-1, :-1, :]) * inv_hy
+                + (H_w[1:, :, :] - H_w[:-1, :, :]) * inv_dcz
             )
-            G_v = vc * upw(vc, _muscl_axis(v, inv_hy, dyl_c, dyr_c, 1, tvd))
-            H_v = w_y * upw(
-                w_y, _muscl_axis(v_gz, inv_dfz, dzl_f, dzr_f, 0, tvd)
+
+            # --- flux-form diffusion on interior faces:
+            # u-momentum: d/dx(du/dx)/dcx + d/dy(du/dy)/hy + d/dz(du/dz)/hz
+            dux = (u[:, :, 1:] - u[:, :, :-1]) * inv_hx          # at centers
+            lap_u_x = (dux[:, :, 1:] - dux[:, :, :-1]) * inv_dcx
+            duy = (u_gy[:, 1:, :] - u_gy[:, :-1, :]) * inv_dfy   # at y-faces
+            lap_u_y = (duy[:, 1:, 1:-1] - duy[:, :-1, 1:-1]) * inv_hy
+            duz = (u_gz[1:] - u_gz[:-1]) * inv_dfz               # at z-faces
+            lap_u_z = (duz[1:, :, 1:-1] - duz[:-1, :, 1:-1]) * inv_hz
+            lap_u = lap_u_x + lap_u_y + lap_u_z
+
+            dvy = (v[:, 1:, :] - v[:, :-1, :]) * inv_hy
+            lap_v_y = (dvy[:, 1:, :] - dvy[:, :-1, :]) * inv_dcy
+            dvx = (v_gx[:, :, 1:] - v_gx[:, :, :-1]) * inv_dfx
+            lap_v_x = (dvx[:, 1:-1, 1:] - dvx[:, 1:-1, :-1]) * inv_hx
+            dvz = (v_gz[1:] - v_gz[:-1]) * inv_dfz
+            lap_v_z = (dvz[1:, 1:-1, :] - dvz[:-1, 1:-1, :]) * inv_hz
+            lap_v = lap_v_x + lap_v_y + lap_v_z
+
+            dwz = (w[1:] - w[:-1]) * inv_hz
+            lap_w_z = (dwz[1:] - dwz[:-1]) * inv_dcz
+            dwx = (w_gx[:, :, 1:] - w_gx[:, :, :-1]) * inv_dfx
+            lap_w_x = (dwx[1:-1, :, 1:] - dwx[1:-1, :, :-1]) * inv_hx
+            dwy = (w_gy[:, 1:, :] - w_gy[:, :-1, :]) * inv_dfy
+            lap_w_y = (dwy[1:-1, 1:, :] - dwy[1:-1, :-1, :]) * inv_hy
+            lap_w = lap_w_x + lap_w_y + lap_w_z
+
+            u_star = u.at[:, :, 1:-1].add(dt * (cfg.nu * lap_u - conv_u))
+            v_star = v.at[:, 1:-1, :].add(dt * (cfg.nu * lap_v - conv_v))
+            w_star = w.at[1:-1].add(dt * (cfg.nu * lap_w - conv_w))
+            u_star, v_star, w_star = bcs.set_normal(u_star, v_star, w_star)
+
+            fx = fy = fz = jnp.float32(0.0)
+            if ibm_mask_u is not None:
+                from cfdsim_tpu.ibm import ibm_ramp
+
+                strength = ibm_ramp(state.step, ibm_ramp_steps)
+                du_ibm = u_star * (strength * ibm_mask_u)
+                dv_ibm = v_star * (strength * ibm_mask_v)
+                dw_ibm = w_star * (strength * ibm_mask_w)
+                u_star = u_star - du_ibm
+                v_star = v_star - dv_ibm
+                w_star = w_star - dw_ibm
+                if cfg.compute_metrics:
+                    fx = jnp.sum(du_ibm * cv_u) / dt
+                    fy = jnp.sum(dv_ibm * cv_v) / dt
+                    fz = jnp.sum(dw_ibm * cv_w) / dt
+
+            # --- exact projection (FV divergence / center-gap gradient pair)
+            div_star = (
+                (u_star[:, :, 1:] - u_star[:, :, :-1]) * inv_hx
+                + (v_star[:, 1:, :] - v_star[:, :-1, :]) * inv_hy
+                + (w_star[1:] - w_star[:-1]) * inv_hz
             )
-            F_w = u_z * upw(
-                u_z, _muscl_axis(w_gx, inv_dfx, dxl_f, dxr_f, 2, tvd)
+            phi = solve_p(div_star / dt)
+            u_new = u_star.at[:, :, 1:-1].add(
+                -dt * (phi[:, :, 1:] - phi[:, :, :-1]) * inv_dcx
             )
-            G_w = v_z * upw(
-                v_z, _muscl_axis(w_gy, inv_dfy, dyl_f, dyr_f, 1, tvd)
+            v_new = v_star.at[:, 1:-1, :].add(
+                -dt * (phi[:, 1:, :] - phi[:, :-1, :]) * inv_dcy
             )
-            H_w = wc * upw(wc, _muscl_axis(w, inv_hz, dzl_c, dzr_c, 0, tvd))
-        conv_u = (
-            (F_u[:, :, 1:] - F_u[:, :, :-1]) * inv_dcx
-            + (G_u[:, 1:, 1:-1] - G_u[:, :-1, 1:-1]) * inv_hy
-            + (H_u[1:, :, 1:-1] - H_u[:-1, :, 1:-1]) * inv_hz
+            w_new = w_star.at[1:-1].add(-dt * (phi[1:] - phi[:-1]) * inv_dcz)
+            u_new, v_new, w_new = bcs.set_normal(u_new, v_new, w_new)
+            u_new = jnp.clip(u_new, -cfg.max_velocity, cfg.max_velocity)
+            v_new = jnp.clip(v_new, -cfg.max_velocity, cfg.max_velocity)
+            w_new = jnp.clip(w_new, -cfg.max_velocity, cfg.max_velocity)
+            return u_new, v_new, w_new, phi, (fx, fy, fz, div_star)
+
+        u_new, v_new, w_new, phi, (fx, fy, fz, div_star) = stage(
+            u, v, w, state.p
         )
-        conv_v = (
-            (F_v[:, 1:-1, 1:] - F_v[:, 1:-1, :-1]) * inv_hx
-            + (G_v[:, 1:, :] - G_v[:, :-1, :]) * inv_dcy
-            + (H_v[1:, 1:-1, :] - H_v[:-1, 1:-1, :]) * inv_hz
-        )
-        conv_w = (
-            (F_w[1:-1, :, 1:] - F_w[1:-1, :, :-1]) * inv_hx
-            + (G_w[1:-1, 1:, :] - G_w[1:-1, :-1, :]) * inv_hy
-            + (H_w[1:, :, :] - H_w[:-1, :, :]) * inv_dcz
-        )
-
-        # --- flux-form diffusion on interior faces:
-        # u-momentum: d/dx(du/dx)/dcx + d/dy(du/dy)/hy + d/dz(du/dz)/hz
-        dux = (u[:, :, 1:] - u[:, :, :-1]) * inv_hx          # at centers
-        lap_u_x = (dux[:, :, 1:] - dux[:, :, :-1]) * inv_dcx
-        duy = (u_gy[:, 1:, :] - u_gy[:, :-1, :]) * inv_dfy   # at y-faces
-        lap_u_y = (duy[:, 1:, 1:-1] - duy[:, :-1, 1:-1]) * inv_hy
-        duz = (u_gz[1:] - u_gz[:-1]) * inv_dfz               # at z-faces
-        lap_u_z = (duz[1:, :, 1:-1] - duz[:-1, :, 1:-1]) * inv_hz
-        lap_u = lap_u_x + lap_u_y + lap_u_z
-
-        dvy = (v[:, 1:, :] - v[:, :-1, :]) * inv_hy
-        lap_v_y = (dvy[:, 1:, :] - dvy[:, :-1, :]) * inv_dcy
-        dvx = (v_gx[:, :, 1:] - v_gx[:, :, :-1]) * inv_dfx
-        lap_v_x = (dvx[:, 1:-1, 1:] - dvx[:, 1:-1, :-1]) * inv_hx
-        dvz = (v_gz[1:] - v_gz[:-1]) * inv_dfz
-        lap_v_z = (dvz[1:, 1:-1, :] - dvz[:-1, 1:-1, :]) * inv_hz
-        lap_v = lap_v_x + lap_v_y + lap_v_z
-
-        dwz = (w[1:] - w[:-1]) * inv_hz
-        lap_w_z = (dwz[1:] - dwz[:-1]) * inv_dcz
-        dwx = (w_gx[:, :, 1:] - w_gx[:, :, :-1]) * inv_dfx
-        lap_w_x = (dwx[1:-1, :, 1:] - dwx[1:-1, :, :-1]) * inv_hx
-        dwy = (w_gy[:, 1:, :] - w_gy[:, :-1, :]) * inv_dfy
-        lap_w_y = (dwy[1:-1, 1:, :] - dwy[1:-1, :-1, :]) * inv_hy
-        lap_w = lap_w_x + lap_w_y + lap_w_z
-
-        u_star = u.at[:, :, 1:-1].add(dt * (cfg.nu * lap_u - conv_u))
-        v_star = v.at[:, 1:-1, :].add(dt * (cfg.nu * lap_v - conv_v))
-        w_star = w.at[1:-1].add(dt * (cfg.nu * lap_w - conv_w))
-        u_star, v_star, w_star = bcs.set_normal(u_star, v_star, w_star)
-
-        fx = fy = fz = jnp.float32(0.0)
-        if ibm_mask_u is not None:
-            from cfdsim_tpu.ibm import ibm_ramp
-
-            strength = ibm_ramp(state.step, ibm_ramp_steps)
-            du_ibm = u_star * (strength * ibm_mask_u)
-            dv_ibm = v_star * (strength * ibm_mask_v)
-            dw_ibm = w_star * (strength * ibm_mask_w)
-            u_star = u_star - du_ibm
-            v_star = v_star - dv_ibm
-            w_star = w_star - dw_ibm
-            if cfg.compute_metrics:
-                fx = jnp.sum(du_ibm * cv_u) / dt
-                fy = jnp.sum(dv_ibm * cv_v) / dt
-                fz = jnp.sum(dw_ibm * cv_w) / dt
-
-        # --- exact projection (FV divergence / center-gap gradient pair)
-        div_star = (
-            (u_star[:, :, 1:] - u_star[:, :, :-1]) * inv_hx
-            + (v_star[:, 1:, :] - v_star[:, :-1, :]) * inv_hy
-            + (w_star[1:] - w_star[:-1]) * inv_hz
-        )
-        phi = solve_p(div_star / dt)
-        u_new = u_star.at[:, :, 1:-1].add(
-            -dt * (phi[:, :, 1:] - phi[:, :, :-1]) * inv_dcx
-        )
-        v_new = v_star.at[:, 1:-1, :].add(
-            -dt * (phi[:, 1:, :] - phi[:, :-1, :]) * inv_dcy
-        )
-        w_new = w_star.at[1:-1].add(-dt * (phi[1:] - phi[:-1]) * inv_dcz)
-        u_new, v_new, w_new = bcs.set_normal(u_new, v_new, w_new)
-        u_new = jnp.clip(u_new, -cfg.max_velocity, cfg.max_velocity)
-        v_new = jnp.clip(v_new, -cfg.max_velocity, cfg.max_velocity)
-        w_new = jnp.clip(w_new, -cfg.max_velocity, cfg.max_velocity)
+        if cfg.time_scheme == "rk2":
+            # Heun: average with a second projected Euler stage (both
+            # solenoidal ⇒ so is the average)
+            u2, v2, w2, phi2, (fx2, fy2, fz2, div_star) = stage(
+                u_new, v_new, w_new, phi
+            )
+            u_new = 0.5 * (u + u2)
+            v_new = 0.5 * (v + v2)
+            w_new = 0.5 * (w + w2)
+            u_new, v_new, w_new = bcs.set_normal(u_new, v_new, w_new)
+            phi = 0.5 * (phi + phi2)
+            fx = 0.5 * (fx + fx2)
+            fy = 0.5 * (fy + fy2)
+            fz = 0.5 * (fz + fz2)
 
         new_state = MAC3DState(
             u=u_new, v=v_new, w=w_new, p=phi,

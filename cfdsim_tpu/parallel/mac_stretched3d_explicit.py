@@ -74,6 +74,10 @@ def make_stretched3d_explicit_step(
         raise ValueError(
             "the explicit stretched-3D step implements scheme='central'"
         )
+    if getattr(cfg, "time_scheme", "euler") != "euler":
+        raise ValueError(
+            "the explicit stretched-3D step implements time_scheme='euler'"
+        )
     mx = _metrics(x_faces)
     my = _metrics(y_faces)
     mz = _metrics(z_faces)

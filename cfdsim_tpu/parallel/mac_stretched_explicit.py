@@ -87,6 +87,11 @@ def make_stretched_mac_explicit_step(
         raise ValueError(f"grid {ny}x{nx} not divisible by mesh {py}x{px}")
     if ny_l < 4 or nx_l < 4:
         raise ValueError("local blocks must be at least 4x4 for width-2 halos")
+    if getattr(cfg, "time_scheme", "euler") != "euler":
+        raise ValueError(
+            "the explicit sharded stretched step implements "
+            "time_scheme='euler'"
+        )
 
     # --- metric lookups (global-index slices → coefficient lines)
     inv_hx = _lut(1.0 / mx.h, 1)           # by cell col

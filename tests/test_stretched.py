@@ -159,3 +159,59 @@ def test_cylinder_stretched_healthy():
     # refinement actually concentrates cells at the body
     h = np.diff(case.extras["x_faces"])
     assert case.extras["h_near"] < 0.5 * h.max()
+
+
+def test_stretched_rk2_taylor_green_temporal():
+    """time_scheme="rk2" on the stretched tier: with UNIFORM faces the
+    stage equals the uniform MAC stage, so Heun must cut the temporal
+    error exactly as in test_taylor_green.test_rk2_temporal_order —
+    measured against a tiny-dt reference on the same grid."""
+    import numpy as np
+
+    from cfdsim_tpu.models import mac, mac_stretched as ms
+
+    PI = np.pi
+    n, NU, T = 24, 0.1, 0.4
+    faces = np.linspace(0.0, PI, n + 1)
+
+    def run(ts, dt):
+        cfg = ms.StretchedMACConfig(
+            nx=n, ny=n, nu=NU, scheme="central", time_scheme=ts,
+            adaptive_dt=False, dt_base=dt, compute_metrics=False,
+        )
+        step = jax.jit(ms.make_step(cfg, mac.free_slip_bcs(), faces, faces))
+        h = PI / n
+        xu = np.arange(n + 1) * h
+        yu = (np.arange(n) + 0.5) * h
+        u0 = (np.sin(xu)[None, :] * np.cos(yu)[:, None]).astype(np.float32)
+        v0 = (-np.cos(yu)[None, :] * np.sin(xu)[:, None]).T.astype(np.float32)
+        xv = (np.arange(n) + 0.5) * h
+        yv = np.arange(n + 1) * h
+        v0 = (-np.cos(xv)[None, :] * np.sin(yv)[:, None]).astype(np.float32)
+        s = ms.init_state(cfg)._replace(u=jnp.asarray(u0), v=jnp.asarray(v0))
+        for _ in range(int(round(T / dt))):
+            s, _ = step(s, jnp.float32(1.0))
+        return np.asarray(s.u), np.asarray(s.v)
+
+    ur, vr = run("rk2", 1e-3)
+    def err(ts, dt):
+        u, v = run(ts, dt)
+        return np.sqrt(np.mean((u - ur) ** 2) + np.mean((v - vr) ** 2))
+
+    e_eu = err("euler", 0.016)
+    e_rk = err("rk2", 0.016)
+    assert e_rk < 0.05 * e_eu  # 2nd order vs 1st at the same dt
+
+
+def test_stretched3d_rk2_runs_divergence_free():
+    """rk2 on the stretched 3D tier: graded cavity stays finite and
+    exactly projected (the average of two FDM-projected stages)."""
+    from cfdsim_tpu.cases import cavity3d_stretched
+
+    case = cavity3d_stretched(n=12, Re=200.0, time_scheme="rk2")
+    step = jax.jit(case.step)
+    s = case.state
+    for _ in range(8):
+        s, m = step(s, jnp.float32(1.0))
+    assert bool(jnp.isfinite(s.u).all())
+    assert float(m.div_post) < 1e-4
