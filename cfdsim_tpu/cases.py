@@ -1009,6 +1009,96 @@ def heated_sphere(
     )
 
 
+def heated_sphere_stretched(
+    nx: int = 192,
+    ny: int = 96,
+    nz: int = 96,
+    Re: float = 100.0,
+    Pr: float = 0.7,
+    v_inf: float = 1.0,
+    radius: float = 0.5,
+    center: tuple[float, float, float] = (4.0, 4.0, 4.0),
+    domain: tuple[float, float, float] = (16.0, 8.0, 8.0),
+    scheme: str = "tvd",
+    theta_scheme: str = "upwind",
+    refine_strength: float = 3.0,
+    refine_width: float = 1.2,
+    wake_length: float = 4.0,
+    ibm_ramp_steps: int = 200,
+    ibm_profile: str = "sharp",
+    **cfg_overrides,
+) -> Case:
+    """Forced convection from an isothermal sphere on the body+wake-
+    refined stretched grid — the ``heated_sphere`` physics at
+    ``sphere_stretched`` resolution (~30 cells/D near-body at the cell
+    count that buys 12 uniform): composes the stretched momentum step
+    with a metric-weighted θ update (transport3d.make_stretched_step).
+    Nusselt vs Ranz–Marshall (BENCHNOTES heated-sphere table)."""
+    import numpy as np
+
+    from cfdsim_tpu.grid import Grid3D
+    from cfdsim_tpu.ibm import (
+        potential_flow_sphere_faces,
+        sphere_mask_cells,
+        sphere_masks_faces,
+    )
+    from cfdsim_tpu.models import mac3d
+    from cfdsim_tpu.models import transport3d as t3
+    from cfdsim_tpu.models.mac_stretched import stretched_faces
+
+    xf = stretched_faces(
+        nx, domain[0],
+        refine=[(center[0], refine_width, refine_strength),
+                (center[0] + 0.5 * wake_length, wake_length,
+                 0.5 * refine_strength)],
+    )
+    yf = stretched_faces(
+        ny, domain[1], refine=[(center[1], refine_width, refine_strength)]
+    )
+    zf = stretched_faces(
+        nz, domain[2], refine=[(center[2], refine_width, refine_strength)]
+    )
+    h_min = float(min(np.diff(xf).min(), np.diff(yf).min(),
+                      np.diff(zf).min()))
+    masks = sphere_masks_faces(xf, yf, zf, center, radius,
+                               profile=ibm_profile)
+    mask_c = sphere_mask_cells(xf, yf, zf, center, radius,
+                               profile=ibm_profile)
+    grid = Grid3D(nx=nx, ny=ny, nz=nz, x_max=domain[0], y_max=domain[1],
+                  z_max=domain[2], centering="cell")  # nominal descriptor
+    defaults = dict(
+        cfl_target=0.4,
+        dt_max=0.4 * h_min / max(v_inf, 1e-10),
+        max_velocity=5.0 * v_inf,
+    )
+    defaults.update(cfg_overrides)
+    cfg = t3.Transport3DConfig(
+        grid=grid, nu=v_inf * 2 * radius / Re, prandtl=Pr, scheme=scheme,
+        theta_scheme=theta_scheme, body_diameter=2 * radius, **defaults
+    )
+    fw = np.diff(zf)[:, None] * np.diff(yf)[None, :]
+    bcs = mac3d.external_flow_bcs3d(v_inf, face_weights=fw)
+    step = t3.make_stretched_step(
+        cfg, bcs, xf, yf, zf,
+        ibm_mask_u=masks[0], ibm_mask_v=masks[1], ibm_mask_w=masks[2],
+        ibm_mask_c=mask_c, ibm_ramp_steps=ibm_ramp_steps,
+    )
+    u0, v0, w0 = potential_flow_sphere_faces(
+        xf, yf, zf, center, radius, v_inf, *masks
+    )
+    state = t3.init_state(cfg, u0=u0, v0=v0, w0=w0)
+    return Case(
+        "heated_sphere_stretched", cfg, step, state, grid,
+        {
+            "x_faces": xf, "y_faces": yf, "z_faces": zf,
+            "ibm_masks": (*masks, mask_c), "center": center,
+            "radius": radius, "v_inf": v_inf, "h_min": h_min,
+            "bcs": bcs,
+            "coeff_scale": 2.0 / (v_inf**2 * np.pi * radius**2),
+        },
+    )
+
+
 def cavity3d_stretched(
     n: int = 48,
     Re: float = 400.0,
@@ -1546,6 +1636,7 @@ CASES: dict[str, Callable[..., Case]] = {
     "sphere": sphere_mac3d,
     "sphere_stretched": sphere_stretched,
     "heated_sphere": heated_sphere,
+    "heated_sphere_stretched": heated_sphere_stretched,
     "heated_cavity": heated_cavity,
     "rayleigh_benard": rayleigh_benard,
     "heated_cube": heated_cube,

@@ -124,6 +124,146 @@ def _theta_ghost_open(theta, theta_in: float):
     return te
 
 
+def make_stretched_step(
+    cfg: Transport3DConfig,
+    bcs: mac3d.MAC3DBCs,
+    x_faces,
+    y_faces,
+    z_faces,
+    ibm_mask_u=None,
+    ibm_mask_v=None,
+    ibm_mask_w=None,
+    ibm_mask_c=None,
+    ibm_ramp_steps: int = 0,
+) -> Callable:
+    """The stretched-grid habitat of ``make_step``: composes the full
+    stretched momentum step (``mac_stretched3d.make_step`` — metric
+    advection/diffusion, exact FDM projection, volume-weighted IBM
+    forces) with a metric-weighted FV θ update advected by the step's
+    *projected* velocities, plus the isothermal-body θ penalization.
+    ``cfg.grid`` is the nominal uniform descriptor; the face vectors
+    define the real geometry. Note cfg.nx/ny/nz must match
+    ``StretchedMAC3DConfig`` sizes."""
+    import numpy as np
+
+    from cfdsim_tpu.models import mac_stretched3d as ms3
+    from cfdsim_tpu.models.mac_stretched import _metrics
+
+    mx = _metrics(x_faces)
+    my = _metrics(y_faces)
+    mz = _metrics(z_faces)
+    alpha = cfg.nu / cfg.prandtl
+    h_min = float(min(mx.h.min(), my.h.min(), mz.h.min()))
+    flow_cfg = ms3.StretchedMAC3DConfig(
+        nx=cfg.grid.nx, ny=cfg.grid.ny, nz=cfg.grid.nz, nu=cfg.nu,
+        scheme=cfg.scheme, adaptive_dt=cfg.adaptive_dt,
+        cfl_target=cfg.cfl_target, dt_base=cfg.dt_base, dt_min=cfg.dt_min,
+        # the θ-diffusion stability bound joins the momentum one
+        dt_max=min(cfg.dt_max, 0.125 * h_min * h_min / max(alpha, 1e-30)),
+        max_velocity=cfg.max_velocity,
+        compute_metrics=cfg.compute_metrics,
+    )
+    flow_step = ms3.make_step(
+        flow_cfg, bcs, x_faces, y_faces, z_faces,
+        ibm_mask_u=ibm_mask_u, ibm_mask_v=ibm_mask_v, ibm_mask_w=ibm_mask_w,
+        ibm_ramp_steps=ibm_ramp_steps,
+    )
+
+    f32 = lambda a: jnp.asarray(a, jnp.float32)
+    inv_hx = f32(1.0 / mx.h)[None, None, :]
+    inv_hy = f32(1.0 / my.h)[None, :, None]
+    inv_hz = f32(1.0 / mz.h)[:, None, None]
+    inv_dfx = f32(1.0 / mx.dfull)[None, None, :]
+    inv_dfy = f32(1.0 / my.dfull)[None, :, None]
+    inv_dfz = f32(1.0 / mz.dfull)[:, None, None]
+    cellvol = f32(
+        mz.h[:, None, None] * my.h[None, :, None] * mx.h[None, None, :]
+    )
+    qscale = 1.0 / (
+        np.pi * cfg.body_diameter * alpha
+        * max(abs(cfg.theta_body - cfg.theta_in), 1e-30)
+    )
+
+    def step(state: Transport3DState, cfl_scale):
+        mac_state = mac3d.MAC3DState(
+            u=state.u, v=state.v, w=state.w, p=state.p,
+            t=state.t, step=state.step,
+        )
+        new_mac, fm = flow_step(mac_state, cfl_scale)
+        dt = fm.dt
+        u_new, v_new, w_new = new_mac.u, new_mac.v, new_mac.w
+        theta = state.theta
+
+        te = _theta_ghost_open(theta, cfg.theta_in)
+        if cfg.theta_scheme == "upwind":
+            thx = jnp.where(u_new >= 0.0, te[1:-1, 1:-1, :-1],
+                            te[1:-1, 1:-1, 1:])
+            thy = jnp.where(v_new >= 0.0, te[1:-1, :-1, 1:-1],
+                            te[1:-1, 1:, 1:-1])
+            thz = jnp.where(w_new >= 0.0, te[:-1, 1:-1, 1:-1],
+                            te[1:, 1:-1, 1:-1])
+        else:
+            thx = 0.5 * (te[1:-1, 1:-1, :-1] + te[1:-1, 1:-1, 1:])
+            thy = 0.5 * (te[1:-1, :-1, 1:-1] + te[1:-1, 1:, 1:-1])
+            thz = 0.5 * (te[:-1, 1:-1, 1:-1] + te[1:, 1:-1, 1:-1])
+        fxa = u_new * thx
+        fya = v_new * thy
+        fza = w_new * thz
+        adv = (
+            (fxa[:, :, 1:] - fxa[:, :, :-1]) * inv_hx
+            + (fya[:, 1:, :] - fya[:, :-1, :]) * inv_hy
+            + (fza[1:] - fza[:-1]) * inv_hz
+        )
+        # flux-form diffusion with metric gaps (stretched3d lap pattern
+        # for a cell-centered field)
+        gx = (te[1:-1, 1:-1, 1:] - te[1:-1, 1:-1, :-1]) * inv_dfx
+        gy = (te[1:-1, 1:, 1:-1] - te[1:-1, :-1, 1:-1]) * inv_dfy
+        gz = (te[1:, 1:-1, 1:-1] - te[:-1, 1:-1, 1:-1]) * inv_dfz
+        lap_t = (
+            (gx[:, :, 1:] - gx[:, :, :-1]) * inv_hx
+            + (gy[:, 1:, :] - gy[:, :-1, :]) * inv_hy
+            + (gz[1:] - gz[:-1]) * inv_hz
+        )
+        theta_new = theta + dt * (alpha * lap_t - adv)
+
+        q_body = nusselt = jnp.float32(0.0)
+        if ibm_mask_c is not None:
+            from cfdsim_tpu.ibm import ibm_ramp
+
+            strength = ibm_ramp(state.step, ibm_ramp_steps)
+            dth = (cfg.theta_body - theta_new) * (strength * ibm_mask_c)
+            theta_new = theta_new + dth
+            if cfg.compute_metrics:
+                q_body = jnp.sum(dth * cellvol) / dt
+                nusselt = q_body * qscale
+
+        new_state = Transport3DState(
+            u=u_new, v=v_new, w=w_new, p=new_mac.p, theta=theta_new,
+            t=new_mac.t, step=new_mac.step,
+        )
+        if cfg.compute_metrics:
+            metrics = Transport3DMetrics(
+                dt=dt,
+                div_post=fm.div_post,
+                max_vel=fm.max_vel,
+                energy=fm.energy,
+                fx=fm.fx, fy=fm.fy, fz=fm.fz,
+                q_body=q_body,
+                nusselt=nusselt,
+                theta_min=jnp.min(theta_new),
+                theta_max=jnp.max(theta_new),
+            )
+        else:
+            zero = jnp.float32(0.0)
+            metrics = Transport3DMetrics(
+                dt, zero, zero, zero, zero, zero, zero, zero, zero,
+                zero, zero,
+            )
+        return new_state, metrics
+
+    return step
+
+
 def make_step(
     cfg: Transport3DConfig,
     bcs: mac3d.MAC3DBCs,

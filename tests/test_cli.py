@@ -92,6 +92,11 @@ def test_every_registered_case_builds_and_steps():
         ),
         "heated_sphere": dict(nx=24, ny=12, nz=12, domain=(8.0, 4.0, 4.0),
                               center=(2.0, 2.0, 2.0), ibm_ramp_steps=2),
+        "heated_sphere_stretched": dict(
+            nx=24, ny=12, nz=12, domain=(8.0, 4.0, 4.0),
+            center=(2.0, 2.0, 2.0), refine_strength=1.0,
+            refine_width=1.0, wake_length=1.0, ibm_ramp_steps=2,
+        ),
         "heated_cavity": dict(n=16),
         "rayleigh_benard": dict(ny=8, aspect=2.0),
         "heated_cube": dict(n=8),

@@ -58,3 +58,58 @@ def test_heated_sphere_nu_grows_with_re():
     _, _, nus100, _, _, _ = _run(100.0, 4)
     _, _, nus20, _, _, _ = _run(20.0, 4)
     assert float(nus100[-1]) > float(nus20[-1]) > 2.0
+
+
+def test_heated_sphere_stretched_uniform_matches():
+    """With strength-0 refinement the composed stretched heated-sphere
+    step must reproduce the uniform heated_sphere case (central
+    momentum + upwind θ: identical fluxes, penalizations, and heat
+    metrics)."""
+    kw = dict(nx=32, ny=16, nz=16, Re=100.0, domain=(8.0, 4.0, 4.0),
+              center=(2.0, 2.0, 2.0), scheme="central", ibm_ramp_steps=3)
+    c_u = build("heated_sphere", **kw)
+    c_s = build("heated_sphere_stretched", refine_strength=0.0,
+                wake_length=1.0, **kw)
+    su, ss = c_u.state, c_s.state
+    step_u = jax.jit(c_u.step)
+    step_s = jax.jit(c_s.step)
+    for _ in range(5):
+        su, mu = step_u(su, jnp.float32(1.0))
+        ss, ms = step_s(ss, jnp.float32(1.0))
+    np.testing.assert_allclose(np.asarray(ss.u), np.asarray(su.u),
+                               rtol=0, atol=5e-5)
+    np.testing.assert_allclose(np.asarray(ss.theta), np.asarray(su.theta),
+                               rtol=0, atol=5e-5)
+    np.testing.assert_allclose(float(ms.nusselt), float(mu.nusselt),
+                               rtol=1e-3)
+    np.testing.assert_allclose(float(ms.fx), float(mu.fx), rtol=1e-3)
+    np.testing.assert_allclose(float(ms.dt), float(mu.dt), rtol=1e-5)
+
+
+def test_heated_sphere_stretched_graded_nu_closer():
+    """On a genuinely graded grid at the same cell count the Nusselt
+    bias must shrink vs the uniform case (the effective-diameter
+    inflation scales with the near-body spacing)."""
+    case = build(
+        "heated_sphere_stretched", nx=48, ny=24, nz=24, Re=100.0,
+        domain=(12.0, 6.0, 6.0), center=(3.0, 3.0, 3.0),
+        ibm_ramp_steps=20,
+    )
+
+    def chunk(state, _):
+        def body(s, _):
+            s2, m = case.step(s, 1.0)
+            return s2, (m.nusselt, m.theta_min, m.theta_max)
+
+        return jax.lax.scan(body, state, None, length=40)
+
+    chunk = jax.jit(chunk)
+    state = case.state
+    for _ in range(5):
+        state, (nus, tmin, tmax) = chunk(state, None)
+    assert bool(jnp.isfinite(state.theta).all())
+    assert float(tmin.min()) > -1e-4 and float(tmax.max()) < 1.0 + 1e-4
+    nu_ref = sphere_nusselt_ranz_marshall(100.0)
+    nu = float(nus[-1])
+    # uniform 6-c/D measured ~1.63x; graded must land well below that
+    assert nu_ref * 0.85 < nu < 1.45 * nu_ref
