@@ -10,6 +10,8 @@ captured as constants by the jitted step.
 
 from __future__ import annotations
 
+from typing import Callable, NamedTuple
+
 import numpy as np
 import jax.numpy as jnp
 
@@ -255,6 +257,64 @@ def apply_ibm(u, v, ibm_mask, strength):
     """
     damp = 1.0 - ibm_mask * strength
     return u * damp, v * damp
+
+
+class MovingBody(NamedTuple):
+    """Time-dependent rigid circular body for the moving-IBM
+    penalization (mac.make_step ``moving_body``): the sharp face masks
+    are rebuilt ON DEVICE each step from the closed-over face
+    coordinates (elementwise — no gathers), and the penalization drives
+    the fluid toward the body VELOCITY instead of rest:
+    u ← u − s·m·(u − u_b). The reported force is the momentum the body
+    exchanges with the fluid, Σ Δu·dA/dt.
+
+    ``center(t) -> (cx, cy)`` and ``velocity(t) -> (ub, vb)`` are traced
+    functions of simulation time (use jnp ops)."""
+
+    center: Callable
+    velocity: Callable
+    radius: float
+
+
+def oscillating_cylinder(center, radius: float, amplitude: float,
+                         period: float, axis: int = 0) -> MovingBody:
+    """In-line (axis=0) or transverse (axis=1) harmonic oscillation:
+    x_c(t) = x0 + A·sin(2πt/T), the classic Dütsch/KC configuration
+    (KC = 2πA/D, Re_max = 2πA·D/(T·ν))."""
+    import jax.numpy as _jnp
+
+    x0, y0 = center
+    om = 2.0 * np.pi / period
+
+    def c(t):
+        d = amplitude * _jnp.sin(om * t)
+        return (x0 + d, y0) if axis == 0 else (x0, y0 + d)
+
+    def vel(t):
+        s = amplitude * om * _jnp.cos(om * t)
+        return (s, _jnp.zeros_like(s)) if axis == 0 else (
+            _jnp.zeros_like(s), s)
+
+    return MovingBody(center=c, velocity=vel, radius=radius)
+
+
+def translating_body(center0, velocity, radius: float) -> MovingBody:
+    """Constant-velocity rigid body (the Galilean-invariance harness:
+    a cylinder translating through still fluid must see the same drag
+    as a fixed cylinder in a uniform stream)."""
+    x0, y0 = center0
+    ub, vb = velocity
+
+    def c(t):
+        return (x0 + ub * t, y0 + vb * t)
+
+    def vel(t):
+        import jax.numpy as _jnp
+
+        z = _jnp.zeros_like(t)
+        return (z + ub, z + vb)
+
+    return MovingBody(center=c, velocity=vel, radius=radius)
 
 
 def ibm_ramp(step, ramp_steps: int):

@@ -397,18 +397,46 @@ def make_step(
     ibm_mask_v: Optional[jax.Array] = None,
     ibm_ramp_steps: int = 0,
     forcing: Optional[tuple] = None,
+    moving_body=None,
 ) -> Callable:
     """Build ``step(state, cfl_scale) -> (state, StepMetrics)``.
 
     ``ibm_mask_u``/``ibm_mask_v`` are face-sampled penalization masks
     (the reference's Gaussian-shell IBM, v5.py:228-237, sampled at u/v
     face locations); ``forcing`` is an optional (fu, fv) face-located
-    body-force pair.
+    body-force pair. ``moving_body`` (an ``ibm.MovingBody``) enables the
+    moving-geometry IBM: sharp face masks are rebuilt on device each
+    step from the body's center(t), and the penalization drives the
+    fluid toward the body velocity — u ← u − s·m·(u − u_b(t)) — with
+    the exchanged momentum reported as (fx, fy). Both stages of an rk2
+    step evaluate the body at the step's start time (O(dt) in the body
+    kinematics).
     """
     if cfg.time_scheme not in ("euler", "rk2"):
         raise ValueError(f"unknown MAC time scheme {cfg.time_scheme!r}")
     g = cfg.grid
     dx, dy = g.dx, g.dy
+
+    if moving_body is not None:
+        import numpy as _np
+
+        xu = g.x_min + _np.arange(g.nx + 1) * dx
+        yu = g.y_min + (_np.arange(g.ny) + 0.5) * dy
+        Xu, Yu = (jnp.asarray(a, jnp.float32)
+                  for a in _np.meshgrid(xu, yu, indexing="xy"))
+        xv = g.x_min + (_np.arange(g.nx) + 0.5) * dx
+        yv = g.y_min + _np.arange(g.ny + 1) * dy
+        Xv, Yv = (jnp.asarray(a, jnp.float32)
+                  for a in _np.meshgrid(xv, yv, indexing="xy"))
+
+        def body_masks(t):
+            cx, cy = moving_body.center(t)
+            r = moving_body.radius
+            du = jnp.sqrt((Xu - cx) ** 2 + (Yu - cy) ** 2)
+            dv = jnp.sqrt((Xv - cx) ** 2 + (Yv - cy) ** 2)
+            m_u = jnp.clip((r + 0.5 * dx - du) / dx, 0.0, 1.0)
+            m_v = jnp.clip((r + 0.5 * dx - dv) / dx, 0.0, 1.0)
+            return m_u, m_v
 
     def step(state: MACState, cfl_scale):
         u, v = bcs.set_normal(state.u, state.v, state.step, state.t)
@@ -457,6 +485,21 @@ def make_step(
                     cell = dx * dy
                     fx = jnp.sum(du_ibm) * cell / dt
                     fy = jnp.sum(dv_ibm) * cell / dt
+
+            if moving_body is not None:
+                from cfdsim_tpu.ibm import ibm_ramp
+
+                m_u, m_v = body_masks(state.t)
+                ub, vb = moving_body.velocity(state.t)
+                strength = ibm_ramp(state.step, ibm_ramp_steps)
+                du_mb = (u_star - ub) * (strength * m_u)
+                dv_mb = (v_star - vb) * (strength * m_v)
+                u_star = u_star - du_mb
+                v_star = v_star - dv_mb
+                if cfg.compute_metrics:
+                    cell = dx * dy
+                    fx = fx + jnp.sum(du_mb) * cell / dt
+                    fy = fy + jnp.sum(dv_mb) * cell / dt
 
             # --- exact projection: the MAC divergence/gradient pair is
             # adjoint, so ∇·(u* − dt∇φ) = ∇·u* − dt·L φ with L the

@@ -76,6 +76,8 @@ def test_every_registered_case_builds_and_steps():
         "cylinder": dict(nx=48, ny=24),
         "cylinder_mac": dict(nx=48, ny=16),
         "cylinder_stretched": dict(nx=48, ny=24),
+        "cylinder_oscillating": dict(nx=48, ny=24, domain=(8.0, 4.0),
+                                     center=(4.0, 2.0)),
         "wedge": dict(nx=40, ny=20),
         "cavity_supersonic": dict(nx=40, ny=16),
         "kolmogorov": dict(ny=18),
