@@ -367,6 +367,7 @@ def cylinder_mac(
     poisson: Optional[PoissonConfig] = None,
     ibm_ramp_steps: int = 200,
     perturb_ramp_steps: int = 200,
+    ibm_profile: str = "shell",
     **cfg_overrides,
 ) -> Case:
     """Flow past a cylinder on the staggered (MAC) grid — the best-physics
@@ -375,12 +376,17 @@ def cylinder_mac(
     Strouhal-accurate shedding at low blockage (D/H = 12.5%, ~30 cells/D):
     measured St = 0.180 at Re=150 on 720×240 and 0.200 on 1200×400
     (empirical unconfined 0.18–0.20; see BENCHNOTES.md). The collocated
-    ``cylinder`` case keeps the reference's exact geometry and quirks."""
+    ``cylinder`` case keeps the reference's exact geometry and quirks.
+    ``ibm_profile="sharp"`` makes the penalization drag/lift
+    quantitative (Cd within ~7% of the unconfined literature at 20
+    cells/D); the default ``"shell"`` keeps the reference's Gaussian
+    forcing — validated shedding, forces qualitative."""
     from cfdsim_tpu.models import mac
 
     grid = Grid(nx=nx, ny=ny, x_max=domain[0], y_max=domain[1],
                 centering="cell")
-    mask_u, mask_v = cylinder_masks_mac(grid, center, radius)
+    mask_u, mask_v = cylinder_masks_mac(grid, center, radius,
+                                        profile=ibm_profile)
     pois = _poisson_spec(poisson) or PoissonConfig(method="dct")
     defaults = dict(
         cfl_target=0.4,

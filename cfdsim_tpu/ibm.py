@@ -42,11 +42,19 @@ def _gaussian_shell(dist, radius, dx):
     )
 
 
-def cylinder_masks_mac(grid: Grid, center: tuple[float, float], radius: float):
-    """Face-sampled IBM masks for the staggered (MAC) layout: the same
-    Gaussian-shell profile as ``cylinder_masks`` (reference v5.py:275-283)
-    evaluated at u-face locations (ny, nx+1) and v-face locations
-    (ny+1, nx) of a cell-centered grid."""
+def cylinder_masks_mac(grid: Grid, center: tuple[float, float],
+                       radius: float, profile: str = "shell"):
+    """Face-sampled IBM masks for the staggered (MAC) layout, at u-face
+    locations (ny, nx+1) and v-face locations (ny+1, nx) of a
+    cell-centered grid.
+
+    ``profile="shell"`` (default): the reference's Gaussian shell
+    (v5.py:275-283) — the validated shedding/Strouhal configuration, but
+    the shell pads the body by ~2dx so its penalization force
+    over-reports drag (Cd 2.04 vs the sharp 1.45 at Re=100, 20 cells/D
+    — BENCHNOTES "Moving-geometry IBM"). ``profile="sharp"``: 1 inside
+    with a half-cell taper — quantitative forces (Cd within ~7% of the
+    unconfined literature), the 2D analog of ``sphere_masks_faces``."""
     nx, ny = grid.nx, grid.ny
     dx, dy = grid.dx, grid.dy
     xu = grid.x_min + np.arange(nx + 1) * dx
@@ -57,9 +65,17 @@ def cylinder_masks_mac(grid: Grid, center: tuple[float, float], radius: float):
     Xv, Yv = np.meshgrid(xv, yv, indexing="xy")
     du = np.sqrt((Xu - center[0]) ** 2 + (Yu - center[1]) ** 2)
     dv = np.sqrt((Xv - center[0]) ** 2 + (Yv - center[1]) ** 2)
+    if profile == "sharp":
+        def shape(d):
+            return np.clip((radius + 0.5 * dx - d) / dx, 0.0, 1.0)
+    elif profile == "shell":
+        def shape(d):
+            return _gaussian_shell(d, radius, dx)
+    else:
+        raise ValueError(f"unknown IBM mask profile {profile!r}")
     return (
-        jnp.asarray(_gaussian_shell(du, radius, dx), jnp.float32),
-        jnp.asarray(_gaussian_shell(dv, radius, dx), jnp.float32),
+        jnp.asarray(shape(du), jnp.float32),
+        jnp.asarray(shape(dv), jnp.float32),
     )
 
 
