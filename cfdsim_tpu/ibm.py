@@ -314,6 +314,40 @@ def oscillating_cylinder(center, radius: float, amplitude: float,
     return MovingBody(center=c, velocity=vel, radius=radius)
 
 
+class MovingBody3D(NamedTuple):
+    """3D analog of ``MovingBody`` (mac3d.make_step ``moving_body``):
+    ``center(t) -> (cx, cy, cz)``, ``velocity(t) -> (ub, vb, wb)``."""
+
+    center: Callable
+    velocity: Callable
+    radius: float
+
+
+def oscillating_sphere(center, radius: float, amplitude: float,
+                       period: float, axis: int = 0) -> MovingBody3D:
+    """Harmonically oscillating sphere along one axis (x/y/z), the 3D
+    habitat of ``oscillating_cylinder``."""
+    import jax.numpy as _jnp
+
+    c0 = tuple(float(c) for c in center)
+    om = 2.0 * np.pi / period
+
+    def c(t):
+        d = amplitude * _jnp.sin(om * t)
+        out = list(c0)
+        out[axis] = c0[axis] + d
+        return tuple(out)
+
+    def vel(t):
+        s = amplitude * om * _jnp.cos(om * t)
+        z = _jnp.zeros_like(s)
+        out = [z, z, z]
+        out[axis] = s
+        return tuple(out)
+
+    return MovingBody3D(center=c, velocity=vel, radius=radius)
+
+
 def translating_body(center0, velocity, radius: float) -> MovingBody:
     """Constant-velocity rigid body (the Galilean-invariance harness:
     a cylinder translating through still fluid must see the same drag

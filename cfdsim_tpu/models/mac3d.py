@@ -416,6 +416,7 @@ def make_step(
     ibm_mask_v=None,
     ibm_mask_w=None,
     ibm_ramp_steps: int = 0,
+    moving_body=None,
 ) -> Callable:
     """Build ``step(state, cfl_scale) -> (state, StepMetrics)``.
 
@@ -423,7 +424,10 @@ def make_step(
     masks (the reference's IBM, v5.py:228-237, lifted to 3D faces —
     ibm.sphere_masks_mac3d); the momentum each penalization removes is
     reported as the body force (fx, fy, fz), exactly as the 2D
-    mac.make_step."""
+    mac.make_step. ``moving_body`` (an ``ibm.MovingBody3D``) enables
+    the moving-geometry IBM: sharp face masks rebuilt on device each
+    step from center(t), penalization toward the body velocity — the
+    3D habitat of mac.make_step's moving_body."""
     if cfg.scheme not in ("central", "upwind", "tvd"):
         raise ValueError(f"unknown MAC3D scheme {cfg.scheme!r}")
     if cfg.time_scheme not in ("euler", "rk2"):
@@ -431,6 +435,42 @@ def make_step(
     g = cfg.grid
     dx, dy, dz = g.dx, g.dy, g.dz
     h = min(dx, dy, dz)
+
+    if moving_body is not None:
+        import numpy as _np
+
+        def _coords(face_axis):
+            xs = g.x_min + (
+                _np.arange(g.nx + 1) * dx if face_axis == 0
+                else (_np.arange(g.nx) + 0.5) * dx
+            )
+            ys = g.y_min + (
+                _np.arange(g.ny + 1) * dy if face_axis == 1
+                else (_np.arange(g.ny) + 0.5) * dy
+            )
+            zs = g.z_min + (
+                _np.arange(g.nz + 1) * dz if face_axis == 2
+                else (_np.arange(g.nz) + 0.5) * dz
+            )
+            Z, Y, X = _np.meshgrid(zs, ys, xs, indexing="ij")
+            return (jnp.asarray(X, jnp.float32), jnp.asarray(Y, jnp.float32),
+                    jnp.asarray(Z, jnp.float32))
+
+        XU, YU, ZU = _coords(0)
+        XV, YV, ZV = _coords(1)
+        XW, YW, ZW = _coords(2)
+
+        def body_masks(t):
+            cx, cy, cz = moving_body.center(t)
+            r = moving_body.radius
+
+            def m(X, Y, Z):
+                d = jnp.sqrt(
+                    (X - cx) ** 2 + (Y - cy) ** 2 + (Z - cz) ** 2
+                )
+                return jnp.clip((r + 0.5 * dx - d) / dx, 0.0, 1.0)
+
+            return m(XU, YU, ZU), m(XV, YV, ZV), m(XW, YW, ZW)
 
     def step(state: MAC3DState, cfl_scale):
         u, v, w = bcs.set_normal(state.u, state.v, state.w)
@@ -495,6 +535,24 @@ def make_step(
                     fx = jnp.sum(du_ibm) * cell / dt
                     fy = jnp.sum(dv_ibm) * cell / dt
                     fz = jnp.sum(dw_ibm) * cell / dt
+
+            if moving_body is not None:
+                from cfdsim_tpu.ibm import ibm_ramp
+
+                m_u, m_v, m_w = body_masks(state.t)
+                ub, vb, wb = moving_body.velocity(state.t)
+                strength = ibm_ramp(state.step, ibm_ramp_steps)
+                du_mb = (u_star - ub) * (strength * m_u)
+                dv_mb = (v_star - vb) * (strength * m_v)
+                dw_mb = (w_star - wb) * (strength * m_w)
+                u_star = u_star - du_mb
+                v_star = v_star - dv_mb
+                w_star = w_star - dw_mb
+                if cfg.compute_metrics:
+                    cell = dx * dy * dz
+                    fx = fx + jnp.sum(du_mb) * cell / dt
+                    fy = fy + jnp.sum(dv_mb) * cell / dt
+                    fz = fz + jnp.sum(dw_mb) * cell / dt
 
             # --- exact projection
             div_star = divergence_mac3d(u_star, v_star, w_star, dx, dy, dz)

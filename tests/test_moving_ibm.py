@@ -118,3 +118,64 @@ def test_oscillating_cylinder_case():
     q3 = fxs[(ts > 2.8) & (ts < 3.5)].mean()
     assert q1 * q3 < 0.0
     assert np.max(np.abs(fxs)) > 0.1  # a real force signal
+
+
+def test_moving_sphere3d_static_limit_and_oscillation():
+    """3D moving body (mac3d): static-limit equivalence with the sharp
+    sphere masks, then an oscillating sphere stays finite/projected
+    with a sign-alternating in-line force."""
+    from cfdsim_tpu.grid import Grid3D
+    from cfdsim_tpu.ibm import (
+        MovingBody3D,
+        oscillating_sphere,
+        sphere_masks_mac3d,
+    )
+    from cfdsim_tpu.models import mac3d
+    from cfdsim_tpu.solvers.poisson3d import Poisson3DConfig
+
+    grid = Grid3D(nx=32, ny=16, nz=16, x_max=8.0, y_max=4.0, z_max=4.0,
+                  centering="cell")
+    center, radius = (2.0, 2.0, 2.0), 0.5
+    cfg = mac3d.MAC3DConfig(grid=grid, nu=0.01, scheme="tvd",
+                            poisson=Poisson3DConfig(method="dct"))
+    bcs = mac3d.external_flow_bcs3d(1.0)
+    masks = sphere_masks_mac3d(grid, center, radius, profile="sharp")
+    step_static = jax.jit(mac3d.make_step(
+        cfg, bcs, ibm_mask_u=masks[0], ibm_mask_v=masks[1],
+        ibm_mask_w=masks[2], ibm_ramp_steps=3,
+    ))
+    z3 = lambda t: (jnp.zeros_like(t),) * 3
+    body = MovingBody3D(center=lambda t: center, velocity=z3,
+                        radius=radius)
+    step_moving = jax.jit(mac3d.make_step(cfg, bcs, moving_body=body,
+                                          ibm_ramp_steps=3))
+    u0 = jnp.ones((16, 16, 33), jnp.float32) * (1.0 - masks[0])
+    s_a = mac3d.init_state(cfg)._replace(u=u0)
+    s_b = s_a
+    for _ in range(4):
+        s_a, m_a = step_static(s_a, jnp.float32(1.0))
+        s_b, m_b = step_moving(s_b, jnp.float32(1.0))
+    np.testing.assert_allclose(np.asarray(s_a.u), np.asarray(s_b.u),
+                               rtol=0, atol=1e-6)
+    np.testing.assert_allclose(float(m_a.fx), float(m_b.fx),
+                               rtol=1e-5, atol=1e-7)
+
+    # oscillating sphere in a quiescent free-slip box
+    cfg2 = mac3d.MAC3DConfig(grid=grid, nu=0.005, scheme="tvd",
+                             dt_max=0.05)
+    body2 = oscillating_sphere((4.0, 2.0, 2.0), 0.5, amplitude=0.8,
+                               period=4.0)
+    step2 = jax.jit(mac3d.make_step(cfg2, mac3d.free_slip_bcs3d(),
+                                    moving_body=body2))
+    s = mac3d.init_state(cfg2)
+    fxs, ts = [], []
+    while float(s.t) < 4.0:
+        s, m = step2(s, jnp.float32(1.0))
+        fxs.append(float(m.fx))
+        ts.append(float(s.t))
+    assert bool(jnp.isfinite(s.u).all())
+    assert float(m.div_post) < 1e-3
+    fxs, ts = np.asarray(fxs), np.asarray(ts)
+    q1 = fxs[(ts > 0.2) & (ts < 0.9)].mean()
+    q3 = fxs[(ts > 2.2) & (ts < 2.9)].mean()
+    assert q1 * q3 < 0.0 and np.max(np.abs(fxs)) > 0.05
