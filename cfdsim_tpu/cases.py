@@ -431,6 +431,8 @@ def cylinder_oscillating(
     scheme: str = "tvd",
     poisson: Optional[PoissonConfig] = None,
     ibm_ramp_steps: int = 0,
+    stretched: bool = False,
+    refine_strength: float = 3.0,
     **cfg_overrides,
 ) -> Case:
     """In-line oscillating cylinder in quiescent fluid — the
@@ -440,7 +442,9 @@ def cylinder_oscillating(
     device each step (ibm.MovingBody via mac.make_step moving_body);
     metrics carry the fluid↔body momentum exchange (fx, fy). Free-slip
     far-field box. Moving geometry is a capability the reference has no
-    analog of (its IBM is static, v5.py:275-283)."""
+    analog of (its IBM is static, v5.py:275-283). ``stretched=True``
+    clusters the grid around the sweep region (the stretched tier's
+    moving-body path) for resolution the uniform grid can't afford."""
     import numpy as np
 
     from cfdsim_tpu.ibm import oscillating_cylinder
@@ -453,6 +457,39 @@ def cylinder_oscillating(
     grid = Grid(nx=nx, ny=ny, x_max=domain[0], y_max=domain[1],
                 centering="cell")
     pois = _poisson_spec(poisson) or PoissonConfig(method="dct")
+    body = oscillating_cylinder(center, radius, A, period)
+    bcs = mac.free_slip_bcs()
+    extras = {"body": body, "amplitude": A, "period": period,
+              "u_max": u_max, "center": center, "radius": radius,
+              # Cd normalization by U_max: Cd(t) = coeff_scale·fx(t)
+              "coeff_scale": 2.0 / (u_max**2 * D)}
+    if stretched:
+        from cfdsim_tpu.models import mac_stretched as ms
+
+        xf = ms.stretched_faces(
+            nx, domain[0],
+            refine=[(center[0], A + 2 * radius, refine_strength)],
+        )
+        yf = ms.stretched_faces(
+            ny, domain[1],
+            refine=[(center[1], 2.5 * radius, refine_strength)],
+        )
+        h_min = float(min(np.diff(xf).min(), np.diff(yf).min()))
+        defaults = dict(
+            cfl_target=0.4,
+            dt_max=0.4 * h_min / max(u_max, 1e-10),
+            dt_min=1e-6,
+            max_velocity=5.0 * u_max,
+        )
+        defaults.update(cfg_overrides)
+        scfg = ms.StretchedMACConfig(nx=nx, ny=ny, nu=nu, scheme=scheme,
+                                     **defaults)
+        step = ms.make_step(scfg, bcs, xf, yf, moving_body=body,
+                            ibm_ramp_steps=ibm_ramp_steps)
+        state = ms.init_state(scfg)
+        extras.update({"x_faces": xf, "y_faces": yf, "h_min": h_min})
+        return Case("cylinder_oscillating", scfg, step, state, grid,
+                    extras)
     defaults = dict(
         cfl_target=0.4,
         dt_max=0.4 * grid.dy / max(u_max, 1e-10),
@@ -462,18 +499,10 @@ def cylinder_oscillating(
     defaults.update(cfg_overrides)
     cfg = mac.MACConfig(grid=grid, nu=nu, scheme=scheme, poisson=pois,
                         **defaults)
-    body = oscillating_cylinder(center, radius, A, period)
-    bcs = mac.free_slip_bcs()
     step = mac.make_step(cfg, bcs, moving_body=body,
                          ibm_ramp_steps=ibm_ramp_steps)
     state = mac.init_state(cfg)
-    return Case(
-        "cylinder_oscillating", cfg, step, state, grid,
-        {"body": body, "amplitude": A, "period": period, "u_max": u_max,
-         "center": center, "radius": radius,
-         # Cd normalization by U_max: Cd(t) = coeff_scale·fx(t)
-         "coeff_scale": 2.0 / (u_max**2 * D)},
-    )
+    return Case("cylinder_oscillating", cfg, step, state, grid, extras)
 
 
 def wedge(

@@ -179,3 +179,29 @@ def test_moving_sphere3d_static_limit_and_oscillation():
     q1 = fxs[(ts > 0.2) & (ts < 0.9)].mean()
     q3 = fxs[(ts > 2.2) & (ts < 2.9)].mean()
     assert q1 * q3 < 0.0 and np.max(np.abs(fxs)) > 0.05
+
+
+def test_stretched_moving_body_uniform_matches_mac():
+    """Uniform faces: the stretched moving-body path must reproduce the
+    uniform MAC moving-body step (central scheme, same sharp masks,
+    same volume weights)."""
+    c_u = build("cylinder_oscillating", nx=48, ny=24, domain=(8.0, 4.0),
+                center=(4.0, 2.0), scheme="central", KC=4.0, period=4.0)
+    c_s = build("cylinder_oscillating", nx=48, ny=24, domain=(8.0, 4.0),
+                center=(4.0, 2.0), scheme="central", KC=4.0, period=4.0,
+                stretched=True, refine_strength=0.0)
+    np.testing.assert_allclose(np.diff(c_s.extras["x_faces"]), 8.0 / 48,
+                               rtol=1e-12)
+    s_u, s_s = c_u.state, c_s.state
+    step_u = jax.jit(c_u.step)
+    step_s = jax.jit(c_s.step)
+    for _ in range(8):
+        s_u, m_u = step_u(s_u, jnp.float32(1.0))
+        s_s, m_s = step_s(s_s, jnp.float32(1.0))
+    np.testing.assert_allclose(np.asarray(s_s.u), np.asarray(s_u.u),
+                               rtol=0, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(s_s.v), np.asarray(s_u.v),
+                               rtol=0, atol=2e-5)
+    np.testing.assert_allclose(float(m_s.fx), float(m_u.fx),
+                               rtol=2e-4, atol=1e-6)
+    np.testing.assert_allclose(float(m_s.dt), float(m_u.dt), rtol=1e-5)
