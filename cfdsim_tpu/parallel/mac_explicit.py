@@ -113,6 +113,38 @@ def cavity_mac_local_bcs(ny: int, nx: int, lid_velocity: float = 1.0) -> MACLoca
     return MACLocalBCs(pre, aux, post_u, post_v)
 
 
+def free_slip_mac_local_bcs(ny: int, nx: int) -> MACLocalBCs:
+    """Masked-write form of mac.free_slip_bcs (symmetry box: zero normal
+    velocity, zero tangential shear) — the far-field kit for moving-body
+    cases in quiescent fluid."""
+
+    def pre(u_t, v_t, gfu, grv, state):
+        u_t = jnp.where(gfu == 0, 0.0, u_t)
+        v_t = jnp.where(grv == 0, 0.0, v_t)
+        return u_t, v_t
+
+    def aux(u_t, v_t, gfu, grv, state):
+        return ()
+
+    def post_u(U, gr, gf, state, aux_):
+        U = jnp.where(gf == nx, 0.0, U)  # dropped right-wall face
+        below = jnp.roll(U, -1, axis=0)
+        above = jnp.roll(U, 1, axis=0)
+        U = jnp.where(gr == -1, below, U)  # free slip: ∂u/∂y = 0
+        U = jnp.where(gr == ny, above, U)
+        return U
+
+    def post_v(V, gr, gc, state, aux_):
+        V = jnp.where(gr == ny, 0.0, V)
+        right = jnp.roll(V, -1, axis=1)
+        left = jnp.roll(V, 1, axis=1)
+        V = jnp.where(gc == -1, right, V)  # free slip: ∂v/∂x = 0
+        V = jnp.where(gc == nx, left, V)
+        return V
+
+    return MACLocalBCs(pre, aux, post_u, post_v)
+
+
 def external_flow_mac_local_bcs(
     ny: int,
     nx: int,
@@ -198,6 +230,7 @@ def make_mac_explicit_step(
     bcs: MACLocalBCs,
     use_ibm: bool = False,
     ibm_ramp_steps: int = 0,
+    moving_body=None,
 ):
     """Build the explicit-comm MAC step on the trimmed representation.
 
@@ -238,6 +271,22 @@ def make_mac_explicit_step(
     in_specs = [state_spec, P()]
     if use_ibm:
         in_specs += [spec, spec]
+
+    if moving_body is not None:
+        _g = cfg.grid
+
+        def _mb_masks(gr0, gc0, t):
+            # u faces: x = x_min + gc·dx, y = y_min + (gr+½)·dy on the
+            # trimmed (ny_l, nx_l) block; v faces swap the offsets
+            cx, cy = moving_body.center(t)
+            r = moving_body.radius
+            xg = _g.x_min + gc0.astype(jnp.float32) * dx
+            yg = _g.y_min + gr0.astype(jnp.float32) * dy
+            du = jnp.sqrt((xg - cx) ** 2 + (yg + 0.5 * dy - cy) ** 2)
+            dv = jnp.sqrt((xg + 0.5 * dx - cx) ** 2 + (yg - cy) ** 2)
+            m_u = jnp.clip((r + 0.5 * dx - du) / dx, 0.0, 1.0)
+            m_v = jnp.clip((r + 0.5 * dx - dv) / dx, 0.0, 1.0)
+            return m_u, m_v
 
     def step_local(tstate: MACState, cfl_scale, *extras):
         iy = lax.axis_index("y")
@@ -374,6 +423,21 @@ def make_mac_explicit_step(
                 cell = dx * dy
                 fx = _psum(jnp.sum(du_ibm)) * cell / dt
                 fy = _psum(jnp.sum(dv_ibm)) * cell / dt
+
+        if moving_body is not None:
+            from cfdsim_tpu.ibm import ibm_ramp
+
+            m_u, m_v = _mb_masks(gr0, gc0, tstate.t)
+            ub, vb = moving_body.velocity(tstate.t)
+            strength = ibm_ramp(tstate.step, ibm_ramp_steps)
+            du_mb = (u_star - ub) * (strength * m_u)
+            dv_mb = (v_star - vb) * (strength * m_v)
+            u_star = u_star - du_mb
+            v_star = v_star - dv_mb
+            if cfg.compute_metrics:
+                cell = dx * dy
+                fx = fx + _psum(jnp.sum(du_mb)) * cell / dt
+                fy = fy + _psum(jnp.sum(dv_mb)) * cell / dt
 
         # --- exact projection (mac.py: adjoint MAC divergence/gradient)
         US, VS, _ = pad(u_star, v_star, a, w=1)
@@ -583,3 +647,19 @@ def make_cylinder_mac_explicit_step(cfg: MACConfig, mesh: Mesh,
     )
     return jax.jit(make_mac_explicit_step(cfg, mesh, bcs, use_ibm=True,
                                           ibm_ramp_steps=ibm_ramp_steps))
+
+
+def make_moving_body_mac_explicit_step(cfg: MACConfig, mesh: Mesh,
+                                       moving_body,
+                                       ibm_ramp_steps: int = 0):
+    """Explicit-comm MAC step for a moving body (ibm.MovingBody) in a
+    quiescent free-slip box — the sharded twin of the
+    ``cylinder_oscillating`` case: masks are rebuilt per step from the
+    shard's global index grids (elementwise — no constants, no
+    gathers), forces psum'd."""
+    g = cfg.grid
+    bcs = free_slip_mac_local_bcs(g.ny, g.nx)
+    return jax.jit(make_mac_explicit_step(
+        cfg, mesh, bcs, moving_body=moving_body,
+        ibm_ramp_steps=ibm_ramp_steps,
+    ))

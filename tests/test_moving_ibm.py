@@ -205,3 +205,44 @@ def test_stretched_moving_body_uniform_matches_mac():
     np.testing.assert_allclose(float(m_s.fx), float(m_u.fx),
                                rtol=2e-4, atol=1e-6)
     np.testing.assert_allclose(float(m_s.dt), float(m_u.dt), rtol=1e-5)
+
+
+def test_moving_body_explicit_matches_single_device():
+    """Sharded moving-geometry IBM: per-step on-device mask rebuild from
+    the shard's global index grids + psum'd momentum-exchange forces
+    must match the single-device cylinder_oscillating step on an
+    8-device mesh."""
+    from cfdsim_tpu.cases import cylinder_oscillating
+    from cfdsim_tpu.parallel.mac_explicit import (
+        make_moving_body_mac_explicit_step,
+    )
+    from cfdsim_tpu.parallel.mac_sharded import (
+        shard_trimmed_state,
+        trim_state,
+    )
+    from cfdsim_tpu.parallel.mesh import make_grid_mesh
+
+    mesh = make_grid_mesh(8, topology=(2, 4))
+    case = cylinder_oscillating(
+        nx=64, ny=32, domain=(16.0, 8.0), center=(8.0, 4.0),
+        KC=4.0, Re=80.0, period=4.0, scheme="tvd",
+    )
+    step_ref = jax.jit(case.step)
+    step_ex = make_moving_body_mac_explicit_step(
+        case.cfg, mesh, case.extras["body"]
+    )
+    t = shard_trimmed_state(trim_state(case.state), mesh)
+    r = case.state
+    for _ in range(8):
+        t, m_ex = step_ex(t, jnp.float32(1.0))
+        r, m_ref = step_ref(r, jnp.float32(1.0))
+    np.testing.assert_allclose(np.asarray(t.u), np.asarray(r.u)[:, :-1],
+                               rtol=0, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(t.v), np.asarray(r.v)[:-1, :],
+                               rtol=0, atol=2e-5)
+    np.testing.assert_allclose(float(m_ex.fx), float(m_ref.fx),
+                               rtol=2e-4, atol=1e-6)
+    np.testing.assert_allclose(float(m_ex.fy), float(m_ref.fy),
+                               rtol=2e-4, atol=1e-6)
+    np.testing.assert_allclose(float(m_ex.dt), float(m_ref.dt), rtol=1e-5)
+    assert len(t.u.sharding.device_set) == 8
