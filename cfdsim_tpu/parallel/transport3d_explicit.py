@@ -1,0 +1,195 @@
+"""Explicit shard_map step for the 3D forced-convection tier — the
+multi-chip twin of models/transport3d.py (the ``heated_sphere`` case).
+
+Composition: the sharded external-flow + IBM momentum step
+(``mac3d_explicit.make_sphere_mac3d_explicit_step``) advances the
+velocities; a second shard_map advances θ with the conservative FV
+fluxes of the *projected* velocities. θ is cell-centered (nz, ny, nx) —
+evenly shardable P(None, "y", "x") — with width-1 ppermute halos and
+the open-domain ghosts (Dirichlet inflow mirror, zero-gradient
+outflow/lateral, adiabatic z) as global-index masked writes; the
+velocity faces the θ fluxes need (including the dropped mass-consistent
+outflow face) are rebuilt with the same external-flow pad machinery the
+momentum step uses. The isothermal-body θ penalization and its psum'd
+heat flux (→ Nusselt) mirror the single-device step exactly
+(equality-tested in tests/test_moving_ibm.py's transport section /
+tests/test_transport3d.py).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from cfdsim_tpu.models.mac3d import MAC3DState
+from cfdsim_tpu.models.transport3d import (
+    Transport3DConfig,
+    Transport3DMetrics,
+    Transport3DState,
+)
+from cfdsim_tpu.parallel.mac_explicit import _psum
+from cfdsim_tpu.parallel.mac3d_explicit import (
+    _halo_yx,
+    external_flow3d_local_bcs,
+    make_mac3d_explicit_step,
+)
+
+
+def make_heated_sphere_explicit_step(
+    cfg: Transport3DConfig,
+    mesh: Mesh,
+    v_inf: float,
+    ibm_ramp_steps: int = 0,
+):
+    """Build ``step(tstate, cfl_scale, mask_u_t, mask_v_t, mask_w_t,
+    mask_c) -> (tstate, Transport3DMetrics)`` on the trimmed state
+    (Transport3DState with trimmed faces), P(None, "y", "x")-sharded;
+    ``mask_c`` is the (nz, ny, nx) cell mask (ibm.sphere_mask_cells),
+    face masks from ``mac3d_explicit.trim_face_masks3d``."""
+    from cfdsim_tpu.models import mac3d as m3
+
+    g = cfg.grid
+    nx, ny, nz = g.nx, g.ny, g.nz
+    dx, dy, dz = g.dx, g.dy, g.dz
+    alpha = cfg.nu / cfg.prandtl
+    h = min(dx, dy, dz)
+    flow_cfg = m3.MAC3DConfig(
+        grid=g, nu=cfg.nu, scheme=cfg.scheme,
+        adaptive_dt=cfg.adaptive_dt, cfl_target=cfg.cfl_target,
+        dt_base=cfg.dt_base, dt_min=cfg.dt_min,
+        # θ-diffusion stability joins the momentum bound (as the
+        # single-device step's dt_diff = 0.125h²/max(ν, α))
+        dt_max=min(cfg.dt_max, 0.125 * h * h / max(alpha, cfg.nu, 1e-30)),
+        max_velocity=cfg.max_velocity,
+        compute_metrics=cfg.compute_metrics,
+    )
+    bcs = external_flow3d_local_bcs(nx, ny, nz, v_inf)
+    flow_step = jax.jit(make_mac3d_explicit_step(
+        flow_cfg, mesh, bcs, use_ibm=True, ibm_ramp_steps=ibm_ramp_steps,
+    ))
+
+    py = mesh.shape["y"]
+    px = mesh.shape["x"]
+    ny_l, nx_l = ny // py, nx // px
+    ax, ay, az = 1.0 / dx**2, 1.0 / dy**2, 1.0 / dz**2
+    qscale = 1.0 / (
+        np.pi * cfg.body_diameter * alpha
+        * max(abs(cfg.theta_body - cfg.theta_in), 1e-30)
+    )
+    spec = P(None, "y", "x")
+
+    def theta_local(theta, u_t, v_t, w_t, dt, step_i, mask_c):
+        iy = lax.axis_index("y")
+        ix = lax.axis_index("x")
+        gy0 = iy * ny_l
+        gx0 = ix * nx_l
+        shp_p = (ny_l + 2, nx_l + 2)
+        rp = gy0 - 1 + lax.broadcasted_iota(jnp.int32, shp_p, 0)[None]
+        cp = gx0 - 1 + lax.broadcasted_iota(jnp.int32, shp_p, 1)[None]
+
+        # --- velocity faces for the owned cells: halo-pad trimmed faces
+        # and re-impose the BC values exactly as the momentum step's pad
+        # (inflow Dirichlet is already inside u_t via its own pre; the
+        # dropped outflow face needs the psum'd shift)
+        ro = gy0 + lax.broadcasted_iota(jnp.int32, (ny_l, nx_l), 0)[None]
+        co = gx0 + lax.broadcasted_iota(jnp.int32, (ny_l, nx_l), 1)[None]
+        a = bcs.aux(u_t, v_t, w_t, ro, co, None)
+        U = _halo_yx(u_t, py, px)
+        V = _halo_yx(v_t, py, px)
+        W = _halo_yx(w_t, py, px)
+        Wz = jnp.concatenate([W, jnp.zeros_like(W[:1])], axis=0)
+        U, V, Wz = bcs.pad_writes(U, V, Wz, rp, cp, None, a)
+        u_w = U[:, 1:-1, 1:-1]   # west faces of owned cells
+        u_e = U[:, 1:-1, 2:]     # east faces
+        v_s = V[:, 1:-1, 1:-1]
+        v_n = V[:, 2:, 1:-1]
+        w_b = Wz[:-1, 1:-1, 1:-1]
+        w_t_ = Wz[1:, 1:-1, 1:-1]
+
+        # --- θ ghosts: width-1 halo + open-domain global-edge writes
+        TH = _halo_yx(theta, py, px)
+        # inflow Dirichlet mirror / outflow + lateral zero-gradient
+        TH = jnp.where(cp == -1,
+                       2.0 * cfg.theta_in - jnp.roll(TH, -1, axis=2), TH)
+        TH = jnp.where(cp == nx, jnp.roll(TH, 1, axis=2), TH)
+        TH = jnp.where(rp == -1, jnp.roll(TH, -1, axis=1), TH)
+        TH = jnp.where(rp == ny, jnp.roll(TH, 1, axis=1), TH)
+        te = jnp.concatenate([TH[:1], TH, TH[-1:]], axis=0)  # adiabatic z
+
+        th_c = te[1:-1, 1:-1, 1:-1]
+        th_wv = te[1:-1, 1:-1, :-2]
+        th_ev = te[1:-1, 1:-1, 2:]
+        th_sv = te[1:-1, :-2, 1:-1]
+        th_nv = te[1:-1, 2:, 1:-1]
+        th_bv = te[:-2, 1:-1, 1:-1]
+        th_tv = te[2:, 1:-1, 1:-1]
+        if cfg.theta_scheme == "upwind":
+            fxa_w = u_w * jnp.where(u_w >= 0.0, th_wv, th_c)
+            fxa_e = u_e * jnp.where(u_e >= 0.0, th_c, th_ev)
+            fya_s = v_s * jnp.where(v_s >= 0.0, th_sv, th_c)
+            fya_n = v_n * jnp.where(v_n >= 0.0, th_c, th_nv)
+            fza_b = w_b * jnp.where(w_b >= 0.0, th_bv, th_c)
+            fza_t = w_t_ * jnp.where(w_t_ >= 0.0, th_c, th_tv)
+        else:
+            fxa_w = u_w * 0.5 * (th_wv + th_c)
+            fxa_e = u_e * 0.5 * (th_c + th_ev)
+            fya_s = v_s * 0.5 * (th_sv + th_c)
+            fya_n = v_n * 0.5 * (th_c + th_nv)
+            fza_b = w_b * 0.5 * (th_bv + th_c)
+            fza_t = w_t_ * 0.5 * (th_c + th_tv)
+        adv = (
+            (fxa_e - fxa_w) * (1.0 / dx)
+            + (fya_n - fya_s) * (1.0 / dy)
+            + (fza_t - fza_b) * (1.0 / dz)
+        )
+        lap_t = (
+            (th_ev - 2.0 * th_c + th_wv) * ax
+            + (th_nv - 2.0 * th_c + th_sv) * ay
+            + (th_tv - 2.0 * th_c + th_bv) * az
+        )
+        theta_new = theta + dt * (alpha * lap_t - adv)
+
+        from cfdsim_tpu.ibm import ibm_ramp
+
+        strength = ibm_ramp(step_i, ibm_ramp_steps)
+        dth = (cfg.theta_body - theta_new) * (strength * mask_c)
+        theta_new = theta_new + dth
+        q_body = _psum(jnp.sum(dth)) * (dx * dy * dz) / dt
+        nusselt = q_body * qscale
+        th_min = lax.pmin(lax.pmin(jnp.min(theta_new), "y"), "x")
+        th_max = lax.pmax(lax.pmax(jnp.max(theta_new), "y"), "x")
+        return theta_new, q_body, nusselt, th_min, th_max
+
+    theta_step = jax.jit(jax.shard_map(
+        theta_local,
+        mesh=mesh,
+        in_specs=(spec, spec, spec, spec, P(), P(), spec),
+        out_specs=(spec, P(), P(), P(), P()),
+    ))
+
+    def step(ts: Transport3DState, cfl_scale, mask_u_t, mask_v_t,
+             mask_w_t, mask_c):
+        mac_ts = MAC3DState(u=ts.u, v=ts.v, w=ts.w, p=ts.p,
+                            t=ts.t, step=ts.step)
+        new_mac, fm = flow_step(mac_ts, cfl_scale, mask_u_t, mask_v_t,
+                                mask_w_t)
+        theta_new, q_body, nusselt, th_min, th_max = theta_step(
+            ts.theta, new_mac.u, new_mac.v, new_mac.w, fm.dt, ts.step,
+            mask_c,
+        )
+        new_ts = Transport3DState(
+            u=new_mac.u, v=new_mac.v, w=new_mac.w, p=new_mac.p,
+            theta=theta_new, t=new_mac.t, step=new_mac.step,
+        )
+        metrics = Transport3DMetrics(
+            dt=fm.dt, div_post=fm.div_post, max_vel=fm.max_vel,
+            energy=fm.energy, fx=fm.fx, fy=fm.fy, fz=fm.fz,
+            q_body=q_body, nusselt=nusselt,
+            theta_min=th_min, theta_max=th_max,
+        )
+        return new_ts, metrics
+
+    return step
