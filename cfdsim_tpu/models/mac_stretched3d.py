@@ -101,6 +101,7 @@ def make_step(
     ibm_mask_v=None,
     ibm_mask_w=None,
     ibm_ramp_steps: int = 0,
+    moving_body=None,
 ) -> Callable:
     """Build ``step(state, cfl_scale) -> (state, StepMetrics)`` on the
     stretched grid defined by the three face-coordinate vectors.
@@ -109,7 +110,11 @@ def make_step(
     (ibm.sphere_masks_faces on the same face vectors); the body force
     reported in the metrics is the volume-weighted momentum sink
     F = Σ Δu·V_face/dt (per unit density), V_face the staggered control
-    volume — the nonuniform analog of mac3d.make_step's IBM block."""
+    volume — the nonuniform analog of mac3d.make_step's IBM block.
+    ``moving_body`` (ibm.MovingBody3D): moving-geometry IBM on the
+    stretched metrics — sharp masks rebuilt on device with a taper
+    width of the minimum spacing, penalization toward u_b(t),
+    volume-weighted forces."""
     mx = _metrics(x_faces)
     my = _metrics(y_faces)
     mz = _metrics(z_faces)
@@ -157,7 +162,7 @@ def make_step(
 
     solve_p = make_fdm_solver_3d(mx.h, my.h, mz.h)
 
-    if ibm_mask_u is not None:
+    if ibm_mask_u is not None or moving_body is not None:
         # staggered control volumes for the penalization force
         cv_u = f32(
             mz.h[:, None, None] * my.h[None, :, None]
@@ -171,6 +176,30 @@ def make_step(
             mz.dfull[:, None, None] * my.h[None, :, None]
             * mx.h[None, None, :]
         )
+
+    if moving_body is not None:
+        def _face_coords(face_axis):
+            xs = xf if face_axis == 0 else mx.xc
+            ys = yf if face_axis == 1 else my.xc
+            zs = zf if face_axis == 2 else mz.xc
+            Z, Y, X = np.meshgrid(zs, ys, xs, indexing="ij")
+            return (f32(X), f32(Y), f32(Z))
+
+        XU, YU, ZU = _face_coords(0)
+        XV, YV, ZV = _face_coords(1)
+        XW, YW, ZW = _face_coords(2)
+
+        def body_masks(t):
+            cx, cy, cz = moving_body.center(t)
+            r = moving_body.radius
+
+            def m(X, Y, Z):
+                d = jnp.sqrt(
+                    (X - cx) ** 2 + (Y - cy) ** 2 + (Z - cz) ** 2
+                )
+                return jnp.clip((r + 0.5 * h_min - d) / h_min, 0.0, 1.0)
+
+            return m(XU, YU, ZU), m(XV, YV, ZV), m(XW, YW, ZW)
 
     def step(state: MAC3DState, cfl_scale):
         u, v, w = bcs.set_normal(state.u, state.v, state.w)
@@ -310,6 +339,23 @@ def make_step(
                     fx = jnp.sum(du_ibm * cv_u) / dt
                     fy = jnp.sum(dv_ibm * cv_v) / dt
                     fz = jnp.sum(dw_ibm * cv_w) / dt
+
+            if moving_body is not None:
+                from cfdsim_tpu.ibm import ibm_ramp
+
+                m_u, m_v, m_w = body_masks(state.t)
+                ub, vb, wb = moving_body.velocity(state.t)
+                strength = ibm_ramp(state.step, ibm_ramp_steps)
+                du_mb = (u_star - ub) * (strength * m_u)
+                dv_mb = (v_star - vb) * (strength * m_v)
+                dw_mb = (w_star - wb) * (strength * m_w)
+                u_star = u_star - du_mb
+                v_star = v_star - dv_mb
+                w_star = w_star - dw_mb
+                if cfg.compute_metrics:
+                    fx = fx + jnp.sum(du_mb * cv_u) / dt
+                    fy = fy + jnp.sum(dv_mb * cv_v) / dt
+                    fz = fz + jnp.sum(dw_mb * cv_w) / dt
 
             # --- exact projection (FV divergence / center-gap gradient pair)
             div_star = (

@@ -246,3 +246,44 @@ def test_moving_body_explicit_matches_single_device():
                                rtol=2e-4, atol=1e-6)
     np.testing.assert_allclose(float(m_ex.dt), float(m_ref.dt), rtol=1e-5)
     assert len(t.u.sharding.device_set) == 8
+
+
+def test_stretched3d_moving_body_uniform_matches_mac3d():
+    """Uniform faces: the stretched-3D moving-body path must reproduce
+    the uniform mac3d moving-body step (central scheme — identical
+    masks, penalization, volume weights)."""
+    from cfdsim_tpu.grid import Grid3D
+    from cfdsim_tpu.ibm import oscillating_sphere
+    from cfdsim_tpu.models import mac3d
+    from cfdsim_tpu.models import mac_stretched3d as ms3
+    from cfdsim_tpu.solvers.poisson3d import Poisson3DConfig
+
+    n = 16
+    body = oscillating_sphere((2.0, 1.0, 1.0), 0.3, amplitude=0.4,
+                              period=3.0)
+    grid = Grid3D(nx=2 * n, ny=n, nz=n, x_max=4.0, y_max=2.0, z_max=2.0,
+                  centering="cell")
+    cfg_u = mac3d.MAC3DConfig(grid=grid, nu=0.01, scheme="central",
+                              poisson=Poisson3DConfig(method="dct"),
+                              dt_max=0.02)
+    step_u = jax.jit(mac3d.make_step(cfg_u, mac3d.free_slip_bcs3d(),
+                                     moving_body=body))
+    faces = lambda m, L: np.linspace(0.0, L, m + 1)
+    cfg_s = ms3.StretchedMAC3DConfig(nx=2 * n, ny=n, nz=n, nu=0.01,
+                                     scheme="central", dt_max=0.02)
+    step_s = jax.jit(ms3.make_step(
+        cfg_s, mac3d.free_slip_bcs3d(), faces(2 * n, 4.0),
+        faces(n, 2.0), faces(n, 2.0), moving_body=body,
+    ))
+    s_u = mac3d.init_state(cfg_u)
+    s_s = ms3.init_state(cfg_s)
+    for _ in range(6):
+        s_u, m_u = step_u(s_u, jnp.float32(1.0))
+        s_s, m_s = step_s(s_s, jnp.float32(1.0))
+    np.testing.assert_allclose(np.asarray(s_s.u), np.asarray(s_u.u),
+                               rtol=0, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(s_s.w), np.asarray(s_u.w),
+                               rtol=0, atol=2e-5)
+    np.testing.assert_allclose(float(m_s.fx), float(m_u.fx),
+                               rtol=2e-4, atol=1e-6)
+    assert abs(float(m_s.fx)) > 1e-4  # a real force signal
