@@ -58,10 +58,11 @@ def render_frames_from_hdf5(
 
     for step in it:
         data, t = load_step(hdf5_path, step)
-        # 3D snapshots: render the mid-z plane
+        # 3D snapshots: render the mid-z plane (any 3D scalar/face field)
         data = {
             k: (np.asarray(a)[np.asarray(a).shape[0] // 2]
-                if np.ndim(a) == 3 and k in ("u", "v", "w", "p", "vorticity")
+                if np.ndim(a) == 3
+                and k in ("u", "v", "w", "p", "vorticity", "theta")
                 else a)
             for k, a in data.items()
         }
