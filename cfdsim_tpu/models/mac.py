@@ -408,9 +408,9 @@ def make_step(
     moving-geometry IBM: sharp face masks are rebuilt on device each
     step from the body's center(t), and the penalization drives the
     fluid toward the body velocity — u ← u − s·m·(u − u_b(t)) — with
-    the exchanged momentum reported as (fx, fy). Both stages of an rk2
-    step evaluate the body at the step's start time (O(dt) in the body
-    kinematics).
+    the exchanged momentum reported as (fx, fy). Under rk2 the second
+    (Heun) stage evaluates BCs and the body at t + dt, keeping second
+    order for unsteady boundaries and moving bodies.
     """
     if cfg.time_scheme not in ("euler", "rk2"):
         raise ValueError(f"unknown MAC time scheme {cfg.time_scheme!r}")
@@ -429,13 +429,17 @@ def make_step(
         Xv, Yv = (jnp.asarray(a, jnp.float32)
                   for a in _np.meshgrid(xv, yv, indexing="xy"))
 
+        hb = min(dx, dy)  # isotropic half-offset/taper (= dx on square
+        # cells; per-axis-safe on anisotropic grids, matching the
+        # stretched tiers' h_min convention)
+
         def body_masks(t):
             cx, cy = moving_body.center(t)
             r = moving_body.radius
             du = jnp.sqrt((Xu - cx) ** 2 + (Yu - cy) ** 2)
             dv = jnp.sqrt((Xv - cx) ** 2 + (Yv - cy) ** 2)
-            m_u = jnp.clip((r + 0.5 * dx - du) / dx, 0.0, 1.0)
-            m_v = jnp.clip((r + 0.5 * dx - dv) / dx, 0.0, 1.0)
+            m_u = jnp.clip((r + 0.5 * hb - du) / hb, 0.0, 1.0)
+            m_v = jnp.clip((r + 0.5 * hb - dv) / hb, 0.0, 1.0)
             return m_u, m_v
 
     def step(state: MACState, cfl_scale):
@@ -451,9 +455,10 @@ def make_step(
             nu_total = None
         dt = _adaptive_dt(cfg, u, v, state.step, cfl_scale, nu_total)
 
-        def stage(u, v, ue, ve, nu_t, p_warm):
-            """One projected Euler stage from BC-consistent (u, v):
-            returns (u_new, v_new, phi, (fx, fy, div_star, rhs))."""
+        def stage(u, v, ue, ve, nu_t, p_warm, t_s):
+            """One projected Euler stage from BC-consistent (u, v),
+            with BCs/body evaluated at stage time ``t_s``: returns
+            (u_new, v_new, phi, (fx, fy, div_star, rhs))."""
             conv_u, conv_v = _advect(u, v, ue, ve, dx, dy, cfg.scheme)
             if cfg.use_les:
                 visc_u, visc_v = _diffuse_les(ue, ve, cfg.nu + nu_t, dx, dy)
@@ -467,7 +472,7 @@ def make_step(
                 u_star = u_star + dt * forcing[0]
                 v_star = v_star + dt * forcing[1]
             u_star, v_star = bcs.set_normal(
-                u_star, v_star, state.step, state.t
+                u_star, v_star, state.step, t_s
             )
 
             fx = fy = jnp.float32(0.0)
@@ -489,8 +494,8 @@ def make_step(
             if moving_body is not None:
                 from cfdsim_tpu.ibm import ibm_ramp
 
-                m_u, m_v = body_masks(state.t)
-                ub, vb = moving_body.velocity(state.t)
+                m_u, m_v = body_masks(t_s)
+                ub, vb = moving_body.velocity(t_s)
                 strength = ibm_ramp(state.step, ibm_ramp_steps)
                 du_mb = (u_star - ub) * (strength * m_u)
                 dv_mb = (v_star - vb) * (strength * m_v)
@@ -518,29 +523,30 @@ def make_step(
             v_new = v_star.at[1:-1, :].add(
                 -dt * (phi[1:, :] - phi[:-1, :]) * (1.0 / dy)
             )
-            u_new, v_new = bcs.set_normal(u_new, v_new, state.step, state.t)
+            u_new, v_new = bcs.set_normal(u_new, v_new, state.step, t_s)
             u_new = jnp.clip(u_new, -cfg.max_velocity, cfg.max_velocity)
             v_new = jnp.clip(v_new, -cfg.max_velocity, cfg.max_velocity)
             return u_new, v_new, phi, (fx, fy, div_star, rhs)
 
         u_new, v_new, phi, (fx, fy, div_star, rhs) = stage(
-            u, v, ue, ve, nu_t, state.p
+            u, v, ue, ve, nu_t, state.p, state.t
         )
         if cfg.time_scheme == "rk2":
             # Heun: average the start state with a second projected Euler
             # stage taken from the first stage's result (both solenoidal,
             # so the average is too); ν_t is refreshed from stage 1
-            ue1, ve1 = bcs.extend(u_new, v_new, state.step, state.t)
+            t2 = state.t + dt
+            ue1, ve1 = bcs.extend(u_new, v_new, state.step, t2)
             if cfg.use_les:
                 nu_t = smagorinsky_viscosity_mac(
                     u_new, v_new, ue1, ve1, dx, dy, cfg.smagorinsky_constant
                 )
             u2, v2, phi2, (fx2, fy2, div_star, rhs) = stage(
-                u_new, v_new, ue1, ve1, nu_t, phi
+                u_new, v_new, ue1, ve1, nu_t, phi, t2
             )
             u_new = 0.5 * (u + u2)
             v_new = 0.5 * (v + v2)
-            u_new, v_new = bcs.set_normal(u_new, v_new, state.step, state.t)
+            u_new, v_new = bcs.set_normal(u_new, v_new, state.step, t2)
             phi_solve = phi2  # the field the stage-2 residual pairs with
             phi = 0.5 * (phi + phi2)
             fx = 0.5 * (fx + fx2)

@@ -468,7 +468,7 @@ def make_step(
                 d = jnp.sqrt(
                     (X - cx) ** 2 + (Y - cy) ** 2 + (Z - cz) ** 2
                 )
-                return jnp.clip((r + 0.5 * dx - d) / dx, 0.0, 1.0)
+                return jnp.clip((r + 0.5 * h - d) / h, 0.0, 1.0)
 
             return m(XU, YU, ZU), m(XV, YV, ZV), m(XW, YW, ZW)
 
@@ -497,7 +497,7 @@ def make_step(
         else:
             dt = jnp.float32(cfg.dt_base)
 
-        def stage(u, v, w, ghosts, nu_t, p_warm):
+        def stage(u, v, w, ghosts, nu_t, p_warm, t_s):
             """One projected Euler stage from BC-consistent (u, v, w)."""
             conv_u, conv_v, conv_w = advect3d(
                 u, v, w, ghosts, dx, dy, dz, cfg.scheme
@@ -539,8 +539,8 @@ def make_step(
             if moving_body is not None:
                 from cfdsim_tpu.ibm import ibm_ramp
 
-                m_u, m_v, m_w = body_masks(state.t)
-                ub, vb, wb = moving_body.velocity(state.t)
+                m_u, m_v, m_w = body_masks(t_s)
+                ub, vb, wb = moving_body.velocity(t_s)
                 strength = ibm_ramp(state.step, ibm_ramp_steps)
                 du_mb = (u_star - ub) * (strength * m_u)
                 dv_mb = (v_star - vb) * (strength * m_v)
@@ -576,7 +576,7 @@ def make_step(
             return u_new, v_new, w_new, phi, (fx, fy, fz, div_star)
 
         u_new, v_new, w_new, phi, (fx, fy, fz, div_star) = stage(
-            u, v, w, ghosts, nu_t, state.p
+            u, v, w, ghosts, nu_t, state.p, state.t
         )
         if cfg.time_scheme == "rk2":
             # Heun: average with a second projected Euler stage (both
@@ -588,7 +588,7 @@ def make_step(
                     cfg.smagorinsky_constant,
                 )
             u2, v2, w2, phi2, (fx2, fy2, fz2, div_star) = stage(
-                u_new, v_new, w_new, ghosts1, nu_t, phi
+                u_new, v_new, w_new, ghosts1, nu_t, phi, state.t + dt
             )
             u_new = 0.5 * (u + u2)
             v_new = 0.5 * (v + v2)

@@ -300,16 +300,16 @@ def make_step(
         u, v = bcs.set_normal(state.u, state.v, state.step, state.t)
         dt = adaptive_dt(u, v, state.step, cfl_scale)
 
-        def stage(u, v, p_warm):
+        def stage(u, v, p_warm, t_s):
             """One projected Euler stage (mac.make_step stage pattern)."""
-            ue, ve = bcs.extend(u, v, state.step, state.t)
+            ue, ve = bcs.extend(u, v, state.step, t_s)
             conv_u, conv_v = advect(u, v, ue, ve)
             lap_u, lap_v = diffuse(ue, ve)
 
             u_star = u.at[:, 1:-1].add(dt * (cfg.nu * lap_u - conv_u))
             v_star = v.at[1:-1, :].add(dt * (cfg.nu * lap_v - conv_v))
             u_star, v_star = bcs.set_normal(
-                u_star, v_star, state.step, state.t
+                u_star, v_star, state.step, t_s
             )
 
             fx = fy = jnp.float32(0.0)
@@ -331,8 +331,8 @@ def make_step(
             if moving_body is not None:
                 from cfdsim_tpu.ibm import ibm_ramp
 
-                m_u, m_v = body_masks(state.t)
-                ub, vb = moving_body.velocity(state.t)
+                m_u, m_v = body_masks(t_s)
+                ub, vb = moving_body.velocity(t_s)
                 strength = ibm_ramp(state.step, ibm_ramp_steps)
                 du_mb = (u_star - ub) * (strength * m_u)
                 dv_mb = (v_star - vb) * (strength * m_v)
@@ -350,19 +350,20 @@ def make_step(
             v_new = v_star.at[1:-1, :].add(
                 -dt * (phi[1:, :] - phi[:-1, :]) * inv_dcy
             )
-            u_new, v_new = bcs.set_normal(u_new, v_new, state.step, state.t)
+            u_new, v_new = bcs.set_normal(u_new, v_new, state.step, t_s)
             u_new = jnp.clip(u_new, -cfg.max_velocity, cfg.max_velocity)
             v_new = jnp.clip(v_new, -cfg.max_velocity, cfg.max_velocity)
             return u_new, v_new, phi, (fx, fy, div_star)
 
-        u_new, v_new, phi, (fx, fy, div_star) = stage(u, v, state.p)
+        u_new, v_new, phi, (fx, fy, div_star) = stage(u, v, state.p, state.t)
         if cfg.time_scheme == "rk2":
             # Heun: average with a second projected Euler stage (both
             # solenoidal ⇒ so is the average)
-            u2, v2, phi2, (fx2, fy2, div_star) = stage(u_new, v_new, phi)
+            u2, v2, phi2, (fx2, fy2, div_star) = stage(u_new, v_new, phi,
+                                                       state.t + dt)
             u_new = 0.5 * (u + u2)
             v_new = 0.5 * (v + v2)
-            u_new, v_new = bcs.set_normal(u_new, v_new, state.step, state.t)
+            u_new, v_new = bcs.set_normal(u_new, v_new, state.step, state.t + dt)
             phi = 0.5 * (phi + phi2)
             fx = 0.5 * (fx + fx2)
             fy = 0.5 * (fy + fy2)

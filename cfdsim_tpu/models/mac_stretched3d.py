@@ -217,7 +217,7 @@ def make_step(
         else:
             dt = jnp.float32(cfg.dt_base)
 
-        def stage(u, v, w, p_warm):
+        def stage(u, v, w, p_warm, t_s):
             """One projected Euler stage (mac3d.make_step stage
             pattern on the stretched metrics)."""
             u_gy, u_gz, v_gx, v_gz, w_gx, w_gy = bcs.ghosts(u, v, w)
@@ -343,8 +343,8 @@ def make_step(
             if moving_body is not None:
                 from cfdsim_tpu.ibm import ibm_ramp
 
-                m_u, m_v, m_w = body_masks(state.t)
-                ub, vb, wb = moving_body.velocity(state.t)
+                m_u, m_v, m_w = body_masks(t_s)
+                ub, vb, wb = moving_body.velocity(t_s)
                 strength = ibm_ramp(state.step, ibm_ramp_steps)
                 du_mb = (u_star - ub) * (strength * m_u)
                 dv_mb = (v_star - vb) * (strength * m_v)
@@ -378,13 +378,13 @@ def make_step(
             return u_new, v_new, w_new, phi, (fx, fy, fz, div_star)
 
         u_new, v_new, w_new, phi, (fx, fy, fz, div_star) = stage(
-            u, v, w, state.p
+            u, v, w, state.p, state.t
         )
         if cfg.time_scheme == "rk2":
             # Heun: average with a second projected Euler stage (both
             # solenoidal ⇒ so is the average)
             u2, v2, w2, phi2, (fx2, fy2, fz2, div_star) = stage(
-                u_new, v_new, w_new, phi
+                u_new, v_new, w_new, phi, state.t + dt
             )
             u_new = 0.5 * (u + u2)
             v_new = 0.5 * (v + v2)

@@ -149,6 +149,12 @@ def make_stretched_step(
     from cfdsim_tpu.models import mac_stretched3d as ms3
     from cfdsim_tpu.models.mac_stretched import _metrics
 
+    if cfg.poisson != Poisson3DConfig(method="dct"):
+        raise ValueError(
+            "make_stretched_step projects with the exact FDM solver; "
+            "a non-default Transport3DConfig.poisson cannot be honored "
+            "on the stretched path"
+        )
     mx = _metrics(x_faces)
     my = _metrics(y_faces)
     mz = _metrics(z_faces)
@@ -198,6 +204,11 @@ def make_stretched_step(
         if cfg.theta_scheme == "upwind":
             thx = jnp.where(u_new >= 0.0, te[1:-1, 1:-1, :-1],
                             te[1:-1, 1:-1, 1:])
+            # x_lo inflow face: the advective donor is theta_in itself,
+            # not the mirrored diffusion ghost 2*theta_in - theta_0
+            thx = thx.at[:, :, 0].set(jnp.where(
+                u_new[:, :, 0] >= 0.0, jnp.float32(cfg.theta_in),
+                theta[:, :, 0]))
             thy = jnp.where(v_new >= 0.0, te[1:-1, :-1, 1:-1],
                             te[1:-1, 1:, 1:-1])
             thz = jnp.where(w_new >= 0.0, te[:-1, 1:-1, 1:-1],
@@ -362,6 +373,11 @@ def make_step(
         if cfg.theta_scheme == "upwind":
             thx = jnp.where(u_new >= 0.0, te[1:-1, 1:-1, :-1],
                             te[1:-1, 1:-1, 1:])
+            # x_lo inflow face: the advective donor is theta_in itself,
+            # not the mirrored diffusion ghost 2*theta_in - theta_0
+            thx = thx.at[:, :, 0].set(jnp.where(
+                u_new[:, :, 0] >= 0.0, jnp.float32(cfg.theta_in),
+                theta[:, :, 0]))
             thy = jnp.where(v_new >= 0.0, te[1:-1, :-1, 1:-1],
                             te[1:-1, 1:, 1:-1])
             thz = jnp.where(w_new >= 0.0, te[:-1, 1:-1, 1:-1],

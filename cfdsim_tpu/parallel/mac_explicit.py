@@ -284,8 +284,9 @@ def make_mac_explicit_step(
             yg = _g.y_min + gr0.astype(jnp.float32) * dy
             du = jnp.sqrt((xg - cx) ** 2 + (yg + 0.5 * dy - cy) ** 2)
             dv = jnp.sqrt((xg + 0.5 * dx - cx) ** 2 + (yg - cy) ** 2)
-            m_u = jnp.clip((r + 0.5 * dx - du) / dx, 0.0, 1.0)
-            m_v = jnp.clip((r + 0.5 * dx - dv) / dx, 0.0, 1.0)
+            hb = min(dx, dy)  # isotropic taper, = models/mac.py's
+            m_u = jnp.clip((r + 0.5 * hb - du) / hb, 0.0, 1.0)
+            m_v = jnp.clip((r + 0.5 * hb - dv) / hb, 0.0, 1.0)
             return m_u, m_v
 
     def step_local(tstate: MACState, cfl_scale, *extras):

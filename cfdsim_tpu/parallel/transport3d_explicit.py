@@ -65,6 +65,7 @@ def make_heated_sphere_explicit_step(
         dt_max=min(cfg.dt_max, 0.125 * h * h / max(alpha, cfg.nu, 1e-30)),
         max_velocity=cfg.max_velocity,
         compute_metrics=cfg.compute_metrics,
+        poisson=cfg.poisson,  # the sharded step raises unless "dct"
     )
     bcs = external_flow3d_local_bcs(nx, ny, nz, v_inf)
     flow_step = jax.jit(make_mac3d_explicit_step(
@@ -127,7 +128,13 @@ def make_heated_sphere_explicit_step(
         th_bv = te[:-2, 1:-1, 1:-1]
         th_tv = te[2:, 1:-1, 1:-1]
         if cfg.theta_scheme == "upwind":
-            fxa_w = u_w * jnp.where(u_w >= 0.0, th_wv, th_c)
+            donor_w = jnp.where(u_w >= 0.0, th_wv, th_c)
+            # global x_lo inflow face: the advective donor is theta_in
+            # itself, not the mirrored diffusion ghost (matches the
+            # single-device step's face-0 override)
+            donor_w = jnp.where((co == 0) & (u_w >= 0.0),
+                                jnp.float32(cfg.theta_in), donor_w)
+            fxa_w = u_w * donor_w
             fxa_e = u_e * jnp.where(u_e >= 0.0, th_c, th_ev)
             fya_s = v_s * jnp.where(v_s >= 0.0, th_sv, th_c)
             fya_n = v_n * jnp.where(v_n >= 0.0, th_c, th_nv)
