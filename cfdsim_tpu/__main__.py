@@ -79,6 +79,27 @@ def cmd_run(args, extra):
 
     snapshot_fn = None
     snap_path = out / ("snapshots.csnap" if args.io == "native" else "snapshots.h5")
+
+    state = case.state
+    if args.resume is not None:
+        # actual checkpoint-restart (SURVEY.md §5: the reference only ever
+        # writes snapshots, v5.py:454-470; we read them back): restore
+        # fields + step + t from the latest snapshot and continue — the
+        # appending writers skip already-present steps, so numbering in
+        # the same file simply continues
+        from cfdsim_tpu.io_ import restore
+
+        src = Path(args.resume) if args.resume != "latest" else snap_path
+        if src.suffix == ".csnap":
+            from cfdsim_tpu.io_.native import csnap_to_hdf5
+
+            src = csnap_to_hdf5(src, out / "_resume_tmp.h5")
+        state = restore(case.state, src)
+        log.info(
+            "resumed %s from %s at t=%g step=%d",
+            args.case, src, float(state.t), int(state.step),
+        )
+
     writer = None
     if args.snapshot_interval > 0:
         if args.io == "native":
@@ -140,7 +161,7 @@ def cmd_run(args, extra):
         else 1e3,
     )
     sim = Simulation(
-        case.step, case.state, cfg, case.grid.n_cells,
+        case.step, state, cfg, case.grid.n_cells,
         snapshot_fn=snapshot_fn, logger=log, health_fn=health_fn,
     )
     state, report = sim.run()
@@ -231,6 +252,12 @@ def main(argv=None):
     pr.add_argument("--wall-clock-limit", type=float, default=0.0)
     pr.add_argument("--div-threshold", type=float, default=50.0)
     pr.add_argument("--render", action="store_true")
+    pr.add_argument(
+        "--resume", nargs="?", const="latest", default=None,
+        metavar="SNAPSHOTS",
+        help="resume from a snapshot file (bare --resume: the case's own "
+             "snapshots file under --out)",
+    )
 
     pv = sub.add_parser("render", help="render frames from snapshots")
     pv.add_argument("snapshots")
