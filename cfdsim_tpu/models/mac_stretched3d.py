@@ -60,6 +60,104 @@ def _muscl_axis(q, inv_sp, d_lo, d_hi, axis: int, tvd: bool):
     return lo + glo * d_lo, hi - ghi * d_hi
 
 
+def smagorinsky_viscosity_stretched3d(
+    u, v, w, ghosts, inv_hx, inv_hy, inv_hz, inv_dfx, inv_dfy, inv_dfz,
+    cs2_delta2,
+):
+    """ν_t = (C_s Δ)²|S| at cell centers on stretched metrics — the
+    nonuniform habitat of mac3d.smagorinsky_viscosity_mac3d (reference
+    LES physics v5.py:96-110): Δ is the *local* (hx hy hz)^{1/3}
+    (``cs2_delta2`` = (C_s Δ_ijk)² precomputed), normal strains use cell
+    widths, the three shear sums use the ghost-extended center gaps
+    (inv_df*) on their natural edge sets and are 0.5/0.5-averaged back
+    to centers — exactly the uniform recipe when h = const (tested)."""
+    u_gy, u_gz, v_gx, v_gz, w_gx, w_gy = ghosts
+    sxx = (u[:, :, 1:] - u[:, :, :-1]) * inv_hx
+    syy = (v[:, 1:, :] - v[:, :-1, :]) * inv_hy
+    szz = (w[1:] - w[:-1]) * inv_hz
+
+    def to_c(e, ax1, ax2):
+        lo1 = lax.slice_in_dim(e, 0, e.shape[ax1] - 1, axis=ax1)
+        hi1 = lax.slice_in_dim(e, 1, e.shape[ax1], axis=ax1)
+        s = 0.5 * (lo1 + hi1)
+        lo2 = lax.slice_in_dim(s, 0, s.shape[ax2] - 1, axis=ax2)
+        hi2 = lax.slice_in_dim(s, 1, s.shape[ax2], axis=ax2)
+        return 0.5 * (lo2 + hi2)
+
+    sh_xy = (u_gy[:, 1:, :] - u_gy[:, :-1, :]) * inv_dfy + (
+        v_gx[:, :, 1:] - v_gx[:, :, :-1]
+    ) * inv_dfx
+    sh_xz = (u_gz[1:] - u_gz[:-1]) * inv_dfz + (
+        w_gx[:, :, 1:] - w_gx[:, :, :-1]
+    ) * inv_dfx
+    sh_yz = (v_gz[1:] - v_gz[:-1]) * inv_dfz + (
+        w_gy[:, 1:, :] - w_gy[:, :-1, :]
+    ) * inv_dfy
+    s2 = (
+        2.0 * (sxx * sxx + syy * syy + szz * szz)
+        + to_c(sh_xy * sh_xy, 1, 2)
+        + to_c(sh_xz * sh_xz, 0, 2)
+        + to_c(sh_yz * sh_yz, 0, 1)
+    )
+    return cs2_delta2 * jnp.sqrt(s2)
+
+
+def _diffuse_les_stretched3d(
+    u, v, w, ghosts, nu_eff_c,
+    inv_hx, inv_hy, inv_hz, inv_dcx, inv_dcy, inv_dcz,
+    inv_dfx, inv_dfy, inv_dfz,
+):
+    """Flux-form variable-ν diffusion ∇·(ν_eff ∇·) on interior faces on
+    the stretched metrics (the nonuniform mac3d._diffuse_les3d): ν_eff
+    at cell centers; cross-derivative fluxes use the 0.25 four-point
+    edge average of the edge-clamp-padded ν (the same average the
+    uniform step uses, so uniform faces reproduce it exactly). With
+    constant ν this reduces to ν × the constant-ν metric Laplacian."""
+    u_gy, u_gz, v_gx, v_gz, w_gx, w_gy = ghosts
+    nu_e = jnp.pad(nu_eff_c, 1, mode="edge")
+    nu_xy = 0.25 * (
+        nu_e[1:-1, :-1, :-1] + nu_e[1:-1, :-1, 1:]
+        + nu_e[1:-1, 1:, :-1] + nu_e[1:-1, 1:, 1:]
+    )  # (nz, ny+1, nx+1) z-edges
+    nu_xz = 0.25 * (
+        nu_e[:-1, 1:-1, :-1] + nu_e[:-1, 1:-1, 1:]
+        + nu_e[1:, 1:-1, :-1] + nu_e[1:, 1:-1, 1:]
+    )  # (nz+1, ny, nx+1) y-edges
+    nu_yz = 0.25 * (
+        nu_e[:-1, :-1, 1:-1] + nu_e[:-1, 1:, 1:-1]
+        + nu_e[1:, :-1, 1:-1] + nu_e[1:, 1:, 1:-1]
+    )  # (nz+1, ny+1, nx) x-edges
+
+    # u-momentum, interior faces (nz, ny, nx-1)
+    fux = nu_eff_c * (u[:, :, 1:] - u[:, :, :-1]) * inv_hx
+    fuy = nu_xy * (u_gy[:, 1:, :] - u_gy[:, :-1, :]) * inv_dfy
+    fuz = nu_xz * (u_gz[1:] - u_gz[:-1]) * inv_dfz
+    lap_u = (
+        (fux[:, :, 1:] - fux[:, :, :-1]) * inv_dcx
+        + (fuy[:, 1:, 1:-1] - fuy[:, :-1, 1:-1]) * inv_hy
+        + (fuz[1:, :, 1:-1] - fuz[:-1, :, 1:-1]) * inv_hz
+    )
+    # v-momentum, interior faces (nz, ny-1, nx)
+    fvy = nu_eff_c * (v[:, 1:, :] - v[:, :-1, :]) * inv_hy
+    fvx = nu_xy * (v_gx[:, :, 1:] - v_gx[:, :, :-1]) * inv_dfx
+    fvz = nu_yz * (v_gz[1:] - v_gz[:-1]) * inv_dfz
+    lap_v = (
+        (fvx[:, 1:-1, 1:] - fvx[:, 1:-1, :-1]) * inv_hx
+        + (fvy[:, 1:, :] - fvy[:, :-1, :]) * inv_dcy
+        + (fvz[1:, 1:-1, :] - fvz[:-1, 1:-1, :]) * inv_hz
+    )
+    # w-momentum, interior faces (nz-1, ny, nx)
+    fwz = nu_eff_c * (w[1:] - w[:-1]) * inv_hz
+    fwx = nu_xz * (w_gx[:, :, 1:] - w_gx[:, :, :-1]) * inv_dfx
+    fwy = nu_yz * (w_gy[:, 1:, :] - w_gy[:, :-1, :]) * inv_dfy
+    lap_w = (
+        (fwx[1:-1, :, 1:] - fwx[1:-1, :, :-1]) * inv_hx
+        + (fwy[1:-1, 1:, :] - fwy[1:-1, :-1, :]) * inv_hy
+        + (fwz[1:] - fwz[:-1]) * inv_dcz
+    )
+    return lap_u, lap_v, lap_w
+
+
 @dataclasses.dataclass(frozen=True)
 class StretchedMAC3DConfig:
     nx: int
@@ -67,6 +165,11 @@ class StretchedMAC3DConfig:
     nz: int
     nu: float
     scheme: str = "central"  # central | upwind | tvd (van Leer MUSCL)
+    # Smagorinsky LES with the local filter width Δ = (hx hy hz)^{1/3}
+    # — the stretched-grid habitat of mac3d's LES (VERDICT r2 item 2);
+    # variable-ν diffusion runs in flux form on the metric gaps
+    use_les: bool = False
+    smagorinsky_constant: float = 0.17
     # "euler" or "rk2" (Heun with a projection per stage — see
     # mac.MACConfig.time_scheme)
     time_scheme: str = "euler"
@@ -137,6 +240,18 @@ def make_step(
     wfy = f32(np.concatenate([[0.5], my.wf, [0.5]]))[None, :, None]
     wfz = f32(np.concatenate([[0.5], mz.wf, [0.5]]))[:, None, None]
     h_min = float(min(mx.h.min(), my.h.min(), mz.h.min()))
+    if cfg.use_les:
+        cs2_delta2 = f32(
+            cfg.smagorinsky_constant ** 2
+            * (mz.h[:, None, None] * my.h[None, :, None]
+               * mx.h[None, None, :]) ** (2.0 / 3.0)
+        )
+
+        def nu_turb(u, v, w, ghosts):
+            return smagorinsky_viscosity_stretched3d(
+                u, v, w, ghosts, inv_hx, inv_hy, inv_hz,
+                inv_dfx, inv_dfy, inv_dfz, cs2_delta2,
+            )
 
     if cfg.scheme not in ("central", "upwind", "tvd"):
         raise ValueError(f"unknown stretched-3D scheme {cfg.scheme!r}")
@@ -204,13 +319,19 @@ def make_step(
     def step(state: MAC3DState, cfl_scale):
         u, v, w = bcs.set_normal(state.u, state.v, state.w)
 
+        if cfg.use_les:
+            nu_stab = cfg.nu + jnp.mean(
+                nu_turb(u, v, w, bcs.ghosts(u, v, w))
+            )
+        else:
+            nu_stab = cfg.nu
         if cfg.adaptive_dt:
             vel_max = jnp.maximum(
                 jnp.maximum(jnp.max(jnp.abs(u)), jnp.max(jnp.abs(v))),
                 jnp.maximum(jnp.max(jnp.abs(w)), 1e-10),
             )
             dt_cfl = cfg.cfl_target * cfl_scale * h_min / vel_max
-            dt_visc = 0.125 * h_min * h_min / cfg.nu
+            dt_visc = 0.125 * h_min * h_min / nu_stab
             dt = jnp.clip(
                 jnp.minimum(dt_cfl, dt_visc), cfg.dt_min, cfg.dt_max
             ).astype(jnp.float32)
@@ -319,9 +440,25 @@ def make_step(
             lap_w_y = (dwy[1:-1, 1:, :] - dwy[1:-1, :-1, :]) * inv_hy
             lap_w = lap_w_x + lap_w_y + lap_w_z
 
-            u_star = u.at[:, :, 1:-1].add(dt * (cfg.nu * lap_u - conv_u))
-            v_star = v.at[:, 1:-1, :].add(dt * (cfg.nu * lap_v - conv_v))
-            w_star = w.at[1:-1].add(dt * (cfg.nu * lap_w - conv_w))
+            visc_u = cfg.nu * lap_u
+            visc_v = cfg.nu * lap_v
+            visc_w = cfg.nu * lap_w
+            if cfg.use_les:
+                # replace the molecular fluxes entirely: the variable-ν
+                # flux-form diffusion with ν_eff = ν + ν_t (the lap_*
+                # above become the ν_t=0 special case; kept separate so
+                # the no-LES path pays no ν interpolation)
+                ghosts = (u_gy, u_gz, v_gx, v_gz, w_gx, w_gy)
+                nu_eff_c = cfg.nu + nu_turb(u, v, w, ghosts)
+                visc_u, visc_v, visc_w = _diffuse_les_stretched3d(
+                    u, v, w, ghosts, nu_eff_c,
+                    inv_hx, inv_hy, inv_hz, inv_dcx, inv_dcy, inv_dcz,
+                    inv_dfx, inv_dfy, inv_dfz,
+                )
+
+            u_star = u.at[:, :, 1:-1].add(dt * (visc_u - conv_u))
+            v_star = v.at[:, 1:-1, :].add(dt * (visc_v - conv_v))
+            w_star = w.at[1:-1].add(dt * (visc_w - conv_w))
             u_star, v_star, w_star = bcs.set_normal(u_star, v_star, w_star)
 
             fx = fy = fz = jnp.float32(0.0)
@@ -442,6 +579,7 @@ def make_step(
 
 __all__ = [
     "StretchedMAC3DConfig",
+    "smagorinsky_viscosity_stretched3d",
     "MAC3DState",
     "cavity3d_bcs",
     "init_state",

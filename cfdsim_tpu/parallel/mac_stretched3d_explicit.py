@@ -74,6 +74,11 @@ def make_stretched3d_explicit_step(
         raise ValueError(
             "the explicit stretched-3D step implements scheme='central'"
         )
+    if getattr(cfg, "use_les", False):
+        raise ValueError(
+            "the explicit stretched-3D step does not implement LES yet; "
+            "use the single-device models/mac_stretched3d.py step"
+        )
     if getattr(cfg, "time_scheme", "euler") != "euler":
         raise ValueError(
             "the explicit stretched-3D step implements time_scheme='euler'"

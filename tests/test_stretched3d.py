@@ -195,3 +195,55 @@ def test_sphere_stretched_graded_run():
     cd_ref = sphere_drag_schiller_naumann(100.0)
     # uniform 6-cells/D measured 1.61 (+48%); the graded grid must beat it
     assert cd_ref < cd < 1.45
+
+
+def test_stretched3d_les_uniform_matches_mac3d():
+    # LES on uniform faces: local Δ = (dx dy dz)^{1/3} everywhere, every
+    # metric gap degenerates to the uniform spacing — the stretched
+    # variable-ν step must reproduce mac3d's use_les step
+    n = 12
+    ref = cavity3d_mac(n=n, Re=100.0, use_les=True)
+    xf = np.linspace(0.0, 1.0, n + 1)
+    cfg = ms3.StretchedMAC3DConfig(
+        nx=n, ny=n, nz=n, nu=ref.cfg.nu, use_les=True,
+        cfl_target=ref.cfg.cfl_target, dt_max=ref.cfg.dt_max,
+        max_velocity=ref.cfg.max_velocity,
+    )
+    bcs = ms3.cavity3d_bcs(1.0)
+    step_s = jax.jit(ms3.make_step(cfg, bcs, xf, xf, xf))
+    step_r = jax.jit(ref.step)
+    ss = ms3.init_state(cfg)
+    sr = ref.state
+    for _ in range(5):
+        ss, m_s = step_s(ss, jnp.float32(1.0))
+        sr, m_r = step_r(sr, jnp.float32(1.0))
+    np.testing.assert_allclose(np.asarray(ss.u), np.asarray(sr.u),
+                               rtol=0, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(ss.v), np.asarray(sr.v),
+                               rtol=0, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(ss.w), np.asarray(sr.w),
+                               rtol=0, atol=2e-5)
+    np.testing.assert_allclose(float(m_s.dt), float(m_r.dt), rtol=1e-6)
+
+
+def test_stretched3d_les_graded_healthy_and_active():
+    # graded cavity with LES: stays divergence-free/finite, and the
+    # eddy viscosity actually enters (dt shrinks vs the no-LES twin
+    # once the lid shear develops, via the nu_stab dt bound; weaker
+    # check: fields differ)
+    n = 12
+    xf = wall_clustered_faces(n, 1.0, beta=2.0)
+    cfgs = [ms3.StretchedMAC3DConfig(nx=n, ny=n, nz=n, nu=1e-2,
+                                     use_les=les, smagorinsky_constant=0.3)
+            for les in (True, False)]
+    bcs = ms3.cavity3d_bcs(1.0)
+    outs = []
+    for cfg in cfgs:
+        step = jax.jit(ms3.make_step(cfg, bcs, xf, xf, xf))
+        s = ms3.init_state(cfg)
+        for _ in range(10):
+            s, m = step(s, jnp.float32(1.0))
+        assert np.isfinite(np.asarray(s.u)).all()
+        assert float(m.div_post) < 1e-3
+        outs.append(np.asarray(s.u))
+    assert np.abs(outs[0] - outs[1]).max() > 1e-7  # ν_t did something
