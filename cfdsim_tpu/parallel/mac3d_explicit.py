@@ -213,6 +213,60 @@ def cavity3d_local_bcs(nx: int, ny: int,
                          velmax_extra)
 
 
+def free_slip3d_local_bcs(nx: int, ny: int) -> MAC3DLocalBCs:
+    """Masked-write form of mac3d.free_slip_bcs3d (symmetry box: zero
+    normal velocity, zero tangential shear on all six faces) — the
+    far-field kit for moving-body cases in quiescent fluid (the 3D
+    habitat of mac_explicit.free_slip_mac_local_bcs)."""
+
+    def pre(u_t, v_t, w_t, ro, co, state):
+        u_t = jnp.where(co == 0, 0.0, u_t)
+        v_t = jnp.where(ro == 0, 0.0, v_t)
+        w_t = w_t.at[0].set(0.0)
+        return u_t, v_t, w_t
+
+    def aux(u_t, v_t, w_t, ro, co, state):
+        return ()
+
+    def win(U2, V2, W2, r2, c2, state, a):
+        U2 = jnp.where(c2 >= nx, 0.0, U2)
+        U2 = jnp.where(r2 == -1, jnp.roll(U2, -1, axis=1), U2)
+        U2 = jnp.where(r2 == ny, jnp.roll(U2, 1, axis=1), U2)
+        V2 = jnp.where(r2 >= ny, 0.0, V2)
+        V2 = jnp.where(c2 == -1, jnp.roll(V2, -1, axis=2), V2)
+        V2 = jnp.where(c2 == nx, jnp.roll(V2, 1, axis=2), V2)
+        W2 = jnp.where(r2 == -1, jnp.roll(W2, -1, axis=1), W2)
+        W2 = jnp.where(r2 == ny, jnp.roll(W2, 1, axis=1), W2)
+        W2 = jnp.where(c2 == -1, jnp.roll(W2, -1, axis=2), W2)
+        W2 = jnp.where(c2 == nx, jnp.roll(W2, 1, axis=2), W2)
+        return U2, V2, W2
+
+    def zghost_u(u_win):
+        return jnp.concatenate([u_win[:1], u_win, u_win[-1:]], axis=0)
+
+    def zghost_v(v_win):
+        return jnp.concatenate([v_win[:1], v_win, v_win[-1:]], axis=0)
+
+    def pad_writes(U, V, Wz, rp, cp, state, a):
+        U = jnp.where(cp == nx, 0.0, U)
+        V = jnp.where(rp == ny, 0.0, V)
+        U = jnp.where(rp == -1, jnp.roll(U, -1, axis=1), U)
+        U = jnp.where(rp == ny, jnp.roll(U, 1, axis=1), U)
+        V = jnp.where(cp == -1, jnp.roll(V, -1, axis=2), V)
+        V = jnp.where(cp == nx, jnp.roll(V, 1, axis=2), V)
+        Wz = jnp.where(rp == -1, jnp.roll(Wz, -1, axis=1), Wz)
+        Wz = jnp.where(rp == ny, jnp.roll(Wz, 1, axis=1), Wz)
+        Wz = jnp.where(cp == -1, jnp.roll(Wz, -1, axis=2), Wz)
+        Wz = jnp.where(cp == nx, jnp.roll(Wz, 1, axis=2), Wz)
+        return U, V, Wz
+
+    def velmax_extra(u_t, a):
+        return jnp.float32(0.0)
+
+    return MAC3DLocalBCs(pre, aux, win, zghost_u, zghost_v, pad_writes,
+                         velmax_extra)
+
+
 def external_flow3d_local_bcs(nx: int, ny: int, nz: int, v_inf: float,
                               face_weights=None) -> MAC3DLocalBCs:
     """Masked-write form of mac3d.external_flow_bcs3d: Dirichlet inflow
@@ -346,11 +400,18 @@ def trim_face_masks3d(mask_u, mask_v, mask_w):
 def make_mac3d_explicit_step(cfg: MAC3DConfig, mesh: Mesh,
                              bcs: MAC3DLocalBCs,
                              use_ibm: bool = False,
-                             ibm_ramp_steps: int = 0):
+                             ibm_ramp_steps: int = 0,
+                             moving_body=None):
     """Build ``step(tstate, cfl_scale[, mask_u_t, mask_v_t, mask_w_t]) ->
     (tstate, StepMetrics)`` on the trimmed 3D representation,
     P(None, "y", "x")-sharded. Optional IBM masks are the trimmed
-    face-sampled penalization masks from ``trim_face_masks3d``."""
+    face-sampled penalization masks from ``trim_face_masks3d``.
+    ``moving_body`` (ibm.MovingBody3D) enables the sharded moving-
+    geometry IBM: sharp face masks are rebuilt per step from the shard's
+    global index grids (pure elementwise iota arithmetic — no gathers,
+    no closed-over coordinate constants, per the shard_map backend-bug
+    rules in CLAUDE.md), penalization toward u_b(t), forces psum'd —
+    the 3D habitat of mac_explicit's moving_body."""
     g = cfg.grid
     nx, ny, nz = g.nx, g.ny, g.nz
     dx, dy, dz = g.dx, g.dy, g.dz
@@ -378,6 +439,31 @@ def make_mac3d_explicit_step(cfg: MAC3DConfig, mesh: Mesh,
         smagorinsky_viscosity_mac3d,
     )
     from cfdsim_tpu.parallel.transforms import dct_poisson3d_local
+
+    if moving_body is not None:
+        hb = min(dx, dy, dz)  # isotropic taper = models/mac3d.py's
+
+        def _mb_masks3d(ro, co, t):
+            cx, cy, cz = moving_body.center(t)
+            r = moving_body.radius
+            xg = g.x_min + co.astype(jnp.float32) * dx   # (1, ny_l, nx_l)
+            yg = g.y_min + ro.astype(jnp.float32) * dy
+            zci = g.z_min + (lax.broadcasted_iota(
+                jnp.float32, (nz, 1, 1), 0) + 0.5) * dz  # cell centers
+            zfi = g.z_min + lax.broadcasted_iota(
+                jnp.float32, (nz, 1, 1), 0) * dz         # z faces 0..nz-1
+
+            def m(X, Y, Z):
+                d = jnp.sqrt(
+                    (X - cx) ** 2 + (Y - cy) ** 2 + (Z - cz) ** 2
+                )
+                return jnp.clip((r + 0.5 * hb - d) / hb, 0.0, 1.0)
+
+            return (
+                m(xg, yg + 0.5 * dy, zci),
+                m(xg + 0.5 * dx, yg, zci),
+                m(xg + 0.5 * dx, yg + 0.5 * dy, zfi),
+            )
 
     spec = P(None, "y", "x")
     state_spec = MAC3DState(u=spec, v=spec, w=spec, p=spec, t=P(), step=P())
@@ -565,6 +651,24 @@ def make_mac3d_explicit_step(cfg: MAC3DConfig, mesh: Mesh,
                 fy = _psum(jnp.sum(dv_ibm)) * cell / dt
                 fz = _psum(jnp.sum(dw_ibm)) * cell / dt
 
+        if moving_body is not None:
+            from cfdsim_tpu.ibm import ibm_ramp
+
+            m_u, m_v, m_w = _mb_masks3d(ro, co, ts.t)
+            ub, vb, wb = moving_body.velocity(ts.t)
+            strength = ibm_ramp(ts.step, ibm_ramp_steps)
+            du_mb = (u_star - ub) * (strength * m_u)
+            dv_mb = (v_star - vb) * (strength * m_v)
+            dw_mb = (w_star - wb) * (strength * m_w)
+            u_star = u_star - du_mb
+            v_star = v_star - dv_mb
+            w_star = w_star - dw_mb
+            if cfg.compute_metrics:
+                cell = dx * dy * dz
+                fx = fx + _psum(jnp.sum(du_mb)) * cell / dt
+                fy = fy + _psum(jnp.sum(dv_mb)) * cell / dt
+                fz = fz + _psum(jnp.sum(dw_mb)) * cell / dt
+
         # --- exact distributed 3D projection
         US, VS, WSz = pad(u_star, v_star, w_star, a)
         div_star = (
@@ -661,4 +765,19 @@ def make_sphere_mac3d_explicit_step(cfg: MAC3DConfig, mesh: Mesh,
     bcs = external_flow3d_local_bcs(g.nx, g.ny, g.nz, v_inf)
     return jax.jit(make_mac3d_explicit_step(
         cfg, mesh, bcs, use_ibm=True, ibm_ramp_steps=ibm_ramp_steps
+    ))
+
+
+def make_moving_body_mac3d_explicit_step(cfg: MAC3DConfig, mesh: Mesh,
+                                         moving_body,
+                                         ibm_ramp_steps: int = 0):
+    """Explicit-comm 3D MAC step for a moving body (ibm.MovingBody3D) in
+    a quiescent free-slip box — the sharded twin of mac3d.make_step's
+    moving_body (the oscillating-sphere configuration): masks rebuilt
+    per step from the shard's global index grids, forces psum'd."""
+    g = cfg.grid
+    bcs = free_slip3d_local_bcs(g.nx, g.ny)
+    return jax.jit(make_mac3d_explicit_step(
+        cfg, mesh, bcs, moving_body=moving_body,
+        ibm_ramp_steps=ibm_ramp_steps,
     ))

@@ -60,6 +60,7 @@ def make_stretched3d_explicit_step(
     bcs,
     use_ibm: bool = False,
     ibm_ramp_steps: int = 0,
+    moving_body=None,
 ):
     """Build ``step(tstate, cfl_scale[, mask_u_t, mask_v_t, mask_w_t]) ->
     (tstate, StepMetrics)`` on the trimmed 3D representation,
@@ -117,6 +118,16 @@ def make_stretched3d_explicit_step(
     dfx_at = _lut3(mx.dfull, 2)
     dfy_at = _lut3(my.dfull, 1)
     dfz_c = _zc(mz.dfull)
+
+    if moving_body is not None:
+        # face-coordinate lookups (dynamic slices, h_min taper — the
+        # sharded habitat of mac_stretched3d.make_step's body_masks)
+        xf_at = _lut3(np.asarray(x_faces), 2)
+        yc_at = _lut3(my.xc, 1)
+        xc_at = _lut3(mx.xc, 2)
+        yf_at = _lut3(np.asarray(y_faces), 1)
+        zc_c = _zc(mz.xc)                        # cell centers (nz,1,1)
+        zf_c = _zc(np.asarray(z_faces)[:-1])     # z faces 0..nz-1
 
     solve_p = make_fdm_poisson3d_local(mx.h, my.h, mz.h, py, px)
 
@@ -281,6 +292,39 @@ def make_stretched3d_explicit_step(
                 fy = _psum(jnp.sum(dv_ibm * cv_v)) / dt
                 fz = _psum(jnp.sum(dw_ibm * cv_w)) / dt
 
+        if moving_body is not None:
+            from cfdsim_tpu.ibm import ibm_ramp
+
+            cx, cy, cz = moving_body.center(ts.t)
+            r = moving_body.radius
+            xu = xf_at(gx0, nx_l)
+            yu = yc_at(gy0, ny_l)
+            xv = xc_at(gx0, nx_l)
+            yv = yf_at(gy0, ny_l)
+
+            def _m(X, Y, Z):
+                d = jnp.sqrt((X - cx) ** 2 + (Y - cy) ** 2 + (Z - cz) ** 2)
+                return jnp.clip((r + 0.5 * h_min - d) / h_min, 0.0, 1.0)
+
+            m_u = _m(xu, yu, zc_c)
+            m_v = _m(xv, yv, zc_c)
+            m_w = _m(xv, yu, zf_c)
+            ub, vb, wb = moving_body.velocity(ts.t)
+            strength = ibm_ramp(ts.step, ibm_ramp_steps)
+            du_mb = (u_star - ub) * (strength * m_u)
+            dv_mb = (v_star - vb) * (strength * m_v)
+            dw_mb = (w_star - wb) * (strength * m_w)
+            u_star = u_star - du_mb
+            v_star = v_star - dv_mb
+            w_star = w_star - dw_mb
+            if cfg.compute_metrics:
+                cv_u = hz_c * hy_at(gy0, ny_l) * dfx_at(gx0, nx_l)
+                cv_v = hz_c * dfy_at(gy0, ny_l) * hx_at(gx0, nx_l)
+                cv_w = dfz_c[:nz] * hy_at(gy0, ny_l) * hx_at(gx0, nx_l)
+                fx = fx + _psum(jnp.sum(du_mb * cv_u)) / dt
+                fy = fy + _psum(jnp.sum(dv_mb * cv_v)) / dt
+                fz = fz + _psum(jnp.sum(dw_mb * cv_w)) / dt
+
         # --- exact distributed 3D FDM projection
         US, VS, WSz = pad(u_star, v_star, w_star, a)
         div_star = (
@@ -400,4 +444,23 @@ def make_sphere3d_stretched_explicit_step(
     return jax.jit(make_stretched3d_explicit_step(
         cfg, mesh, x_faces, y_faces, z_faces, bcs,
         use_ibm=True, ibm_ramp_steps=ibm_ramp_steps,
+    ))
+
+
+def make_moving_body3d_stretched_explicit_step(
+    cfg: StretchedMAC3DConfig, mesh: Mesh, x_faces, y_faces, z_faces,
+    moving_body, ibm_ramp_steps: int = 0,
+):
+    """Explicit-comm stretched 3D MAC step for a moving body
+    (ibm.MovingBody3D) in a quiescent free-slip box — the sharded twin
+    of mac_stretched3d.make_step's moving_body (central scheme): masks
+    from per-axis coordinate LUTs, volume-weighted psum'd forces.
+    Completes the {2D,3D} x {uniform,stretched} sharded moving-body
+    matrix."""
+    from cfdsim_tpu.parallel.mac3d_explicit import free_slip3d_local_bcs
+
+    bcs = free_slip3d_local_bcs(cfg.nx, cfg.ny)
+    return jax.jit(make_stretched3d_explicit_step(
+        cfg, mesh, x_faces, y_faces, z_faces, bcs,
+        moving_body=moving_body, ibm_ramp_steps=ibm_ramp_steps,
     ))

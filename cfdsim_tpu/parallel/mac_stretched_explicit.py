@@ -73,10 +73,18 @@ def make_stretched_mac_explicit_step(
     y_faces,
     use_ibm: bool = False,
     ibm_ramp_steps: int = 0,
+    moving_body=None,
 ):
     """Build the explicit-comm stretched-MAC step on the trimmed
     representation: ``step(tstate, cfl_scale[, mask_u_t, mask_v_t])``
-    on P("y","x")-sharded (ny, nx) blocks."""
+    on P("y","x")-sharded (ny, nx) blocks.
+
+    ``moving_body`` (ibm.MovingBody) enables the sharded moving-geometry
+    IBM on the stretched metrics: sharp face masks rebuilt per step from
+    per-axis coordinate LUT slices (``_lut`` — dynamic slices, never
+    gathers, per the shard_map backend-bug rules) with the h_min taper,
+    penalization toward u_b(t), volume-weighted psum'd forces — the
+    stretched habitat of mac_explicit's moving_body."""
     mx = _metrics(x_faces)
     my = _metrics(y_faces)
     nx, ny = cfg.nx, cfg.ny
@@ -124,6 +132,25 @@ def make_stretched_mac_explicit_step(
     hx_at = _lut(mx.h, 1)
     hy_at = _lut(my.h, 0)
     vol = float(np.sum(my.h) * np.sum(mx.h))
+
+    if moving_body is not None:
+        # face-coordinate lookups (global-index slices, h_min taper —
+        # models/mac_stretched.py body_masks on the trimmed layout)
+        xf_at = _lut(xf, 1)            # u-face x, by face col
+        yc_at = _lut(my.xc, 0)         # u-face y, by cell row
+        xc_at = _lut(mx.xc, 1)         # v-face x, by cell col
+        yf_at = _lut(yf, 0)            # v-face y, by row face
+
+        def _mb_masks(gy0, gx0, t):
+            cx, cy = moving_body.center(t)
+            r = moving_body.radius
+            du = jnp.sqrt((xf_at(gx0, nx_l) - cx) ** 2
+                          + (yc_at(gy0, ny_l) - cy) ** 2)
+            dv = jnp.sqrt((xc_at(gx0, nx_l) - cx) ** 2
+                          + (yf_at(gy0, ny_l) - cy) ** 2)
+            m_u = jnp.clip((r + 0.5 * h_min - du) / h_min, 0.0, 1.0)
+            m_v = jnp.clip((r + 0.5 * h_min - dv) / h_min, 0.0, 1.0)
+            return m_u, m_v
 
     solve_p = make_fdm_poisson_local(mx.h, my.h, py, px)
 
@@ -313,6 +340,22 @@ def make_stretched_mac_explicit_step(
                 fx = _psum(jnp.sum(du_ibm * au)) / dt
                 fy = _psum(jnp.sum(dv_ibm * av)) / dt
 
+        if moving_body is not None:
+            from cfdsim_tpu.ibm import ibm_ramp
+
+            m_u, m_v = _mb_masks(gy0, gx0, tstate.t)
+            ub, vb = moving_body.velocity(tstate.t)
+            strength = ibm_ramp(tstate.step, ibm_ramp_steps)
+            du_mb = (u_star - ub) * (strength * m_u)
+            dv_mb = (v_star - vb) * (strength * m_v)
+            u_star = u_star - du_mb
+            v_star = v_star - dv_mb
+            if cfg.compute_metrics:
+                au = hy_at(gy0, ny_l) * area_u(gx0, nx_l)
+                av = area_v(gy0, ny_l) * hx_at(gx0, nx_l)
+                fx = fx + _psum(jnp.sum(du_mb * au)) / dt
+                fy = fy + _psum(jnp.sum(dv_mb * av)) / dt
+
         # --- exact distributed FDM projection
         US, VS, _ = pad(u_star, v_star, a, w=1)
         div_star = (US[1:-1, 2:] - US[1:-1, 1:-1]) * hx_own + (
@@ -413,3 +456,20 @@ def make_cylinder_stretched_explicit_step(cfg: StretchedMACConfig, mesh: Mesh,
             use_ibm=True, ibm_ramp_steps=ibm_ramp_steps,
         )
     )
+
+
+def make_moving_body_stretched_explicit_step(
+    cfg: StretchedMACConfig, mesh: Mesh, x_faces, y_faces, moving_body,
+    ibm_ramp_steps: int = 0,
+):
+    """Explicit-comm stretched-MAC step for a moving body in a quiescent
+    free-slip box — the sharded twin of cylinder_oscillating(
+    stretched=True): masks from per-axis coordinate LUTs, volume-
+    weighted psum'd forces."""
+    from cfdsim_tpu.parallel.mac_explicit import free_slip_mac_local_bcs
+
+    bcs = free_slip_mac_local_bcs(cfg.ny, cfg.nx)
+    return jax.jit(make_stretched_mac_explicit_step(
+        cfg, mesh, bcs, x_faces, y_faces, moving_body=moving_body,
+        ibm_ramp_steps=ibm_ramp_steps,
+    ))

@@ -287,3 +287,143 @@ def test_stretched3d_moving_body_uniform_matches_mac3d():
     np.testing.assert_allclose(float(m_s.fx), float(m_u.fx),
                                rtol=2e-4, atol=1e-6)
     assert abs(float(m_s.fx)) > 1e-4  # a real force signal
+
+
+def test_moving_body3d_explicit_matches_single_device():
+    """Sharded 3D moving-geometry IBM (mac3d_explicit moving_body):
+    per-shard on-device mask rebuild + psum'd forces must match the
+    single-device oscillating-sphere step on the 8-device mesh
+    (VERDICT r2 item 3)."""
+    from cfdsim_tpu.grid import Grid3D
+    from cfdsim_tpu.ibm import oscillating_sphere
+    from cfdsim_tpu.models import mac3d
+    from cfdsim_tpu.parallel.mac3d_explicit import (
+        make_moving_body_mac3d_explicit_step,
+        shard_trimmed_state3d,
+        trim_state3d,
+    )
+    from cfdsim_tpu.parallel.mesh import make_grid_mesh
+
+    mesh = make_grid_mesh(8, topology=(2, 4))
+    grid = Grid3D(nx=24, ny=16, nz=12, x_max=6.0, y_max=4.0, z_max=3.0,
+                  centering="cell")
+    cfg = mac3d.MAC3DConfig(grid=grid, nu=0.01, scheme="tvd", dt_max=0.02)
+    body = oscillating_sphere((3.0, 2.0, 1.5), 0.5, amplitude=0.6,
+                              period=3.0)
+    step_ref = jax.jit(mac3d.make_step(cfg, mac3d.free_slip_bcs3d(),
+                                       moving_body=body, ibm_ramp_steps=2))
+    step_ex = make_moving_body_mac3d_explicit_step(cfg, mesh, body,
+                                                   ibm_ramp_steps=2)
+    t = shard_trimmed_state3d(trim_state3d(mac3d.init_state(cfg)), mesh)
+    r = mac3d.init_state(cfg)
+    for _ in range(6):
+        t, m_ex = step_ex(t, jnp.float32(1.0))
+        r, m_ref = step_ref(r, jnp.float32(1.0))
+    np.testing.assert_allclose(np.asarray(t.u), np.asarray(r.u)[:, :, :-1],
+                               rtol=0, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(t.v), np.asarray(r.v)[:, :-1, :],
+                               rtol=0, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(t.w), np.asarray(r.w)[:-1],
+                               rtol=0, atol=2e-5)
+    np.testing.assert_allclose(float(m_ex.fx), float(m_ref.fx),
+                               rtol=2e-4, atol=1e-6)
+    np.testing.assert_allclose(float(m_ex.fy), float(m_ref.fy),
+                               rtol=2e-4, atol=1e-6)
+    np.testing.assert_allclose(float(m_ex.fz), float(m_ref.fz),
+                               rtol=2e-4, atol=1e-6)
+    np.testing.assert_allclose(float(m_ex.dt), float(m_ref.dt), rtol=1e-5)
+    assert len(t.u.sharding.device_set) == 8
+
+
+def test_stretched_moving_body_explicit_matches_single_device():
+    """Sharded stretched moving-geometry IBM: coordinate-LUT mask rebuild
+    + volume-weighted psum'd forces must match the single-device
+    cylinder_oscillating(stretched=True) step on the 8-device mesh
+    (VERDICT r2 item 3, stretched quadrant)."""
+    from cfdsim_tpu.cases import cylinder_oscillating
+    from cfdsim_tpu.parallel.mac_sharded import shard_trimmed_state, trim_state
+    from cfdsim_tpu.parallel.mac_stretched_explicit import (
+        make_moving_body_stretched_explicit_step,
+    )
+    from cfdsim_tpu.parallel.mesh import make_grid_mesh
+
+    mesh = make_grid_mesh(8, topology=(2, 4))
+    case = cylinder_oscillating(
+        nx=64, ny=32, domain=(16.0, 8.0), center=(8.0, 4.0),
+        KC=4.0, Re=80.0, period=4.0, scheme="tvd", stretched=True,
+        refine_strength=2.0,
+    )
+    step_ref = jax.jit(case.step)
+    step_ex = make_moving_body_stretched_explicit_step(
+        case.cfg, mesh, case.extras["x_faces"], case.extras["y_faces"],
+        case.extras["body"],
+    )
+    t = shard_trimmed_state(trim_state(case.state), mesh)
+    r = case.state
+    for _ in range(8):
+        t, m_ex = step_ex(t, jnp.float32(1.0))
+        r, m_ref = step_ref(r, jnp.float32(1.0))
+    np.testing.assert_allclose(np.asarray(t.u), np.asarray(r.u)[:, :-1],
+                               rtol=0, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(t.v), np.asarray(r.v)[:-1, :],
+                               rtol=0, atol=2e-5)
+    np.testing.assert_allclose(float(m_ex.fx), float(m_ref.fx),
+                               rtol=2e-4, atol=1e-6)
+    np.testing.assert_allclose(float(m_ex.fy), float(m_ref.fy),
+                               rtol=2e-4, atol=1e-6)
+    np.testing.assert_allclose(float(m_ex.dt), float(m_ref.dt), rtol=1e-5)
+    assert len(t.u.sharding.device_set) == 8
+
+
+def test_stretched3d_moving_body_explicit_matches_single_device():
+    """Sharded stretched-3D moving-geometry IBM — the last quadrant of
+    the {2D,3D} x {uniform,stretched} sharded moving-body matrix — must
+    match the single-device mac_stretched3d moving step (central
+    scheme) on the 8-device mesh."""
+    import numpy as onp
+
+    from cfdsim_tpu.ibm import oscillating_sphere
+    from cfdsim_tpu.models import mac_stretched3d as ms3
+    from cfdsim_tpu.models.mac_stretched import stretched_faces
+    from cfdsim_tpu.parallel.mac3d_explicit import (
+        shard_trimmed_state3d,
+        trim_state3d,
+    )
+    from cfdsim_tpu.parallel.mac_stretched3d_explicit import (
+        make_moving_body3d_stretched_explicit_step,
+    )
+    from cfdsim_tpu.parallel.mesh import make_grid_mesh
+
+    mesh = make_grid_mesh(8, topology=(2, 4))
+    nx, ny, nz = 24, 16, 12
+    xf = stretched_faces(nx, 6.0, refine=[(3.0, 1.0, 1.5)])
+    yf = stretched_faces(ny, 4.0, refine=[(2.0, 1.0, 1.5)])
+    zf = stretched_faces(nz, 3.0, refine=[(1.5, 1.0, 1.5)])
+    cfg = ms3.StretchedMAC3DConfig(nx=nx, ny=ny, nz=nz, nu=0.01,
+                                   scheme="central", dt_max=0.02)
+    body = oscillating_sphere((3.0, 2.0, 1.5), 0.5, amplitude=0.6,
+                              period=3.0)
+    from cfdsim_tpu.models import mac3d
+    step_ref = jax.jit(ms3.make_step(cfg, mac3d.free_slip_bcs3d(),
+                                     xf, yf, zf, moving_body=body,
+                                     ibm_ramp_steps=2))
+    step_ex = make_moving_body3d_stretched_explicit_step(
+        cfg, mesh, xf, yf, zf, body, ibm_ramp_steps=2)
+    t = shard_trimmed_state3d(trim_state3d(ms3.init_state(cfg)), mesh)
+    r = ms3.init_state(cfg)
+    for _ in range(6):
+        t, m_ex = step_ex(t, jnp.float32(1.0))
+        r, m_ref = step_ref(r, jnp.float32(1.0))
+    onp.testing.assert_allclose(onp.asarray(t.u), onp.asarray(r.u)[:, :, :-1],
+                                rtol=0, atol=2e-5)
+    onp.testing.assert_allclose(onp.asarray(t.v), onp.asarray(r.v)[:, :-1, :],
+                                rtol=0, atol=2e-5)
+    onp.testing.assert_allclose(onp.asarray(t.w), onp.asarray(r.w)[:-1],
+                                rtol=0, atol=2e-5)
+    onp.testing.assert_allclose(float(m_ex.fx), float(m_ref.fx),
+                                rtol=2e-4, atol=1e-6)
+    onp.testing.assert_allclose(float(m_ex.fy), float(m_ref.fy),
+                                rtol=2e-4, atol=1e-6)
+    onp.testing.assert_allclose(float(m_ex.fz), float(m_ref.fz),
+                                rtol=2e-4, atol=1e-6)
+    onp.testing.assert_allclose(float(m_ex.dt), float(m_ref.dt), rtol=1e-5)
