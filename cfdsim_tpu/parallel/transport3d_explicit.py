@@ -200,3 +200,204 @@ def make_heated_sphere_explicit_step(
         return new_ts, metrics
 
     return step
+
+
+def make_heated_sphere_stretched_explicit_step(
+    cfg: Transport3DConfig,
+    mesh: Mesh,
+    x_faces,
+    y_faces,
+    z_faces,
+    v_inf: float,
+    ibm_ramp_steps: int = 0,
+):
+    """The stretched-grid habitat of ``make_heated_sphere_explicit_step``
+    — the multi-chip twin of ``transport3d.make_stretched_step`` (the
+    ``heated_sphere_stretched`` case, central scheme): the sharded
+    stretched momentum step (``mac_stretched3d_explicit``, distributed
+    FDM projection, area-weighted outflow) advances the velocities; a
+    second shard_map advances θ with metric-weighted conservative FV
+    fluxes — per-axis gaps enter as ``_lut3`` dynamic slices (never
+    gathers), z metrics as local lines. Same call signature:
+    ``step(tstate, cfl_scale, mask_u_t, mask_v_t, mask_w_t, mask_c)``.
+    Equality vs the single-device step: tests/test_transport3d.py."""
+    from cfdsim_tpu.models.mac_stretched import _metrics
+    from cfdsim_tpu.models import mac_stretched3d as ms3
+    from cfdsim_tpu.parallel.mac3d_explicit import (
+        external_flow3d_local_bcs,
+    )
+    from cfdsim_tpu.parallel.mac_stretched3d_explicit import (
+        _lut3,
+        _zc,
+        make_sphere3d_stretched_explicit_step,
+    )
+
+    if cfg.scheme != "central":
+        raise ValueError(
+            "the sharded stretched heated-sphere step implements "
+            "scheme='central' (the sharded stretched momentum path)"
+        )
+    g = cfg.grid
+    nx, ny, nz = g.nx, g.ny, g.nz
+    mx = _metrics(x_faces)
+    my = _metrics(y_faces)
+    mz = _metrics(z_faces)
+    alpha = cfg.nu / cfg.prandtl
+    h_min = float(min(mx.h.min(), my.h.min(), mz.h.min()))
+    flow_cfg = ms3.StretchedMAC3DConfig(
+        nx=nx, ny=ny, nz=nz, nu=cfg.nu, scheme=cfg.scheme,
+        adaptive_dt=cfg.adaptive_dt, cfl_target=cfg.cfl_target,
+        dt_base=cfg.dt_base, dt_min=cfg.dt_min,
+        # θ-diffusion stability joins the momentum bound (single-device
+        # transport3d.make_stretched_step's dt_max fold)
+        dt_max=min(cfg.dt_max, 0.125 * h_min * h_min / max(alpha, 1e-30)),
+        max_velocity=cfg.max_velocity,
+        compute_metrics=cfg.compute_metrics,
+    )
+    flow_step = make_sphere3d_stretched_explicit_step(
+        flow_cfg, mesh, x_faces, y_faces, z_faces, v_inf=v_inf,
+        ibm_ramp_steps=ibm_ramp_steps,
+    )
+    hy_w = np.diff(np.asarray(y_faces))
+    hz_w = np.diff(np.asarray(z_faces))
+    fw = hz_w[:, None] * hy_w[None, :]
+    bcs = external_flow3d_local_bcs(nx, ny, nz, v_inf, face_weights=fw)
+
+    py = mesh.shape["y"]
+    px = mesh.shape["x"]
+    ny_l, nx_l = ny // py, nx // px
+    # metric lookups (y/x dynamic slices; z local lines)
+    inv_hx_at = _lut3(1.0 / mx.h, 2)
+    inv_hy_at = _lut3(1.0 / my.h, 1)
+    inv_dfx_at = _lut3(1.0 / mx.dfull, 2)   # face k gap, k = cell col
+    inv_dfy_at = _lut3(1.0 / my.dfull, 1)
+    hx_at = _lut3(mx.h, 2)
+    hy_at = _lut3(my.h, 1)
+    inv_hz = _zc(1.0 / mz.h)
+    inv_dfz_b = _zc(1.0 / mz.dfull[:nz])    # bottom-face gaps
+    inv_dfz_t = _zc(1.0 / mz.dfull[1:])     # top-face gaps
+    hz_c = _zc(mz.h)
+    qscale = 1.0 / (
+        np.pi * cfg.body_diameter * alpha
+        * max(abs(cfg.theta_body - cfg.theta_in), 1e-30)
+    )
+    spec = P(None, "y", "x")
+
+    def theta_local(theta, u_t, v_t, w_t, dt, step_i, mask_c):
+        iy = lax.axis_index("y")
+        ix = lax.axis_index("x")
+        gy0 = iy * ny_l
+        gx0 = ix * nx_l
+        shp_p = (ny_l + 2, nx_l + 2)
+        rp = gy0 - 1 + lax.broadcasted_iota(jnp.int32, shp_p, 0)[None]
+        cp = gx0 - 1 + lax.broadcasted_iota(jnp.int32, shp_p, 1)[None]
+        ro = gy0 + lax.broadcasted_iota(jnp.int32, (ny_l, nx_l), 0)[None]
+        co = gx0 + lax.broadcasted_iota(jnp.int32, (ny_l, nx_l), 1)[None]
+        a = bcs.aux(u_t, v_t, w_t, ro, co, None)
+        U = _halo_yx(u_t, py, px)
+        V = _halo_yx(v_t, py, px)
+        W = _halo_yx(w_t, py, px)
+        Wz = jnp.concatenate([W, jnp.zeros_like(W[:1])], axis=0)
+        U, V, Wz = bcs.pad_writes(U, V, Wz, rp, cp, None, a)
+        u_w = U[:, 1:-1, 1:-1]
+        u_e = U[:, 1:-1, 2:]
+        v_s = V[:, 1:-1, 1:-1]
+        v_n = V[:, 2:, 1:-1]
+        w_b = Wz[:-1, 1:-1, 1:-1]
+        w_t_ = Wz[1:, 1:-1, 1:-1]
+
+        TH = _halo_yx(theta, py, px)
+        TH = jnp.where(cp == -1,
+                       2.0 * cfg.theta_in - jnp.roll(TH, -1, axis=2), TH)
+        TH = jnp.where(cp == nx, jnp.roll(TH, 1, axis=2), TH)
+        TH = jnp.where(rp == -1, jnp.roll(TH, -1, axis=1), TH)
+        TH = jnp.where(rp == ny, jnp.roll(TH, 1, axis=1), TH)
+        te = jnp.concatenate([TH[:1], TH, TH[-1:]], axis=0)
+
+        th_c = te[1:-1, 1:-1, 1:-1]
+        th_wv = te[1:-1, 1:-1, :-2]
+        th_ev = te[1:-1, 1:-1, 2:]
+        th_sv = te[1:-1, :-2, 1:-1]
+        th_nv = te[1:-1, 2:, 1:-1]
+        th_bv = te[:-2, 1:-1, 1:-1]
+        th_tv = te[2:, 1:-1, 1:-1]
+        if cfg.theta_scheme == "upwind":
+            donor_w = jnp.where(u_w >= 0.0, th_wv, th_c)
+            donor_w = jnp.where((co == 0) & (u_w >= 0.0),
+                                jnp.float32(cfg.theta_in), donor_w)
+            fxa_w = u_w * donor_w
+            fxa_e = u_e * jnp.where(u_e >= 0.0, th_c, th_ev)
+            fya_s = v_s * jnp.where(v_s >= 0.0, th_sv, th_c)
+            fya_n = v_n * jnp.where(v_n >= 0.0, th_c, th_nv)
+            fza_b = w_b * jnp.where(w_b >= 0.0, th_bv, th_c)
+            fza_t = w_t_ * jnp.where(w_t_ >= 0.0, th_c, th_tv)
+        else:
+            fxa_w = u_w * 0.5 * (th_wv + th_c)
+            fxa_e = u_e * 0.5 * (th_c + th_ev)
+            fya_s = v_s * 0.5 * (th_sv + th_c)
+            fya_n = v_n * 0.5 * (th_c + th_nv)
+            fza_b = w_b * 0.5 * (th_bv + th_c)
+            fza_t = w_t_ * 0.5 * (th_c + th_tv)
+        inv_hx_o = inv_hx_at(gx0, nx_l)
+        inv_hy_o = inv_hy_at(gy0, ny_l)
+        adv = (
+            (fxa_e - fxa_w) * inv_hx_o
+            + (fya_n - fya_s) * inv_hy_o
+            + (fza_t - fza_b) * inv_hz
+        )
+        # metric flux-form diffusion (transport3d.make_stretched_step)
+        gx_w = (th_c - th_wv) * inv_dfx_at(gx0, nx_l)
+        gx_e = (th_ev - th_c) * inv_dfx_at(gx0 + 1, nx_l)
+        gy_s = (th_c - th_sv) * inv_dfy_at(gy0, ny_l)
+        gy_n = (th_nv - th_c) * inv_dfy_at(gy0 + 1, ny_l)
+        gz_b = (th_c - th_bv) * inv_dfz_b
+        gz_t = (th_tv - th_c) * inv_dfz_t
+        lap_t = (
+            (gx_e - gx_w) * inv_hx_o
+            + (gy_n - gy_s) * inv_hy_o
+            + (gz_t - gz_b) * inv_hz
+        )
+        theta_new = theta + dt * (alpha * lap_t - adv)
+
+        from cfdsim_tpu.ibm import ibm_ramp
+
+        strength = ibm_ramp(step_i, ibm_ramp_steps)
+        dth = (cfg.theta_body - theta_new) * (strength * mask_c)
+        theta_new = theta_new + dth
+        cellvol = hz_c * hy_at(gy0, ny_l) * hx_at(gx0, nx_l)
+        q_body = _psum(jnp.sum(dth * cellvol)) / dt
+        nusselt = q_body * qscale
+        th_min = lax.pmin(lax.pmin(jnp.min(theta_new), "y"), "x")
+        th_max = lax.pmax(lax.pmax(jnp.max(theta_new), "y"), "x")
+        return theta_new, q_body, nusselt, th_min, th_max
+
+    theta_step = jax.jit(jax.shard_map(
+        theta_local,
+        mesh=mesh,
+        in_specs=(spec, spec, spec, spec, P(), P(), spec),
+        out_specs=(spec, P(), P(), P(), P()),
+    ))
+
+    def step(ts: Transport3DState, cfl_scale, mask_u_t, mask_v_t,
+             mask_w_t, mask_c):
+        mac_ts = MAC3DState(u=ts.u, v=ts.v, w=ts.w, p=ts.p,
+                            t=ts.t, step=ts.step)
+        new_mac, fm = flow_step(mac_ts, cfl_scale, mask_u_t, mask_v_t,
+                                mask_w_t)
+        theta_new, q_body, nusselt, th_min, th_max = theta_step(
+            ts.theta, new_mac.u, new_mac.v, new_mac.w, fm.dt, ts.step,
+            mask_c,
+        )
+        new_ts = Transport3DState(
+            u=new_mac.u, v=new_mac.v, w=new_mac.w, p=new_mac.p,
+            theta=theta_new, t=new_mac.t, step=new_mac.step,
+        )
+        metrics = Transport3DMetrics(
+            dt=fm.dt, div_post=fm.div_post, max_vel=fm.max_vel,
+            energy=fm.energy, fx=fm.fx, fy=fm.fy, fz=fm.fz,
+            q_body=q_body, nusselt=nusselt,
+            theta_min=th_min, theta_max=th_max,
+        )
+        return new_ts, metrics
+
+    return step

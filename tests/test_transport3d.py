@@ -173,3 +173,68 @@ def test_heated_sphere_explicit_matches_single_device():
     np.testing.assert_allclose(float(m_ex.theta_max),
                                float(m_ref.theta_max), rtol=1e-4)
     assert len(t.theta.sharding.device_set) == 8
+
+
+def test_heated_sphere_stretched_explicit_matches_single_device():
+    """Sharded stretched forced convection (metric theta fluxes composed
+    with the sharded stretched momentum step) must match the
+    single-device heated_sphere_stretched step (central scheme) on the
+    8-device mesh — VERDICT r2 item 8, the last {tier x physics}
+    sharding hole besides moving bodies."""
+    from cfdsim_tpu.cases import build
+    from cfdsim_tpu.models.mac3d import MAC3DState
+    from cfdsim_tpu.models.transport3d import Transport3DState
+    from cfdsim_tpu.parallel.mac3d_explicit import (
+        shard_trimmed_state3d,
+        trim_face_masks3d,
+        trim_state3d,
+    )
+    from cfdsim_tpu.parallel.mesh import make_grid_mesh
+    from cfdsim_tpu.parallel.transport3d_explicit import (
+        make_heated_sphere_stretched_explicit_step,
+    )
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = make_grid_mesh(8, topology=(2, 4))
+    case = build(
+        "heated_sphere_stretched", nx=32, ny=16, nz=16, Re=100.0,
+        domain=(8.0, 4.0, 4.0), center=(2.0, 2.0, 2.0), scheme="central",
+        refine_strength=1.5, refine_width=1.0, wake_length=2.0,
+        ibm_ramp_steps=4,
+    )
+    mu, mv, mw, mc = case.extras["ibm_masks"]
+    step_ex = make_heated_sphere_stretched_explicit_step(
+        case.cfg, mesh, case.extras["x_faces"], case.extras["y_faces"],
+        case.extras["z_faces"], v_inf=case.extras["v_inf"],
+        ibm_ramp_steps=4,
+    )
+    sh = NamedSharding(mesh, P(None, "y", "x"))
+    masks_t = tuple(jax.device_put(m, sh)
+                    for m in trim_face_masks3d(mu, mv, mw))
+    mc_s = jax.device_put(mc, sh)
+
+    s = case.state
+    mac_trim = trim_state3d(MAC3DState(u=s.u, v=s.v, w=s.w, p=s.p,
+                                       t=s.t, step=s.step))
+    mac_trim = shard_trimmed_state3d(mac_trim, mesh)
+    t = Transport3DState(
+        u=mac_trim.u, v=mac_trim.v, w=mac_trim.w, p=mac_trim.p,
+        theta=jax.device_put(s.theta, sh), t=mac_trim.t,
+        step=mac_trim.step,
+    )
+    r = s
+    for _ in range(6):
+        t, m_ex = step_ex(t, jnp.float32(1.0), *masks_t, mc_s)
+        r, m_ref = case.step(r, jnp.float32(1.0))
+    np.testing.assert_allclose(np.asarray(t.u), np.asarray(r.u)[:, :, :-1],
+                               rtol=0, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(t.theta), np.asarray(r.theta),
+                               rtol=0, atol=2e-5)
+    np.testing.assert_allclose(float(m_ex.nusselt), float(m_ref.nusselt),
+                               rtol=2e-4)
+    np.testing.assert_allclose(float(m_ex.fx), float(m_ref.fx),
+                               rtol=2e-4, atol=1e-6)
+    np.testing.assert_allclose(float(m_ex.dt), float(m_ref.dt), rtol=1e-5)
+    np.testing.assert_allclose(float(m_ex.theta_max),
+                               float(m_ref.theta_max), rtol=1e-4)
+    assert len(t.theta.sharding.device_set) == 8
