@@ -264,6 +264,10 @@ def make_mac_explicit_step(
         raise ValueError(
             "the explicit sharded MAC step implements time_scheme='euler'"
         )
+    if getattr(cfg, "projection", "chorin") != "chorin":
+        raise ValueError(
+            "the explicit sharded MAC step implements projection='chorin'"
+        )
 
     spec = P("y", "x")
     state_spec = MACState(u=spec, v=spec, p=spec, t=P(), step=P())

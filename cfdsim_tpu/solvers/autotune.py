@@ -1,0 +1,143 @@
+"""First-call autotuned dispatch for the exact Neumann Poisson solve.
+
+Round 2 measured three exact clamped-edge solvers with hardware-dependent
+winners (BENCHNOTES "falloff: root cause"): the rfft-based DCT (wins on
+this rig), the half-FFT packed DCT (cheaper FFTs, HBM-bound extras), and
+the matmul fast-diagonalization (MXU-bound; the right answer on hardware
+with strong matmul vs FFT).  Hand-picking per rig does not survive a
+hardware change, so ``best_dct_variant`` times all variants on the live
+backend at first use per (backend, shape) and caches the winner —
+in-process and on disk (~/.cache/cfdsim_tpu/autotune.json, override dir
+with CFDSIM_AUTOTUNE_CACHE; force a variant with CFDSIM_DCT_VARIANT).
+
+Timing uses the marginal-scan-chain method (CLAUDE.md): each candidate
+is jitted as a ``lax.scan`` chain of K solves and the marginal per-solve
+time is the slope between two chain lengths, which cancels the relay
+dispatch overhead of this rig's tunneled TPU.  All variants solve the
+same problem exactly (same nullspace convention), so the dispatch never
+changes semantics — only speed.  (VERDICT r2 item 5.)
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_MEM: dict[str, str] = {}
+_VARIANTS = ("rfft", "packed", "matmul")
+
+
+def _cache_path() -> Path:
+    base = os.environ.get("CFDSIM_AUTOTUNE_CACHE")
+    if base:
+        return Path(base) / "autotune.json"
+    return Path.home() / ".cache" / "cfdsim_tpu" / "autotune.json"
+
+
+def _load_disk() -> dict:
+    try:
+        return json.loads(_cache_path().read_text())
+    except (OSError, ValueError):
+        return {}
+
+
+def _store_disk(key: str, value: str, timings: dict) -> None:
+    path = _cache_path()
+    try:
+        path.parent.mkdir(parents=True, exist_ok=True)
+        data = _load_disk()
+        data[key] = {"variant": value, "ms": timings}
+        path.write_text(json.dumps(data, indent=1, sort_keys=True))
+    except OSError:
+        pass  # read-only home: in-process cache still applies
+
+
+@functools.lru_cache(maxsize=None)
+def matmul_dct_solver(m: int, n: int, dx: float, dy: float):
+    """Uniform-spacing fast-diagonalization solver: the clamped-edge FD
+    operator in the DCT eigenbasis as 4 dense MXU matmuls (the uniform
+    special case of solvers/fdm.make_fdm_solver; same mean-free
+    nullspace convention as the FFT DCT solvers)."""
+    from cfdsim_tpu.solvers.fdm import make_fdm_solver
+
+    return make_fdm_solver(np.full(n, dx), np.full(m, dy))
+
+
+def _candidate(variant: str, shape, dx: float, dy: float):
+    from cfdsim_tpu.solvers.poisson import solve_poisson_neumann_dct
+
+    if variant == "matmul":
+        solver = matmul_dct_solver(shape[0], shape[1], dx, dy)
+        return lambda rhs: solver(rhs)
+    return lambda rhs: solve_poisson_neumann_dct(rhs, dx, dy,
+                                                 variant=variant)
+
+
+def _time_marginal(fn, rhs, k_short: int = 2, k_long: int = 10,
+                   reps: int = 3) -> float:
+    """Marginal seconds per solve from the slope between two jitted scan
+    chains (relay/dispatch overhead cancels in the difference)."""
+
+    def chain(k):
+        def body(r, _):
+            p = fn(r)
+            # keep the chain non-constant-foldable and bounded
+            return p - jnp.mean(p), None
+
+        return jax.jit(lambda r: jax.lax.scan(body, r, None, length=k)[0])
+
+    f_s = chain(k_short)
+    f_l = chain(k_long)
+    float(jnp.sum(f_s(rhs)))  # compile + warm
+    float(jnp.sum(f_l(rhs)))
+
+    def best_of(f):
+        best = np.inf
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(jnp.sum(f(rhs)))  # scalar fetch = the barrier on axon
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    return max(best_of(f_l) - best_of(f_s), 1e-9) / (k_long - k_short)
+
+
+def measure_dct_variants(shape, dx: float, dy: float) -> dict:
+    """Time every exact variant on the live backend → {variant: ms}."""
+    rng = np.random.default_rng(0)
+    rhs = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    rhs = rhs - jnp.mean(rhs)
+    out = {}
+    for v in _VARIANTS:
+        try:
+            out[v] = _time_marginal(_candidate(v, shape, dx, dy), rhs) * 1e3
+        except Exception:  # pragma: no cover - variant unsupported here
+            continue
+    return out
+
+
+def best_dct_variant(shape, dx: float, dy: float) -> str:
+    """The fastest exact DCT-solve variant for this (backend, shape):
+    cached in process and on disk; measured once on a miss."""
+    forced = os.environ.get("CFDSIM_DCT_VARIANT")
+    if forced:
+        return forced
+    key = f"{jax.default_backend()}|dct2d|{shape[0]}x{shape[1]}"
+    if key in _MEM:
+        return _MEM[key]
+    disk = _load_disk().get(key)
+    if isinstance(disk, dict) and disk.get("variant") in _VARIANTS:
+        _MEM[key] = disk["variant"]
+        return _MEM[key]
+    timings = measure_dct_variants(shape, dx, dy)
+    winner = min(timings, key=timings.get) if timings else "rfft"
+    _MEM[key] = winner
+    _store_disk(key, winner, {k: round(v, 4) for k, v in timings.items()})
+    return winner

@@ -78,6 +78,12 @@ class PoissonConfig:
     # backend is TPU (measured 7-14% faster V-cycles at 1024²-4096²),
     # off elsewhere (the interpreter fallback is slow); True/False force
     mg_pallas_smooth: bool | str = "auto"
+    # exact-DCT backend: "rfft" (FFT-based, this rig's winner), "packed"
+    # (half-FFT Makhoul packing), "matmul" (MXU fast-diagonalization),
+    # or "auto" — first call per (backend, shape) times all three on the
+    # live hardware and caches the winner (solvers/autotune.py); every
+    # variant is exact with the same nullspace convention
+    dct_variant: str = "rfft"
 
 
 # ---------------------------------------------------------------------------
@@ -462,7 +468,8 @@ def _dct_inv(X, axis: int):
     return _idct2_fast(X, axis) if X.shape[axis] % 2 == 0 else _idct2(X, axis)
 
 
-def solve_poisson_neumann_dct(rhs, dx: float, dy: float):
+def solve_poisson_neumann_dct(rhs, dx: float, dy: float,
+                              variant: str = "rfft"):
     """Exact solve of the clamped-edge (Neumann) FD Poisson problem.
 
     The mirror-about-half-sample symmetry of the clamped-edge operator makes
@@ -470,13 +477,14 @@ def solve_poisson_neumann_dct(rhs, dx: float, dy: float):
     λ_k = (2cos(πk/n)−2)/h². The constant nullspace mode is projected out,
     matching the iterative solvers' mean-free convention."""
     m, n = rhs.shape
-    # NOTE: a half-FFT packed variant exists (_dct2d_packed; two real lines
-    # per complex FFT). Its raw FFTs are ~2.9x cheaper than XLA's TPU rfft,
-    # but on the current rig the extra complex elementwise passes (Makhoul
-    # permute, spectrum reverse, twiddles) are HBM-bound and cost more than
-    # the FFT savings (24 ms vs 13.7 ms per 4096² solve measured round 2).
-    # Re-evaluate on production hardware with higher effective HBM BW.
-    packed = False
+    # variant="packed": the half-FFT Makhoul packing (two real lines per
+    # complex FFT). Its raw FFTs are ~2.9x cheaper than XLA's TPU rfft,
+    # but on the round-2 rig the extra complex elementwise passes
+    # (Makhoul permute, spectrum reverse, twiddles) are HBM-bound and
+    # cost more than the FFT savings (24 ms vs 13.7 ms per 4096² solve).
+    # The autotuned dispatch (solvers/autotune.py, dct_variant="auto")
+    # measures rather than assumes.
+    packed = variant == "packed"
     ky = np.arange(m)
     kx = np.arange(n)
     lam = (2.0 * np.cos(np.pi * ky / m)[:, None] - 2.0) / (dy * dy) + (
@@ -531,7 +539,17 @@ def solve_poisson(
         return solve_poisson_periodic_fft(rhs, dx, dy)
 
     if cfg.method == "dct":
-        return solve_poisson_neumann_dct(rhs, dx, dy)
+        variant = getattr(cfg, "dct_variant", "rfft")
+        if variant == "auto":
+            from cfdsim_tpu.solvers.autotune import best_dct_variant
+
+            variant = best_dct_variant(rhs.shape, dx, dy)
+        if variant == "matmul":
+            from cfdsim_tpu.solvers.autotune import matmul_dct_solver
+
+            m, n = rhs.shape
+            return matmul_dct_solver(m, n, dx, dy)(rhs)
+        return solve_poisson_neumann_dct(rhs, dx, dy, variant=variant)
 
     if cfg.method == "hybrid":
         # Fast hybrid pressure-correction (cf. PAPERS.md: "A Fast Hybrid

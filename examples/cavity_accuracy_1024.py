@@ -37,14 +37,23 @@ def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
     t_end = float(sys.argv[2]) if len(sys.argv) > 2 else 400.0
     out = sys.argv[3] if len(sys.argv) > 3 else f"out/cavity_acc_{n}.npz"
+    projection = sys.argv[4] if len(sys.argv) > 4 else "chorin"
+    resume = sys.argv[5] if len(sys.argv) > 5 else None
 
-    case = lid_cavity_mac(n=n, Re=1000.0)
+    case = lid_cavity_mac(n=n, Re=1000.0, projection=projection)
     f = jax.jit(lambda s: jax.lax.scan(
         lambda st, _: case.step(st, jnp.float32(1.0)), s, None,
         length=5000)[0])
     s = case.state
+    if resume:
+        d = np.load(resume)
+        s = s._replace(u=jnp.asarray(d["u"]), v=jnp.asarray(d["v"]),
+                       p=jnp.asarray(d["p"]),
+                       t=jnp.float32(float(d["t"])),
+                       step=jnp.int32(int(d["step"])))
+        print(f"resumed from {resume} at t={float(s.t):.1f}", flush=True)
     t0 = time.time()
-    next_report = 25.0
+    next_report = float(s.t) + 25.0
     while float(s.t) < t_end:
         s = f(s)
         t = float(s.t)  # scalar fetch = the real barrier on axon
