@@ -107,7 +107,10 @@ def run_secondary(n=1024):
             m = (t2 - t1) / (r2 - r1)
             if m > 0:  # shared-chip variance can invert the marginal
                 return m
-        return m
+        # never publish a negative rate (VERDICT r2 weak item 8): fall
+        # back to the long-run average, a conservative upper bound that
+        # still includes the per-call dispatch constant
+        return t2 / r2
 
     results = []
     m = marginal(lambda p: solve_poisson(

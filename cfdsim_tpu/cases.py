@@ -1045,8 +1045,17 @@ def heated_sphere(
     (``validation.sphere_nusselt_ranz_marshall``; Nu(Re=100, Pr=0.7)
     ≈ 7.33). The reference's transport capability ceiling is 2D
     (beyond-reference tier). Metrics: fx/fy/fz body forces, q_body,
-    nusselt, theta extrema."""
+    nusselt, theta extrema.
+
+    Resolution requirement (BENCHNOTES forced-convection table): on the
+    uniform grid the Nusselt error grows with Re at fixed cells/D —
+    +15.5% at Re=100 and +37% at Re=200 at 12 c/D (the thermal BL
+    ~D·Re^-1/2·Pr^-1/3 outruns the grid); a warning is emitted below
+    16 c/D at Re > 150. ``heated_sphere_stretched`` is the
+    resolution-efficient habitat (+5%/+17% at the same cell count)."""
     import numpy as np
+
+    import warnings
 
     from cfdsim_tpu.grid import Grid3D
     from cfdsim_tpu.ibm import (
@@ -1071,6 +1080,15 @@ def heated_sphere(
     mask_c = sphere_mask_cells(xf, yf, zf, center, radius,
                                profile=ibm_profile, width=grid.dx)
     h = min(grid.dx, grid.dy, grid.dz)
+    cells_per_d = 2 * radius / max(grid.dx, grid.dy, grid.dz)
+    if Re > 150.0 and cells_per_d < 16.0:
+        warnings.warn(
+            f"heated_sphere at Re={Re:g} with {cells_per_d:.0f} cells/D: "
+            "the uniform grid under-resolves the thermal boundary layer "
+            "(Nu over-reports ~+37% at Re=200, 12 c/D — BENCHNOTES); use "
+            "heated_sphere_stretched or raise the resolution.",
+            stacklevel=2,
+        )
     defaults = dict(
         cfl_target=0.4,
         dt_max=0.4 * h / max(v_inf, 1e-10),
