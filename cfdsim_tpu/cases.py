@@ -115,7 +115,9 @@ def lid_cavity_mac(
         **cfg_overrides,
     )
     bcs = mac.cavity_bcs(lid_velocity)
-    step = mac.make_step(cfg, bcs)
+    kit = (mac.cavity_implicit_kit(grid, lid_velocity)
+           if cfg.diffusion == "implicit" else None)
+    step = mac.make_step(cfg, bcs, implicit_kit=kit)
     state = mac.init_state(cfg)
     return Case("cavity_mac", cfg, step, state, grid,
                 {"lid_velocity": lid_velocity, "bcs": bcs})

@@ -70,3 +70,83 @@ def solve_helmholtz_dirichlet(b, coeff, dx: float, dy: float):
     uhat = rhat / denom
     u_int = idst1(idst1(uhat, axis=1), axis=0)
     return b.at[1:-1, 1:-1].set(u_int.astype(b.dtype))
+
+
+# ---------------------------------------------------------------------------
+# MAC-component Helmholtz: mixed half-sample/integer bases
+# ---------------------------------------------------------------------------
+
+def dst2(x, axis: int):
+    """DST-II along ``axis``: S_k = Σ_j x_j sin(π(j+½)(k+1)/m) — the
+    eigenbasis of the 1D Laplacian with odd-half-sample (no-slip
+    tangential ghost = −u) ends. Computed from the fast DCT-II by the
+    sign-flip/index-reversal identity DST-II(x)_k = DCT-II((−1)^j x)_{m−1−k}."""
+    from cfdsim_tpu.solvers.poisson import _dct_fwd
+
+    m = x.shape[axis]
+    j = jnp.arange(m)
+    sgn_shape = [1] * x.ndim
+    sgn_shape[axis] = m
+    sgn = jnp.asarray((-1.0) ** j, x.dtype).reshape(sgn_shape)
+    return jnp.flip(_dct_fwd(x * sgn, axis), axis)
+
+
+def idst2(X, axis: int):
+    """Inverse of ``dst2`` (DST-III up to the DCT-II normalization)."""
+    from cfdsim_tpu.solvers.poisson import _dct_inv
+
+    m = X.shape[axis]
+    j = jnp.arange(m)
+    sgn_shape = [1] * X.ndim
+    sgn_shape[axis] = m
+    sgn = jnp.asarray((-1.0) ** j, X.dtype).reshape(sgn_shape)
+    return _dct_inv(jnp.flip(X, axis), axis) * sgn
+
+
+def _axis_basis(kind: str, m: int, h: float):
+    """(fwd, inv, eigenvalues/h²) for one axis of a MAC-component
+    Helmholtz operator. Kinds:
+
+    - "dst1": unknowns at integer interior faces, Dirichlet walls
+      (normal velocity): λ_k = 2cos(πk/(m+1))−2, k=1..m
+    - "dst2": unknowns at half-sample centers, odd mirror ghost = −u
+      (no-slip tangential): λ_k = 2cos(π(k+1)/m)−2, k=0..m−1
+    - "dct2": unknowns at half-sample centers, even mirror ghost = +u
+      (free-slip tangential): λ_k = 2cos(πk/m)−2, k=0..m−1
+    """
+    if kind == "dst1":
+        lam = 2.0 * np.cos(np.pi * np.arange(1, m + 1) / (m + 1)) - 2.0
+        return dst1, idst1, lam / (h * h)
+    if kind == "dst2":
+        lam = 2.0 * np.cos(np.pi * np.arange(1, m + 1) / m) - 2.0
+        return dst2, idst2, lam / (h * h)
+    if kind == "dct2":
+        from cfdsim_tpu.solvers.poisson import _dct_fwd, _dct_inv
+
+        lam = 2.0 * np.cos(np.pi * np.arange(m) / m) - 2.0
+        return _dct_fwd, _dct_inv, lam / (h * h)
+    raise ValueError(f"unknown Helmholtz axis kind {kind!r}")
+
+
+def make_mac_helmholtz(shape, kinds, dx: float, dy: float):
+    """Exact solver for (I − c·∇²) q = b on a MAC velocity component's
+    interior unknowns, ``shape`` = (my, mx), ``kinds`` = (kind_y,
+    kind_x) from ``_axis_basis``. ``c`` = dt·ν may be a traced scalar
+    (the adaptive dt): the eigen-denominator is built in-graph.
+
+    This is the implicit-viscous engine of the staggered tier: with
+    homogeneous-form BCs folded into the 1D operators (inhomogeneous
+    wall values enter as RHS corrections), one forward/inverse
+    separable transform pair solves the Helmholtz problem to fp32
+    roundoff — the viscous dt restriction disappears entirely."""
+    my, mx = shape
+    fy, iy_, lam_y = _axis_basis(kinds[0], my, dy)
+    fx, ix_, lam_x = _axis_basis(kinds[1], mx, dx)
+    lam = jnp.asarray(lam_y[:, None] + lam_x[None, :], jnp.float32)
+
+    def solve(b, c):
+        bh = fx(fy(b, 0), 1)
+        qh = bh / (1.0 - c * lam)
+        return ix_(iy_(qh, 0), 1).astype(b.dtype)
+
+    return solve

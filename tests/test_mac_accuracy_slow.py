@@ -38,3 +38,27 @@ def test_mac_cavity_re1000_vs_spectral(n, t_end, tol):
     x_v = (np.arange(n) + 0.5) / n
     errs = botella_peyret_errors(u_c, y_u, v_c, x_v)
     assert max(errs.values()) < tol, errs
+
+
+@pytest.mark.skipif(
+    os.environ.get("CFDSIM_CHIP_TESTS") != "1",
+    reason="1024² to t=500 needs the chip (25 min); set CFDSIM_CHIP_TESTS=1",
+)
+def test_mac_cavity_re1000_1024_north_star():
+    """BASELINE accuracy north star (VERDICT r2 item 1): 1024², Re=1000,
+    incremental projection → ≤1.5e-4 max extrema error vs Botella &
+    Peyret (measured round 3: 1.246e-4 at t=500 on-chip; non-incremental
+    Chorin plateaus at 1.82e-4 = the O(dt) splitting defect)."""
+    case = lid_cavity_mac(n=1024, Re=1000.0, projection="incremental")
+    f = jax.jit(lambda s: jax.lax.scan(
+        lambda st, _: case.step(st, jnp.float32(1.0)), s, None,
+        length=5000)[0])
+    s = case.state
+    while float(s.t) < 500.0:
+        s = f(s)
+    n = 1024
+    u = np.asarray(s.u)
+    v = np.asarray(s.v)
+    errs = botella_peyret_errors(u[:, n // 2], (np.arange(n) + 0.5) / n,
+                                 v[n // 2, :], (np.arange(n) + 0.5) / n)
+    assert max(errs.values()) <= 1.5e-4, errs
