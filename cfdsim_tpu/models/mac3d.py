@@ -47,6 +47,9 @@ class MAC3DConfig:
     use_les: bool = False
     smagorinsky_constant: float = 0.17
     poisson: Poisson3DConfig = Poisson3DConfig(method="dct")
+    # "chorin" or "incremental" (lagged-∇p predictor + increment solve:
+    # O(dt²) steady splitting error — see mac.MACConfig.projection)
+    projection: str = "chorin"
     # "euler" or "rk2" (Heun with a projection per stage — see
     # mac.MACConfig.time_scheme)
     time_scheme: str = "euler"
@@ -515,6 +518,16 @@ def make_step(
             u_star = u.at[:, :, 1:-1].add(dt * (visc_u - conv_u))
             v_star = v.at[:, 1:-1, :].add(dt * (visc_v - conv_v))
             w_star = w.at[1:-1].add(dt * (visc_w - conv_w))
+            if cfg.projection == "incremental":
+                u_star = u_star.at[:, :, 1:-1].add(
+                    -dt * (p_warm[:, :, 1:] - p_warm[:, :, :-1]) * (1.0 / dx)
+                )
+                v_star = v_star.at[:, 1:-1, :].add(
+                    -dt * (p_warm[:, 1:, :] - p_warm[:, :-1, :]) * (1.0 / dy)
+                )
+                w_star = w_star.at[1:-1].add(
+                    -dt * (p_warm[1:] - p_warm[:-1]) * (1.0 / dz)
+                )
             u_star, v_star, w_star = bcs.set_normal(u_star, v_star, w_star)
 
             fx = fy = fz = jnp.float32(0.0)
@@ -559,7 +572,9 @@ def make_step(
             rhs = div_star / dt
             if cfg.poisson.method != "dct":
                 rhs = rhs - jnp.mean(rhs)
-            phi = solve_poisson_3d(p_warm, rhs, dx, dy, dz, cfg.poisson)
+            warm = (jnp.zeros_like(p_warm)
+                    if cfg.projection == "incremental" else p_warm)
+            phi = solve_poisson_3d(warm, rhs, dx, dy, dz, cfg.poisson)
             u_new = u_star.at[:, :, 1:-1].add(
                 -dt * (phi[:, :, 1:] - phi[:, :, :-1]) * (1.0 / dx)
             )
@@ -573,6 +588,8 @@ def make_step(
             u_new = jnp.clip(u_new, -cfg.max_velocity, cfg.max_velocity)
             v_new = jnp.clip(v_new, -cfg.max_velocity, cfg.max_velocity)
             w_new = jnp.clip(w_new, -cfg.max_velocity, cfg.max_velocity)
+            if cfg.projection == "incremental":
+                phi = p_warm + phi
             return u_new, v_new, w_new, phi, (fx, fy, fz, div_star)
 
         u_new, v_new, w_new, phi, (fx, fy, fz, div_star) = stage(

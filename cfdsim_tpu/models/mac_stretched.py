@@ -37,6 +37,8 @@ class StretchedMACConfig:
     ny: int
     nu: float
     scheme: str = "central"  # central | upwind | tvd
+    # "chorin" or "incremental" (see mac.MACConfig.projection)
+    projection: str = "chorin"
     # "euler" or "rk2" (Heun with a projection per stage — see
     # mac.MACConfig.time_scheme)
     time_scheme: str = "euler"
@@ -308,6 +310,13 @@ def make_step(
 
             u_star = u.at[:, 1:-1].add(dt * (cfg.nu * lap_u - conv_u))
             v_star = v.at[1:-1, :].add(dt * (cfg.nu * lap_v - conv_v))
+            if cfg.projection == "incremental":
+                u_star = u_star.at[:, 1:-1].add(
+                    -dt * (p_warm[:, 1:] - p_warm[:, :-1]) * inv_dcx
+                )
+                v_star = v_star.at[1:-1, :].add(
+                    -dt * (p_warm[1:, :] - p_warm[:-1, :]) * inv_dcy
+                )
             u_star, v_star = bcs.set_normal(
                 u_star, v_star, state.step, t_s
             )
@@ -344,6 +353,7 @@ def make_step(
 
             div_star = divergence(u_star, v_star)
             phi = solve_p(div_star / dt)  # exact FDM (4 MXU matmuls)
+            # (incremental: phi is the increment; total p accumulated below)
             u_new = u_star.at[:, 1:-1].add(
                 -dt * (phi[:, 1:] - phi[:, :-1]) * inv_dcx
             )
@@ -353,6 +363,8 @@ def make_step(
             u_new, v_new = bcs.set_normal(u_new, v_new, state.step, t_s)
             u_new = jnp.clip(u_new, -cfg.max_velocity, cfg.max_velocity)
             v_new = jnp.clip(v_new, -cfg.max_velocity, cfg.max_velocity)
+            if cfg.projection == "incremental":
+                phi = p_warm + phi
             return u_new, v_new, phi, (fx, fy, div_star)
 
         u_new, v_new, phi, (fx, fy, div_star) = stage(u, v, state.p, state.t)

@@ -170,6 +170,8 @@ class StretchedMAC3DConfig:
     # variable-ν diffusion runs in flux form on the metric gaps
     use_les: bool = False
     smagorinsky_constant: float = 0.17
+    # "chorin" or "incremental" (see mac.MACConfig.projection)
+    projection: str = "chorin"
     # "euler" or "rk2" (Heun with a projection per stage — see
     # mac.MACConfig.time_scheme)
     time_scheme: str = "euler"
@@ -459,6 +461,16 @@ def make_step(
             u_star = u.at[:, :, 1:-1].add(dt * (visc_u - conv_u))
             v_star = v.at[:, 1:-1, :].add(dt * (visc_v - conv_v))
             w_star = w.at[1:-1].add(dt * (visc_w - conv_w))
+            if cfg.projection == "incremental":
+                u_star = u_star.at[:, :, 1:-1].add(
+                    -dt * (p_warm[:, :, 1:] - p_warm[:, :, :-1]) * inv_dcx
+                )
+                v_star = v_star.at[:, 1:-1, :].add(
+                    -dt * (p_warm[:, 1:, :] - p_warm[:, :-1, :]) * inv_dcy
+                )
+                w_star = w_star.at[1:-1].add(
+                    -dt * (p_warm[1:] - p_warm[:-1]) * inv_dcz
+                )
             u_star, v_star, w_star = bcs.set_normal(u_star, v_star, w_star)
 
             fx = fy = fz = jnp.float32(0.0)
@@ -512,6 +524,8 @@ def make_step(
             u_new = jnp.clip(u_new, -cfg.max_velocity, cfg.max_velocity)
             v_new = jnp.clip(v_new, -cfg.max_velocity, cfg.max_velocity)
             w_new = jnp.clip(w_new, -cfg.max_velocity, cfg.max_velocity)
+            if cfg.projection == "incremental":
+                phi = p_warm + phi
             return u_new, v_new, w_new, phi, (fx, fy, fz, div_star)
 
         u_new, v_new, w_new, phi, (fx, fy, fz, div_star) = stage(

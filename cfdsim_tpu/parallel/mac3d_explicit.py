@@ -431,6 +431,8 @@ def make_mac3d_explicit_step(cfg: MAC3DConfig, mesh: Mesh,
         raise ValueError(
             "the explicit sharded 3D MAC step implements time_scheme='euler'"
         )
+    if getattr(cfg, "projection", "chorin") != "chorin":
+        raise ValueError("the explicit sharded step implements projection='chorin'")
 
     from cfdsim_tpu.models.mac3d import (
         _diffuse_les3d,

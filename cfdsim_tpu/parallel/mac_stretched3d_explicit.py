@@ -84,6 +84,8 @@ def make_stretched3d_explicit_step(
         raise ValueError(
             "the explicit stretched-3D step implements time_scheme='euler'"
         )
+    if getattr(cfg, "projection", "chorin") != "chorin":
+        raise ValueError("the explicit sharded step implements projection='chorin'")
     mx = _metrics(x_faces)
     my = _metrics(y_faces)
     mz = _metrics(z_faces)

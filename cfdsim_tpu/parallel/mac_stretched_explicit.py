@@ -100,6 +100,8 @@ def make_stretched_mac_explicit_step(
             "the explicit sharded stretched step implements "
             "time_scheme='euler'"
         )
+    if getattr(cfg, "projection", "chorin") != "chorin":
+        raise ValueError("the explicit sharded step implements projection='chorin'")
 
     # --- metric lookups (global-index slices → coefficient lines)
     inv_hx = _lut(1.0 / mx.h, 1)           # by cell col

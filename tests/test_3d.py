@@ -257,3 +257,36 @@ def test_mac3d_les_adds_dissipation_taylor_green():
     # implied eddy viscosity must be of the (C_s Δ)²|S| order (~1e-4)
     nu_t_eff = float(np.log(e_plain / e_les)) / (4.0 * 150 * 4e-3)
     assert 1e-5 < nu_t_eff < 2e-3
+
+
+def test_incremental_projection_tiers_consistent():
+    """projection='incremental' on the 3D and stretched tiers: exactly
+    divergence-free and converging to the chorin flow (the O(dt)
+    splitting defect is the only difference)."""
+    import numpy as np
+
+    from cfdsim_tpu.cases import cavity3d_mac, cavity_stretched
+
+    outs = []
+    for proj in ("chorin", "incremental"):
+        case = cavity3d_mac(n=12, Re=100.0, projection=proj)
+        f = jax.jit(case.step)
+        s = case.state
+        for _ in range(40):
+            s, m = f(s, jnp.float32(1.0))
+        assert float(m.div_post) < 1e-3, proj
+        outs.append(np.asarray(s.u))
+    d = np.abs(outs[0] - outs[1]).max()
+    assert 0.0 < d < 1e-2, d
+
+    outs = []
+    for proj in ("chorin", "incremental"):
+        case = cavity_stretched(n=16, Re=100.0, beta=1.5, projection=proj)
+        f = jax.jit(case.step)
+        s = case.state
+        for _ in range(40):
+            s, m = f(s, jnp.float32(1.0))
+        assert float(m.div_post) < 1e-3, proj
+        outs.append(np.asarray(s.u))
+    d = np.abs(outs[0] - outs[1]).max()
+    assert 0.0 < d < 1e-2, d
