@@ -28,7 +28,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from cfdsim_tpu.fem.assembly import ElementOps
@@ -161,7 +161,7 @@ def make_sharded_ns_apply(
         mesh=mesh,
         in_specs=(tab_specs, rep, rep, rep, rep, rep),
         out_specs=(rep, rep),
-        check_rep=False,
+        check_vma=False,
     )
     smapped_s = shard_map(  # steady Stokes: no mass, no convection
         lambda tb, u, p, nu: _local_apply(
@@ -170,7 +170,7 @@ def make_sharded_ns_apply(
         mesh=mesh,
         in_specs=(tab_specs, rep, rep, rep),
         out_specs=(rep, rep),
-        check_rep=False,
+        check_vma=False,
     )
 
     def apply(u, p, inv_dt=None, adv_u=None, nu=None):
@@ -217,7 +217,7 @@ def make_step(
             mesh=mesh,
             in_specs=(tab_specs, P(), P(), P()),
             out_specs=P(),
-            check_rep=False,
+            check_vma=False,
         )
 
         def pspg_rhs(u_prev, inv_dt):
@@ -407,7 +407,7 @@ def make_projection_step(
             mesh=mesh,
             in_specs=(tab_specs,) + (rep,) * n_in,
             out_specs=rep,
-            check_rep=False,
+            check_vma=False,
         )
 
     smapped_mom = shard_map(
@@ -417,7 +417,7 @@ def make_projection_step(
         mesh=mesh,
         in_specs=(tab_specs, rep, rep, rep, rep, rep, sharded),
         out_specs=rep,
-        check_rep=False,
+        check_vma=False,
     )
     smapped_grad = _smap(lambda tb, p: _local_grad(ops, tb, p, axis), 1)
     smapped_div = _smap(lambda tb, u: _local_div(ops, tb, u, axis), 1)
