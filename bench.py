@@ -54,9 +54,10 @@ def run_bench(n=1024, short=100, long=600):
         poisson=PoissonConfig(method="dct", dct_variant="auto"),
         compute_metrics=False,
         # the fused Pallas predictor wins once the saved HBM passes exceed
-        # the kernel-launch overhead (~2% at 4096²; a loss at ≤1024² on
-        # this rig) — exact-equivalent to the jnp ops (tests/test_pallas.py)
-        fused_predictor=n >= 2048,
+        # the kernel-launch overhead (re-measured round 3: +8% at 1024²,
+        # a loss only at ≤512²) — exact-equivalent to the jnp ops
+        # (tests/test_pallas.py)
+        fused_predictor=n >= 1024,
     )
 
     t_short, state_s = _timed_chunk(case, case.state, short)

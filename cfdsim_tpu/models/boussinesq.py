@@ -140,6 +140,14 @@ def make_step(cfg: BoussinesqConfig) -> Callable:
         raise ValueError(f"unknown heated_axis {cfg.heated_axis!r}")
     g = cfg.grid
     dx, dy = g.dx, g.dy
+    if cfg.poisson.dct_variant == "auto":
+        # pin the autotuned DCT variant eagerly (see mac.make_step)
+        import dataclasses as _dc
+
+        from cfdsim_tpu.solvers.autotune import resolve_poisson_config
+
+        cfg = _dc.replace(cfg, poisson=resolve_poisson_config(
+            cfg.poisson, (g.ny, g.nx), dx, dy))
     nu = cfg.prandtl            # Pr in α-units
     buoy = cfg.rayleigh * cfg.prandtl
     bcs = mac.cavity_bcs(lid_velocity=0.0)  # all-no-slip closed box

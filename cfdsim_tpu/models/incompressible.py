@@ -191,6 +191,15 @@ def make_step(
     """
     g = cfg.grid
     dx, dy = g.dx, g.dy
+    if cfg.poisson.dct_variant == "auto":
+        # pin the autotuned DCT variant NOW (eager): tuning launches its
+        # own jitted chains, which cannot run from inside the traced step
+        import dataclasses as _dc
+
+        from cfdsim_tpu.solvers.autotune import resolve_poisson_config
+
+        cfg = _dc.replace(cfg, poisson=resolve_poisson_config(
+            cfg.poisson, (g.ny, g.nx), dx, dy))
     pois_mask = solid_mask if (cfg.masked_poisson and solid_mask is not None) else None
     use_fused = cfg.fused_predictor
     if use_fused and (

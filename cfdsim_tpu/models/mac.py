@@ -481,6 +481,16 @@ def make_step(
         raise ValueError(f"unknown MAC time scheme {cfg.time_scheme!r}")
     if cfg.projection not in ("chorin", "incremental"):
         raise ValueError(f"unknown MAC projection {cfg.projection!r}")
+    if cfg.poisson.dct_variant == "auto":
+        # pin the autotuned DCT variant NOW (eager): tuning launches its
+        # own jitted chains, which cannot run from inside the traced step
+        import dataclasses as _dc
+
+        from cfdsim_tpu.solvers.autotune import resolve_poisson_config
+
+        g0 = cfg.grid
+        cfg = _dc.replace(cfg, poisson=resolve_poisson_config(
+            cfg.poisson, (g0.ny, g0.nx), g0.dx, g0.dy))
     if cfg.diffusion not in ("explicit", "implicit"):
         raise ValueError(f"unknown MAC diffusion {cfg.diffusion!r}")
     if cfg.diffusion == "implicit":

@@ -31,7 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 _MEM: dict[str, str] = {}
-_VARIANTS = ("rfft", "packed", "matmul")
+_VARIANTS = ("rfft", "rfft2", "packed", "matmul")
 
 
 def _cache_path() -> Path:
@@ -106,7 +106,15 @@ def _time_marginal(fn, rhs, k_short: int = 2, k_long: int = 10,
             best = min(best, time.perf_counter() - t0)
         return best
 
-    return max(best_of(f_l) - best_of(f_s), 1e-9) / (k_long - k_short)
+    # shared-chip variance can invert the marginal (t_long < t_short);
+    # the old 1e-9 floor then published a falsely-zero time that FAKE-WON
+    # the tune.  Retry, then fall back to the long-chain average — a
+    # conservative upper bound that still ranks variants sanely.
+    for _ in range(3):
+        t_l, t_s = best_of(f_l), best_of(f_s)
+        if t_l > t_s:
+            return (t_l - t_s) / (k_long - k_short)
+    return t_l / k_long
 
 
 def measure_dct_variants(shape, dx: float, dy: float) -> dict:
@@ -123,21 +131,62 @@ def measure_dct_variants(shape, dx: float, dy: float) -> dict:
     return out
 
 
-def best_dct_variant(shape, dx: float, dy: float) -> str:
-    """The fastest exact DCT-solve variant for this (backend, shape):
-    cached in process and on disk; measured once on a miss."""
+def _key(shape) -> str:
+    # v2: the rfft2 single-2D-FFT variant joined the candidate set in
+    # round 3 — bumping the key re-times stale round-2 cache entries
+    return f"{jax.default_backend()}|dct2d.v2|{shape[0]}x{shape[1]}"
+
+
+def cached_dct_variant(shape) -> str | None:
+    """Cache-only lookup (env force > in-process > disk); None on miss.
+    Never runs device code — safe to call from inside a jit trace."""
     forced = os.environ.get("CFDSIM_DCT_VARIANT")
     if forced:
         return forced
-    key = f"{jax.default_backend()}|dct2d|{shape[0]}x{shape[1]}"
+    key = _key(shape)
     if key in _MEM:
         return _MEM[key]
     disk = _load_disk().get(key)
     if isinstance(disk, dict) and disk.get("variant") in _VARIANTS:
         _MEM[key] = disk["variant"]
         return _MEM[key]
+    return None
+
+
+def best_dct_variant(shape, dx: float, dy: float) -> str:
+    """The fastest exact DCT-solve variant for this (backend, shape):
+    cached in process and on disk; measured once on a miss.
+
+    Timing launches its own jitted chains, which DEADLOCKS on the
+    tunneled-relay backend when invoked from inside an outer jit trace
+    (measured round 3: the round-2 'auto' silently fell back to rfft
+    with an empty timing dict for exactly this reason).  Inside a trace
+    this returns the cached winner or the rfft default — eager callers
+    (model ``make_step`` factories, bench.py) resolve and cache BEFORE
+    tracing via ``resolve_poisson_config``."""
+    hit = cached_dct_variant(shape)
+    if hit:
+        return hit
+    from jax._src import core as _core
+
+    if not _core.trace_state_clean():  # inside jit tracing: no timing
+        return "rfft"
     timings = measure_dct_variants(shape, dx, dy)
     winner = min(timings, key=timings.get) if timings else "rfft"
-    _MEM[key] = winner
-    _store_disk(key, winner, {k: round(v, 4) for k, v in timings.items()})
+    _MEM[_key(shape)] = winner
+    _store_disk(_key(shape), winner,
+                {k: round(v, 4) for k, v in timings.items()})
     return winner
+
+
+def resolve_poisson_config(pois, shape, dx: float, dy: float):
+    """Eagerly pin ``dct_variant="auto"`` to the measured winner at step
+    BUILD time (outside jit) so the traced solve never needs to tune.
+    Returns ``pois`` unchanged when no resolution is needed."""
+    import dataclasses
+
+    if (pois is not None and getattr(pois, "method", None) == "dct"
+            and getattr(pois, "dct_variant", None) == "auto"):
+        return dataclasses.replace(
+            pois, dct_variant=best_dct_variant(shape, dx, dy))
+    return pois

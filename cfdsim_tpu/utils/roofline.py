@@ -46,35 +46,53 @@ def step_costs(step_fn, state, *args) -> dict:
             "transcendentals": float(c.get("transcendentals", 0.0))}
 
 
-def measure_peaks(n_mm: int = 4096, copy_mb: int = 256) -> dict:
-    """Achievable per-chip peaks on the live backend: fp32 matmul
-    flops/s and elementwise HBM stream bytes/s (best of 3; scalar fetch
-    as the barrier — block_until_ready returns early on axon)."""
+def _marginal_seconds(body, x, r1: int, r2: int) -> float:
+    """Marginal per-iteration seconds of ``body`` between scan lengths r1
+    and r2 — the per-call constant (host dispatch + axon relay transfer,
+    ~100 ms on this rig) cancels out, leaving pure device time.  A
+    single-call timing here is overhead-dominated and under-reports the
+    achievable peaks by ~100x (the round-3 roofline bug: 'ceilings' the
+    measured steps beat by 110x)."""
+
+    def run(reps):
+        f = jax.jit(lambda v: jax.lax.scan(
+            lambda c, _: (body(c), None), v, None, length=reps)[0])
+        out = f(x)
+        float(out.reshape(-1)[0])  # compile + execute (axon barrier)
+        best = np.inf
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = f(x)
+            float(out.reshape(-1)[0])
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t1, t2 = run(r1), run(r2)
+    m = (t2 - t1) / (r2 - r1)
+    # shared-chip variance can invert the marginal; fall back to the
+    # long-run average (conservative: still includes the constant)
+    return m if m > 0 else t2 / r2
+
+
+def measure_peaks(n_mm: int = 2048, copy_mb: int = 64) -> dict:
+    """Achievable per-chip peaks on the live backend: MXU matmul flops/s
+    (default precision — bf16 passes on TPU) and elementwise HBM stream
+    bytes/s.  Both are measured MARGINALLY inside a lax.scan chain so the
+    per-invocation relay/dispatch constant cancels (same methodology as
+    bench.py's headline timing)."""
     global _peaks_cache
     if _peaks_cache is not None:
         return _peaks_cache
-    a = jnp.ones((n_mm, n_mm), jnp.float32)
+    a = jnp.full((n_mm, n_mm), 1.0 / n_mm, jnp.float32)
 
-    mm = jax.jit(lambda x: ((x @ x) @ x) @ x)
-    float(mm(a)[0, 0])
-    best = np.inf
-    for _ in range(3):
-        t0 = time.perf_counter()
-        float(mm(a)[0, 0])
-        best = min(best, time.perf_counter() - t0)
-    flops = 3 * 2.0 * n_mm**3 / best
+    # one n³ matmul per scan iteration; rescale keeps values O(1)
+    sec = _marginal_seconds(lambda x: x @ x, a, 4, 24)
+    flops = 2.0 * n_mm**3 / sec
 
     n = int(copy_mb * 1e6 / 4)
     x = jnp.ones((n,), jnp.float32)
-    # read + write one stream each way: 3 arrays of traffic per op pair
-    ew = jax.jit(lambda v: v * 1.0000001 + 0.1)
-    float(ew(x)[0])
-    best = np.inf
-    for _ in range(3):
-        t0 = time.perf_counter()
-        float(ew(x)[0])
-        best = min(best, time.perf_counter() - t0)
-    bw = 2.0 * n * 4 / best  # one read + one write stream
+    sec = _marginal_seconds(lambda v: v * 1.0000001 + 0.1, x, 8, 48)
+    bw = 2.0 * n * 4 / sec  # one read + one write stream per iteration
 
     _peaks_cache = {"peak_flops": flops, "peak_bw": bw}
     return _peaks_cache
@@ -105,5 +123,5 @@ def roofline(step_fn, state, n_cells: int, measured_cells_per_sec=None,
     }
     if measured_cells_per_sec is not None:
         row["measured_cells_per_sec"] = measured_cells_per_sec
-        row["pct_of_roof"] = measured_cells_per_sec / ceiling
+        row["pct_of_roof"] = 100.0 * measured_cells_per_sec / ceiling
     return row

@@ -1,0 +1,107 @@
+"""Re=3900 sphere LES — the stretched-3D Smagorinsky production study.
+
+The subcritical-sphere benchmark (DNS: Rodriguez et al. 2011 Cd 0.394;
+LES: Yun et al. 2006 Cd 0.355; experiments scatter ~0.39-0.5) on the
+body+wake-refined stretched MAC tier with the local-Δ Smagorinsky model
+(Δ = (hx hy hz)^(1/3)), sharp-mask penalization, TVD convection, and an
+inlet perturbation to trip the wake.  This is the script behind the
+BENCHNOTES "Re=3900 sphere LES" resolution ladder:
+
+    strength 5,  width 1.2  ->  58 cells/D near-body,  Cd 0.518 (+31%)
+    strength 12, width 0.7  ->  91 cells/D near-body,  Cd 0.486 (+23%)
+
+Cd converges toward the DNS band ~1st-order in near-wall resolution;
+the remaining bias is the staircase penalization boundary layer
+(delta ~= D/sqrt(Re) ~= 1.5 cells even at 91 c/D) setting separation.
+Reference LES capability this exercises: v5.py:96-110 (Smagorinsky)
+composed with the IBM cylinder habitat v5.py:275-283, taken to 3D.
+
+Run (TPU; ~30 min per t=400 at the defaults):
+    python examples/sphere_les_re3900.py --strength 12 --width 0.7 --t 400
+"""
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def run(nx=320, ny=160, nz=160, strength=12.0, width=0.7, t_final=400.0,
+        t_tail=160.0, chunk_steps=200, perturb=0.02, cs=0.17,
+        verbose=True):
+    import jax
+
+    from cfdsim_tpu.cases import build
+
+    case = build(
+        "sphere_stretched", nx=nx, ny=ny, nz=nz, Re=3900.0,
+        domain=(16.0, 8.0, 8.0), center=(4.0, 4.0, 4.0),
+        refine_strength=strength, refine_width=width,
+        scheme="tvd", ibm_profile="sharp", perturb=perturb,
+        ibm_ramp_steps=200, use_les=True, smagorinsky_constant=cs,
+        compute_metrics=True,
+    )
+    h_min = case.extras["h_min"]
+    if verbose:
+        print(f"grid {nx}x{ny}x{nz} ({nx * ny * nz / 1e6:.1f}M cells), "
+              f"h_min={h_min:.5f} -> {1 / h_min:.0f} cells/D near-body")
+
+    def chunk(state, _):
+        def body(s, _):
+            s2, m = case.step(s, 1.0)
+            return s2, (m.fx, m.fy, m.fz, m.dt, s2.t)
+
+        return jax.lax.scan(body, state, None, length=chunk_steps)
+
+    chunk = jax.jit(chunk)
+    state, coeff = case.state, case.extras["coeff_scale"]
+    hist_t, hist_cd, hist_cly, hist_clz = [], [], [], []
+    t0 = time.perf_counter()
+    while float(state.t) < t_final:
+        state, (fx, fy, fz, dt, tt) = chunk(state, None)
+        hist_t.append(np.asarray(tt))
+        hist_cd.append(np.asarray(fx) * coeff)
+        hist_cly.append(np.asarray(fy) * coeff)
+        hist_clz.append(np.asarray(fz) * coeff)
+        if verbose:
+            el = time.perf_counter() - t0
+            print(f"  t={float(state.t):7.2f}  Cd={hist_cd[-1][-1]:6.3f}  "
+                  f"Cl=({hist_cly[-1][-1]:+6.3f},{hist_clz[-1][-1]:+6.3f})  "
+                  f"[{float(state.step) / el:6.1f} steps/s, "
+                  f"{el / 60:5.1f} min]", flush=True)
+        if not np.isfinite(hist_cd[-1][-1]):
+            print("NON-FINITE force — aborting")
+            return None
+
+    t = np.concatenate(hist_t)
+    cd = np.concatenate(hist_cd)
+    tail = t > t_tail
+    cd_mean = float(cd[tail].mean())
+    print(f"\nRESULT cells/D={1 / h_min:.0f}  "
+          f"Cd_mean(t>{t_tail:.0f})={cd_mean:.4f}  "
+          f"(DNS 0.394: {100 * (cd_mean / 0.394 - 1):+.1f}%)  "
+          f"Cl_rms=({np.concatenate(hist_cly)[tail].std():.4f},"
+          f"{np.concatenate(hist_clz)[tail].std():.4f})")
+    return {"cells_per_d": 1 / h_min, "cd_mean": cd_mean,
+            "t": t, "cd": cd}
+
+
+if __name__ == "__main__":
+    p = argparse.ArgumentParser()
+    p.add_argument("--nx", type=int, default=320)
+    p.add_argument("--ny", type=int, default=160)
+    p.add_argument("--nz", type=int, default=160)
+    p.add_argument("--strength", type=float, default=12.0)
+    p.add_argument("--width", type=float, default=0.7)
+    p.add_argument("--t", type=float, default=400.0)
+    p.add_argument("--tail", type=float, default=160.0)
+    p.add_argument("--perturb", type=float, default=0.02)
+    p.add_argument("--cs", type=float, default=0.17)
+    a = p.parse_args()
+    run(nx=a.nx, ny=a.ny, nz=a.nz, strength=a.strength, width=a.width,
+        t_final=a.t, t_tail=a.tail, perturb=a.perturb, cs=a.cs)
