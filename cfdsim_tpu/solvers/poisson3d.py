@@ -16,7 +16,12 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from cfdsim_tpu.solvers.poisson import _dct_fwd, _dct_inv
+from cfdsim_tpu.solvers.poisson import (
+    _dct3d_rfftn,
+    _dct_fwd,
+    _dct_inv,
+    _idct3d_rfftn,
+)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -28,6 +33,13 @@ class Poisson3DConfig:
     mg_post: int = 2
     mg_coarse: int = 20
     mg_min_size: int = 4
+    # exact-DCT backend: "rfftn" = single real 3D FFT (2D-Makhoul
+    # generalized — one composed rfft2+fft pair instead of six per-axis
+    # transforms; round-3 chip measurement: 1.55 -> 0.52 ms per 128³
+    # solve, 3.0x), "rfft" = per-axis transforms.  "rfftn" needs even
+    # sizes on all axes and falls back per-axis otherwise.  Both exact,
+    # same nullspace convention.
+    dct_variant: str = "rfftn"
 
 
 def _nb_sum(phi, ax: float, ay: float, az: float):
@@ -122,7 +134,6 @@ def solve_poisson_3d(
     cfg: Poisson3DConfig = Poisson3DConfig(),
 ):
     if cfg.method == "dct":
-        rhs_hat = _dct_fwd(_dct_fwd(_dct_fwd(rhs, 0), 1), 2)
         nz, ny, nx = rhs.shape
         lam = (
             (2.0 * jnp.cos(jnp.pi * jnp.arange(nz) / nz) - 2.0)[:, None, None] / dz**2
@@ -130,7 +141,14 @@ def solve_poisson_3d(
             + (2.0 * jnp.cos(jnp.pi * jnp.arange(nx) / nx) - 2.0)[None, None, :] / dx**2
         )
         lam = lam.at[0, 0, 0].set(1.0)
-        phi_hat = (rhs_hat / lam).at[0, 0, 0].set(0.0)
+        ilam = (1.0 / lam).at[0, 0, 0].set(0.0)
+        if (getattr(cfg, "dct_variant", "rfftn") == "rfftn"
+                and nz % 2 == 0 and ny % 2 == 0 and nx % 2 == 0):
+            # single-3D-FFT Makhoul path: one rfftn + one irfftn total
+            return _idct3d_rfftn(_dct3d_rfftn(rhs), scale=ilam).astype(
+                rhs.dtype)
+        rhs_hat = _dct_fwd(_dct_fwd(_dct_fwd(rhs, 0), 1), 2)
+        phi_hat = rhs_hat * ilam
         return _dct_inv(_dct_inv(_dct_inv(phi_hat, 2), 1), 0).astype(rhs.dtype)
 
     if cfg.method == "mg":

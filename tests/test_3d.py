@@ -37,6 +37,21 @@ def test_dct3d_exact():
     assert float(jnp.max(jnp.abs(d))) < 5e-3
 
 
+def test_dct3d_rfftn_matches_per_axis():
+    """Single-3D-FFT Makhoul path == per-axis transforms (and odd sizes
+    fall back to per-axis, so both calls are identical there)."""
+    rng = np.random.default_rng(0)
+    for shape in [(16, 24, 32), (15, 24, 32)]:
+        rhs = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+        rhs = rhs - jnp.mean(rhs)
+        z = jnp.zeros_like(rhs)
+        a = solve_poisson_3d(z, rhs, 0.1, 0.2, 0.3,
+                             Poisson3DConfig(method="dct", dct_variant="rfftn"))
+        b = solve_poisson_3d(z, rhs, 0.1, 0.2, 0.3,
+                             Poisson3DConfig(method="dct", dct_variant="rfft"))
+        assert float(jnp.max(jnp.abs(a - b))) < 1e-6
+
+
 def test_mg3d_converges():
     phi_ex, rhs, h = _manufactured(32)
     res0 = float(residual_3d(jnp.zeros_like(rhs), rhs, h, h, h))
