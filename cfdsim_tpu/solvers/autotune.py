@@ -64,10 +64,14 @@ def matmul_dct_solver(m: int, n: int, dx: float, dy: float):
     """Uniform-spacing fast-diagonalization solver: the clamped-edge FD
     operator in the DCT eigenbasis as 4 dense MXU matmuls (the uniform
     special case of solvers/fdm.make_fdm_solver; same mean-free
-    nullspace convention as the FFT DCT solvers)."""
-    from cfdsim_tpu.solvers.fdm import make_fdm_solver
+    nullspace convention as the FFT DCT solvers).  The eigenbasis is the
+    analytic DCT-II cosine basis — O(n²) to build vs the numeric eig's
+    O(n³), which stalled the 4096² tune for minutes on this host."""
+    from cfdsim_tpu.solvers.fdm import make_fdm_solver, uniform_neumann_eigs
 
-    return make_fdm_solver(np.full(n, dx), np.full(m, dy))
+    return make_fdm_solver(
+        np.full(n, dx), np.full(m, dy),
+        eigs=(uniform_neumann_eigs(n, dx), uniform_neumann_eigs(m, dy)))
 
 
 def _candidate(variant: str, shape, dx: float, dy: float):

@@ -51,24 +51,52 @@ def _eig_similar_symmetric(L: np.ndarray, h: np.ndarray):
     sq = np.sqrt(h)
     S = (L * h[:, None]) / sq[:, None] / sq[None, :]  # D^{1/2} L D^{-1/2}
     S = 0.5 * (S + S.T)  # symmetrize roundoff
-    lam, Q = np.linalg.eigh(S)
+    # S is tridiagonal by construction (nearest-neighbor stencil):
+    # eigh_tridiagonal is O(n²) vs dense eigh's O(n³) — at n=4096 that
+    # is ~9 s vs minutes on this host (round-3 autotune stall fix)
+    try:
+        from scipy.linalg import eigh_tridiagonal
+
+        lam, Q = eigh_tridiagonal(np.diag(S).copy(), np.diag(S, 1).copy())
+    except ImportError:  # pragma: no cover - scipy ships with jax
+        lam, Q = np.linalg.eigh(S)
     V = Q / sq[:, None]
     Vinv = Q.T * sq[None, :]
     return lam, V, Vinv
 
 
-def make_fdm_solver(hx, hy, nullspace_tol: float = 1e-10):
+def uniform_neumann_eigs(n: int, h: float):
+    """Analytic eigendecomposition of the UNIFORM cell-centered Neumann
+    operator: the DCT-II cosine basis v_k(i) = cos(πk(2i+1)/2n) with
+    λ_k = (2cos(πk/n) − 2)/h² — no numerical eig needed (O(n²) build,
+    the autotune matmul candidate at 4096² needs this)."""
+    i = np.arange(n)[:, None]
+    k = np.arange(n)[None, :]
+    V = np.cos(np.pi * k * (2 * i + 1) / (2 * n))
+    w = np.full(n, 2.0 / n)
+    w[0] = 1.0 / n
+    Vinv = (V * w).T
+    lam = (2.0 * np.cos(np.pi * np.arange(n) / n) - 2.0) / h**2
+    return lam, V, Vinv
+
+
+def make_fdm_solver(hx, hy, nullspace_tol: float = 1e-10, eigs=None):
     """Build an exact Neumann Poisson solver for a stretched cell-centered
     grid: ``solve(rhs) -> phi`` with ∇·(∇phi) = rhs in the FV sense and
     the constant nullspace mode projected out. All heavy work is 4 dense
-    matmuls (MXU)."""
+    matmuls (MXU). ``eigs=((lx,Vx,Vxi),(ly,Vy,Vyi))`` skips the numeric
+    eigendecomposition (uniform grids have an analytic basis)."""
     hx = np.asarray(hx, np.float64)
     hy = np.asarray(hy, np.float64)
-    lx, Vx, Vxi = _eig_similar_symmetric(neumann_operator_1d(hx), hx)
-    ly, Vy, Vyi = _eig_similar_symmetric(neumann_operator_1d(hy), hy)
+    if eigs is not None:
+        (lx, Vx, Vxi), (ly, Vy, Vyi) = eigs
+    else:
+        lx, Vx, Vxi = _eig_similar_symmetric(neumann_operator_1d(hx), hx)
+        ly, Vy, Vyi = _eig_similar_symmetric(neumann_operator_1d(hy), hy)
     lam = ly[:, None] + lx[None, :]
     scale = max(np.abs(lam).max(), 1.0)
-    inv_lam = np.where(np.abs(lam) < nullspace_tol * scale, 0.0, 1.0 / lam)
+    with np.errstate(divide="ignore"):  # analytic basis: λ₀ exactly 0
+        inv_lam = np.where(np.abs(lam) < nullspace_tol * scale, 0.0, 1.0 / lam)
 
     VxT_c = jnp.asarray(Vx.T, jnp.float32)
     VxiT_c = jnp.asarray(Vxi.T, jnp.float32)

@@ -40,6 +40,24 @@ def test_fdm_uniform_matches_dct():
     assert np.abs(a - b).max() < 1e-5 * max(np.abs(b).max(), 1e-6)
 
 
+def test_fdm_analytic_uniform_eigs_match_numeric():
+    """The analytic DCT-II eigenbasis (autotune's matmul candidate —
+    O(n²) build) gives the same solve as the numeric eigendecomposition
+    on a uniform grid, on non-square shapes."""
+    from cfdsim_tpu.solvers.fdm import uniform_neumann_eigs
+
+    rng = np.random.RandomState(2)
+    n, m, dx, dy = 48, 32, 0.013, 0.021
+    rhs = jnp.asarray(rng.randn(m, n), jnp.float32)
+    rhs = rhs - jnp.mean(rhs)
+    s_num = make_fdm_solver(np.full(n, dx), np.full(m, dy))
+    s_ana = make_fdm_solver(
+        np.full(n, dx), np.full(m, dy),
+        eigs=(uniform_neumann_eigs(n, dx), uniform_neumann_eigs(m, dy)))
+    a, b = np.asarray(s_num(rhs)), np.asarray(s_ana(rhs))
+    assert np.abs(a - b).max() < 1e-5 * max(np.abs(a).max(), 1e-6)
+
+
 def test_stretched_uniform_matches_mac_step():
     # on uniform faces the stretched step must reproduce models.mac
     from cfdsim_tpu.cases import lid_cavity_mac
