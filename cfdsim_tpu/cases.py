@@ -834,6 +834,7 @@ def sphere_mac3d(
     poisson=None,
     ibm_ramp_steps: int = 200,
     ibm_profile: str = "sharp",
+    ibm_scheme: str = "penalize",
     use_les: bool = False,
     perturb: float = 0.0,
     **cfg_overrides,
@@ -871,6 +872,21 @@ def sphere_mac3d(
     mask_u, mask_v, mask_w = sphere_masks_mac3d(
         grid, center, radius, profile=ibm_profile
     )
+    if ibm_scheme == "ghost":
+        from cfdsim_tpu.ibm_ghost import sphere_ghost_ibm
+
+        xf = grid.x_min + np.arange(nx + 1) * grid.dx
+        yf = grid.y_min + np.arange(ny + 1) * grid.dy
+        zf = grid.z_min + np.arange(nz + 1) * grid.dz
+        ibm_kwargs = dict(ibm_ghost=sphere_ghost_ibm(
+            xf, yf, zf, center, radius
+        ))
+    elif ibm_scheme == "penalize":
+        ibm_kwargs = dict(
+            ibm_mask_u=mask_u, ibm_mask_v=mask_v, ibm_mask_w=mask_w
+        )
+    else:
+        raise ValueError(f"unknown ibm_scheme {ibm_scheme!r}")
     h = min(grid.dx, grid.dy, grid.dz)
     defaults = dict(
         cfl_target=0.4,
@@ -899,8 +915,7 @@ def sphere_mac3d(
         profile = None
     bcs = mac3d.external_flow_bcs3d(v_inf, inlet_profile=profile)
     step = mac3d.make_step(
-        cfg, bcs, ibm_mask_u=mask_u, ibm_mask_v=mask_v, ibm_mask_w=mask_w,
-        ibm_ramp_steps=ibm_ramp_steps,
+        cfg, bcs, ibm_ramp_steps=ibm_ramp_steps, **ibm_kwargs
     )
     u0, v0, w0 = potential_flow_sphere_mac3d(
         grid, center, radius, v_inf, mask_u, mask_v, mask_w
@@ -933,6 +948,7 @@ def sphere_stretched(
     wake_length: float = 4.0,
     ibm_ramp_steps: int = 200,
     ibm_profile: str = "sharp",
+    ibm_scheme: str = "penalize",
     perturb: float = 0.0,
     **cfg_overrides,
 ) -> Case:
@@ -945,7 +961,13 @@ def sphere_stretched(
     defaults the near-body spacing is ~3-4× finer than uniform
     ``sphere`` at equal cell count — the resolution that the Re ≳ 200
     drag bias and the Re=300 hairpin-shedding onset need
-    (BENCHNOTES "3D IBM sphere tier")."""
+    (BENCHNOTES "3D IBM sphere tier").
+
+    ``ibm_scheme="ghost"`` swaps the penalization masks for the
+    ghost-cell direct-forcing wall treatment (ibm_ghost.py): no-slip
+    placed exactly at r = R via mirror reflection along the surface
+    normal — removes the staircase O(h/2) effective-radius bias that
+    dominates the thin-boundary-layer drag error."""
     import numpy as np
 
     from cfdsim_tpu.grid import Grid3D
@@ -984,6 +1006,17 @@ def sphere_stretched(
     )
     masks = sphere_masks_faces(xf, yf, zf, center, radius,
                                profile=ibm_profile)
+    if ibm_scheme == "ghost":
+        from cfdsim_tpu.ibm_ghost import sphere_ghost_ibm
+
+        ghost = sphere_ghost_ibm(xf, yf, zf, center, radius)
+        ibm_kwargs = dict(ibm_ghost=ghost)
+    elif ibm_scheme == "penalize":
+        ibm_kwargs = dict(
+            ibm_mask_u=masks[0], ibm_mask_v=masks[1], ibm_mask_w=masks[2]
+        )
+    else:
+        raise ValueError(f"unknown ibm_scheme {ibm_scheme!r}")
     yc = 0.5 * (yf[:-1] + yf[1:])
     zc = 0.5 * (zf[:-1] + zf[1:])
     # x-face areas h_y⊗h_z for the area-weighted outflow mass balance
@@ -1003,9 +1036,7 @@ def sphere_stretched(
         v_inf, inlet_profile=profile, face_weights=fw
     )
     step = ms3.make_step(
-        cfg, bcs, xf, yf, zf,
-        ibm_mask_u=masks[0], ibm_mask_v=masks[1], ibm_mask_w=masks[2],
-        ibm_ramp_steps=ibm_ramp_steps,
+        cfg, bcs, xf, yf, zf, ibm_ramp_steps=ibm_ramp_steps, **ibm_kwargs
     )
     u0, v0, w0 = potential_flow_sphere_faces(
         xf, yf, zf, center, radius, v_inf, *masks

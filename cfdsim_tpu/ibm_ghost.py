@@ -1,0 +1,201 @@
+"""Ghost-cell direct-forcing IBM — the sharp-interface wall treatment.
+
+The volume-penalization masks (ibm.sphere_masks_faces, the TPU habitat
+of the reference's IBM forcing v5.py:275-283) enforce no-slip on a
+STAIRCASE surface smeared over one taper width: the effective radius is
+R + O(h/2) and the first-cell velocity profile is pinned to zero across
+the taper, so the wall shear — and with it the separation point on a
+bluff body — carries an O(h) bias. The BENCHNOTES Re=3900 sphere ladder
+quantifies the consequence: Cd +31% → +23% from 58 → 91 cells/D,
+converging only ~1st-order in near-wall resolution because the laminar
+boundary layer (δ ≈ D/√Re ≈ 1.5 cells) is set by the staircase.
+
+This module is the second-order fix (Fadlun et al. 2000 / ghost-cell
+direct forcing, Mittal & Iaccarino 2005 §4): instead of braking the
+fluid over a smeared shell, faces just INSIDE the body ("ghost faces")
+are assigned the linear reflection of the flow sampled along the
+outward surface normal,
+
+    u_ghost = -(R - d)/δ · u(x_probe),   x_probe = c + r̂ (R + δ),
+
+so that linear interpolation between the probe and the ghost face puts
+u = 0 exactly ON the sphere surface r = R — the wall lands at the
+right place to second order regardless of the staircase. Faces deeper
+inside are zeroed. Everything is precomputed on the host (distance
+classification, probe trilinear stencils into the face arrays as
+static flat-index gathers), so the per-step cost is two M-point
+gather/scatter passes over ~surface-count faces — TPU-friendly static
+shapes, no data-dependent control flow.
+
+Scope: single-device paths (the sharded shard_map tiers keep
+penalization — gathers on closed-over constants miscompile inside
+shard_map on this rig's XLA CPU backend, see CLAUDE.md). Static
+geometry; moving bodies would need the stencils rebuilt per step.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+
+class GhostFaceSet(NamedTuple):
+    """Precomputed ghost-cell forcing data for ONE staggered component.
+
+    solid: dense (nz', ny', nx') f32 mask, 1 on faces strictly inside
+        the body (zeroed); ghost faces are NOT in it.
+    gz/gy/gx: (M,) int32 indices of the ghost faces.
+    pidx: (M, 8) int32 flat indices of the trilinear probe corners.
+    pw: (M, 8) f32 trilinear weights (rows sum to 1).
+    scale: (M,) f32 reflection factor (R - d_ghost)/δ ∈ (0, ~1].
+    """
+
+    solid: jnp.ndarray
+    gz: jnp.ndarray
+    gy: jnp.ndarray
+    gx: jnp.ndarray
+    pidx: jnp.ndarray
+    pw: jnp.ndarray
+    scale: jnp.ndarray
+
+
+class GhostIBM3D(NamedTuple):
+    u: GhostFaceSet
+    v: GhostFaceSet
+    w: GhostFaceSet
+
+
+def _ghost_face_set(xs, ys, zs, center, radius: float,
+                    delta: float) -> GhostFaceSet:
+    """Classify one component's sample points (coordinate vectors xs,
+    ys, zs — its own axis at faces, the other two at centers) and build
+    the probe stencils. Host-side numpy, float64."""
+    xs = np.asarray(xs, np.float64)
+    ys = np.asarray(ys, np.float64)
+    zs = np.asarray(zs, np.float64)
+    cx, cy, cz = (float(c) for c in center)
+    Z, Y, X = np.meshgrid(zs, ys, xs, indexing="ij")
+    px, py, pz = X - cx, Y - cy, Z - cz
+    d = np.sqrt(px * px + py * py + pz * pz)
+    inside = d <= radius
+    # ghost = inside faces with a fluid face among the 6 axis neighbors
+    # (edge-padded so domain boundaries never spawn ghosts; the body is
+    # assumed interior to the domain)
+    outside = ~inside
+    near_fluid = np.zeros_like(inside)
+    for ax in range(3):
+        pad = [(1, 1) if a == ax else (0, 0) for a in range(3)]
+        o = np.pad(outside, pad, mode="edge")
+        lo = [slice(None)] * 3
+        hi = [slice(None)] * 3
+        lo[ax] = slice(0, -2)
+        hi[ax] = slice(2, None)
+        near_fluid |= o[tuple(lo)] | o[tuple(hi)]
+    ghost = inside & near_fluid
+    solid = inside & ~near_fluid
+
+    gz, gy, gx = np.nonzero(ghost)
+    d_g = d[gz, gy, gx]
+    # outward normal at each ghost face; d_g > 0 always (the exact
+    # center is deep solid for any radius > the local spacing)
+    inv = 1.0 / np.maximum(d_g, 1e-12)
+    nxv = px[gz, gy, gx] * inv
+    nyv = py[gz, gy, gx] * inv
+    nzv = pz[gz, gy, gx] * inv
+    qx = cx + nxv * (radius + delta)
+    qy = cy + nyv * (radius + delta)
+    qz = cz + nzv * (radius + delta)
+    scale = (radius - d_g) / delta
+
+    def locate(q, s):
+        i = np.clip(np.searchsorted(s, q) - 1, 0, len(s) - 2)
+        t = (q - s[i]) / (s[i + 1] - s[i])
+        return i, np.clip(t, 0.0, 1.0)
+
+    ix, tx = locate(qx, xs)
+    iy, ty = locate(qy, ys)
+    iz, tz = locate(qz, zs)
+    ny_, nx_ = len(ys), len(xs)
+
+    def flat(k, j, i):
+        return (k * ny_ + j) * nx_ + i
+
+    idx_cols, w_cols = [], []
+    for a in (0, 1):
+        wz = tz if a else 1.0 - tz
+        for b in (0, 1):
+            wy = ty if b else 1.0 - ty
+            for c in (0, 1):
+                wx = tx if c else 1.0 - tx
+                idx_cols.append(flat(iz + a, iy + b, ix + c))
+                w_cols.append(wz * wy * wx)
+    return GhostFaceSet(
+        solid=jnp.asarray(solid, jnp.float32),
+        gz=jnp.asarray(gz, jnp.int32),
+        gy=jnp.asarray(gy, jnp.int32),
+        gx=jnp.asarray(gx, jnp.int32),
+        pidx=jnp.asarray(np.stack(idx_cols, axis=-1), jnp.int32),
+        pw=jnp.asarray(np.stack(w_cols, axis=-1), jnp.float32),
+        scale=jnp.asarray(scale, jnp.float32),
+    )
+
+
+def sphere_ghost_ibm(x_faces, y_faces, z_faces, center, radius: float,
+                     probe_dist: float | None = None) -> GhostIBM3D:
+    """Ghost-cell IBM stencils for a static sphere on the 3D staggered
+    layout of an arbitrary tensor-product grid (uniform or stretched;
+    same face-vector convention as ibm.sphere_masks_faces).
+
+    ``probe_dist`` δ is the normal distance of the fluid sample outside
+    the surface (default 1.5× the minimum spacing — outside the
+    first-cell staircase, inside the resolved region). The reflection
+    u_g = -(R-d)/δ·u(probe) places the no-slip wall exactly at r = R;
+    combined with zeroing of the deeper interior this is the standard
+    direct-forcing sharp-interface IBM."""
+    xf = np.asarray(x_faces, np.float64)
+    yf = np.asarray(y_faces, np.float64)
+    zf = np.asarray(z_faces, np.float64)
+    xc = 0.5 * (xf[:-1] + xf[1:])
+    yc = 0.5 * (yf[:-1] + yf[1:])
+    zc = 0.5 * (zf[:-1] + zf[1:])
+    if probe_dist is None:
+        probe_dist = 1.5 * float(
+            min(np.diff(xf).min(), np.diff(yf).min(), np.diff(zf).min())
+        )
+    return GhostIBM3D(
+        u=_ghost_face_set(xf, yc, zc, center, radius, probe_dist),
+        v=_ghost_face_set(xc, yf, zc, center, radius, probe_dist),
+        w=_ghost_face_set(xc, yc, zf, center, radius, probe_dist),
+    )
+
+
+def apply_ghost_forcing(field, gs: GhostFaceSet, strength,
+                        sweeps: int = 2):
+    """One direct-forcing application on a single component field:
+    returns (field_out, du) with du = field - field_out (the momentum
+    the body removed — Σ du·V/dt is the force on the fluid, same
+    accounting as the penalization sink in models/mac_stretched3d.py).
+
+    The target field zeroes solid faces and installs the reflected
+    ghost values; ``sweeps`` Jacobi passes let probe stencils whose
+    corners touch other ghost faces converge (2 suffices: corner
+    weights of in-body points are small by construction). ``strength``
+    is the usual IBM ramp ∈ [0, 1]."""
+    tgt = field * (1.0 - gs.solid)
+    for _ in range(sweeps):
+        probe = jnp.sum(
+            jnp.take(tgt.reshape(-1), gs.pidx, axis=0) * gs.pw, axis=-1
+        )
+        tgt = tgt.at[gs.gz, gs.gy, gs.gx].set(-gs.scale * probe)
+    out = field - strength * (field - tgt)
+    return out, field - out
+
+
+__all__ = [
+    "GhostFaceSet",
+    "GhostIBM3D",
+    "sphere_ghost_ibm",
+    "apply_ghost_forcing",
+]

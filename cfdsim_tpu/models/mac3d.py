@@ -420,6 +420,7 @@ def make_step(
     ibm_mask_w=None,
     ibm_ramp_steps: int = 0,
     moving_body=None,
+    ibm_ghost=None,
 ) -> Callable:
     """Build ``step(state, cfl_scale) -> (state, StepMetrics)``.
 
@@ -430,7 +431,12 @@ def make_step(
     mac.make_step. ``moving_body`` (an ``ibm.MovingBody3D``) enables
     the moving-geometry IBM: sharp face masks rebuilt on device each
     step from center(t), penalization toward the body velocity — the
-    3D habitat of mac.make_step's moving_body."""
+    3D habitat of mac.make_step's moving_body. ``ibm_ghost``
+    (ibm_ghost.GhostIBM3D): sharp-interface ghost-cell direct forcing
+    — second-order wall placement at the exact body surface, mutually
+    exclusive with ibm_mask_* (same momentum-exchange forces)."""
+    if ibm_ghost is not None and ibm_mask_u is not None:
+        raise ValueError("ibm_ghost and ibm_mask_* are mutually exclusive")
     if cfg.scheme not in ("central", "upwind", "tvd"):
         raise ValueError(f"unknown MAC3D scheme {cfg.scheme!r}")
     if cfg.time_scheme not in ("euler", "rk2"):
@@ -548,6 +554,26 @@ def make_step(
                     fx = jnp.sum(du_ibm) * cell / dt
                     fy = jnp.sum(dv_ibm) * cell / dt
                     fz = jnp.sum(dw_ibm) * cell / dt
+
+            if ibm_ghost is not None:
+                from cfdsim_tpu.ibm import ibm_ramp
+                from cfdsim_tpu.ibm_ghost import apply_ghost_forcing
+
+                strength = ibm_ramp(state.step, ibm_ramp_steps)
+                u_star, du_g = apply_ghost_forcing(
+                    u_star, ibm_ghost.u, strength
+                )
+                v_star, dv_g = apply_ghost_forcing(
+                    v_star, ibm_ghost.v, strength
+                )
+                w_star, dw_g = apply_ghost_forcing(
+                    w_star, ibm_ghost.w, strength
+                )
+                if cfg.compute_metrics:
+                    cell = dx * dy * dz
+                    fx = jnp.sum(du_g) * cell / dt
+                    fy = jnp.sum(dv_g) * cell / dt
+                    fz = jnp.sum(dw_g) * cell / dt
 
             if moving_body is not None:
                 from cfdsim_tpu.ibm import ibm_ramp

@@ -207,6 +207,7 @@ def make_step(
     ibm_mask_w=None,
     ibm_ramp_steps: int = 0,
     moving_body=None,
+    ibm_ghost=None,
 ) -> Callable:
     """Build ``step(state, cfl_scale) -> (state, StepMetrics)`` on the
     stretched grid defined by the three face-coordinate vectors.
@@ -219,7 +220,15 @@ def make_step(
     ``moving_body`` (ibm.MovingBody3D): moving-geometry IBM on the
     stretched metrics — sharp masks rebuilt on device with a taper
     width of the minimum spacing, penalization toward u_b(t),
-    volume-weighted forces."""
+    volume-weighted forces.
+    ``ibm_ghost`` (ibm_ghost.GhostIBM3D): the sharp-interface
+    ghost-cell direct-forcing alternative to the penalization masks —
+    second-order wall placement at the exact body surface (the LES
+    wall treatment for under-resolved boundary layers; mutually
+    exclusive with ibm_mask_*). Forces use the same Σ Δu·V/dt
+    momentum-exchange accounting."""
+    if ibm_ghost is not None and ibm_mask_u is not None:
+        raise ValueError("ibm_ghost and ibm_mask_* are mutually exclusive")
     mx = _metrics(x_faces)
     my = _metrics(y_faces)
     mz = _metrics(z_faces)
@@ -279,7 +288,8 @@ def make_step(
 
     solve_p = make_fdm_solver_3d(mx.h, my.h, mz.h)
 
-    if ibm_mask_u is not None or moving_body is not None:
+    if (ibm_mask_u is not None or moving_body is not None
+            or ibm_ghost is not None):
         # staggered control volumes for the penalization force
         cv_u = f32(
             mz.h[:, None, None] * my.h[None, :, None]
@@ -488,6 +498,25 @@ def make_step(
                     fx = jnp.sum(du_ibm * cv_u) / dt
                     fy = jnp.sum(dv_ibm * cv_v) / dt
                     fz = jnp.sum(dw_ibm * cv_w) / dt
+
+            if ibm_ghost is not None:
+                from cfdsim_tpu.ibm import ibm_ramp
+                from cfdsim_tpu.ibm_ghost import apply_ghost_forcing
+
+                strength = ibm_ramp(state.step, ibm_ramp_steps)
+                u_star, du_g = apply_ghost_forcing(
+                    u_star, ibm_ghost.u, strength
+                )
+                v_star, dv_g = apply_ghost_forcing(
+                    v_star, ibm_ghost.v, strength
+                )
+                w_star, dw_g = apply_ghost_forcing(
+                    w_star, ibm_ghost.w, strength
+                )
+                if cfg.compute_metrics:
+                    fx = jnp.sum(du_g * cv_u) / dt
+                    fy = jnp.sum(dv_g * cv_v) / dt
+                    fz = jnp.sum(dw_g * cv_w) / dt
 
             if moving_body is not None:
                 from cfdsim_tpu.ibm import ibm_ramp

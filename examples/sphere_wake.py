@@ -25,7 +25,8 @@ import jax.numpy as jnp
 
 def run_sphere(re: float = 100.0, cells_per_d: int = 12, t_final: float = 40.0,
                chunk_steps: int = 100, verbose: bool = True,
-               stretched: bool = False, heated: bool = False):
+               stretched: bool = False, heated: bool = False,
+               ibm_scheme: str = "penalize"):
     from cfdsim_tpu.cases import build
     from cfdsim_tpu.validation import (
         sphere_drag_schiller_naumann,
@@ -35,10 +36,13 @@ def run_sphere(re: float = 100.0, cells_per_d: int = 12, t_final: float = 40.0,
     n = cells_per_d
     name = ("heated_sphere" if heated
             else "sphere_stretched" if stretched else "sphere")
+    kw = {}
+    if ibm_scheme != "penalize":
+        kw["ibm_scheme"] = ibm_scheme  # sphere_stretched only
     case = build(
         name, nx=16 * n, ny=8 * n, nz=8 * n, Re=re,
         domain=(16.0, 8.0, 8.0), center=(4.0, 4.0, 4.0),
-        ibm_ramp_steps=100, compute_metrics=True,
+        ibm_ramp_steps=100, compute_metrics=True, **kw,
     )
     if stretched and verbose:
         print(f"  stretched grid: h_min={case.extras['h_min']:.4f} "
@@ -116,6 +120,11 @@ if __name__ == "__main__":
     ap.add_argument("--heated", action="store_true",
                     help="isothermal sphere: forced-convection Nusselt "
                          "vs Ranz-Marshall (heated_sphere case)")
+    ap.add_argument("--ibm", default="penalize",
+                    choices=["penalize", "ghost"],
+                    help="IBM scheme (ghost = sharp-interface ghost-cell "
+                         "direct forcing; --stretched only)")
     args = ap.parse_args()
     run_sphere(re=args.re, cells_per_d=args.n, t_final=args.t,
-               stretched=args.stretched, heated=args.heated)
+               stretched=args.stretched, heated=args.heated,
+               ibm_scheme=args.ibm)

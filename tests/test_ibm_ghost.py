@@ -1,0 +1,205 @@
+"""Ghost-cell direct-forcing IBM (ibm_ghost.py).
+
+Mechanics on tiny grids: classification completeness, exactness of the
+reflection on fields where it is analytic (constant, radially linear),
+and the stretched-3D sphere case stepping stably with positive drag
+and a clean projection under ``ibm_scheme="ghost"``.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cfdsim_tpu.ibm_ghost import (
+    GhostIBM3D,
+    apply_ghost_forcing,
+    sphere_ghost_ibm,
+)
+from cfdsim_tpu.models.mac_stretched import stretched_faces
+
+CENTER = (2.0, 2.0, 2.0)
+RADIUS = 0.5
+
+
+def _faces(n=28, stretched=True):
+    if stretched:
+        mk = lambda: stretched_faces(n, 4.0, refine=[(2.0, 1.0, 2.0)])
+    else:
+        mk = lambda: np.linspace(0.0, 4.0, n + 1)
+    return mk(), mk(), mk()
+
+
+@pytest.fixture(scope="module")
+def ghost():
+    xf, yf, zf = _faces()
+    return sphere_ghost_ibm(xf, yf, zf, CENTER, RADIUS)
+
+
+def _coords(xf, yf, zf, comp):
+    xc = 0.5 * (xf[:-1] + xf[1:])
+    yc = 0.5 * (yf[:-1] + yf[1:])
+    zc = 0.5 * (zf[:-1] + zf[1:])
+    xs = xf if comp == "u" else xc
+    ys = yf if comp == "v" else yc
+    zs = zf if comp == "w" else zc
+    Z, Y, X = np.meshgrid(zs, ys, xs, indexing="ij")
+    return X, Y, Z
+
+
+def test_classification_partitions_interior(ghost):
+    """solid ∪ ghost = all faces with d <= R, disjoint; every ghost
+    face has a fluid axis neighbor."""
+    xf, yf, zf = _faces()
+    for comp, gs in zip("uvw", ghost):
+        X, Y, Z = _coords(xf, yf, zf, comp)
+        d = np.sqrt((X - CENTER[0]) ** 2 + (Y - CENTER[1]) ** 2
+                    + (Z - CENTER[2]) ** 2)
+        inside = d <= RADIUS
+        solid = np.asarray(gs.solid, bool)
+        gmask = np.zeros_like(solid)
+        gmask[np.asarray(gs.gz), np.asarray(gs.gy), np.asarray(gs.gx)] = True
+        assert not (solid & gmask).any()
+        assert ((solid | gmask) == inside).all()
+        assert gmask.sum() > 0 and solid.sum() > 0
+        # weights are a partition of unity
+        np.testing.assert_allclose(
+            np.asarray(gs.pw).sum(-1), 1.0, atol=1e-6
+        )
+
+
+def test_constant_field_reflection_exact(ghost):
+    """u ≡ c outside: probes read exactly c (trilinear of a constant),
+    ghosts get -scale·c, solids 0, fluid untouched. The second Jacobi
+    sweep couples ghosts whose probe corners touch other ghosts,
+    perturbing at the 1e-5 level (their corner weights are small by
+    construction) — atol covers it."""
+    xf, yf, zf = _faces()
+    c = 0.7
+    for comp, gs in zip("uvw", ghost):
+        X, _, _ = _coords(xf, yf, zf, comp)
+        f = jnp.full(X.shape, c, jnp.float32)
+        out, du = apply_ghost_forcing(f, gs, jnp.float32(1.0))
+        out = np.asarray(out)
+        want_ghost = -np.asarray(gs.scale) * c
+        np.testing.assert_allclose(
+            out[np.asarray(gs.gz), np.asarray(gs.gy), np.asarray(gs.gx)],
+            want_ghost, atol=1e-4,
+        )
+        solid = np.asarray(gs.solid, bool)
+        assert np.abs(out[solid]).max() == 0.0
+        gmask = np.zeros_like(solid)
+        gmask[np.asarray(gs.gz), np.asarray(gs.gy), np.asarray(gs.gx)] = True
+        fluid = ~(solid | gmask)
+        np.testing.assert_array_equal(out[fluid], np.float32(c))
+        np.testing.assert_allclose(np.asarray(f - out), np.asarray(du))
+
+
+def test_linear_wall_field_is_analytically_continued(ghost):
+    """For u = a·(d - R) (zero exactly on the surface, linear along
+    every normal) the reflection returns the field's own analytic
+    continuation: u_ghost = a·(d_g - R). Trilinear interpolation of
+    the curved field adds O(h²/R) error — tolerance scaled to it."""
+    xf, yf, zf = _faces()
+    a = 2.0
+    h = float(np.diff(xf).min())
+    for comp, gs in zip("uvw", ghost):
+        X, Y, Z = _coords(xf, yf, zf, comp)
+        d = np.sqrt((X - CENTER[0]) ** 2 + (Y - CENTER[1]) ** 2
+                    + (Z - CENTER[2]) ** 2)
+        f = jnp.asarray(a * (d - RADIUS), jnp.float32)
+        out, _ = apply_ghost_forcing(f, gs, jnp.float32(1.0))
+        got = np.asarray(out)[
+            np.asarray(gs.gz), np.asarray(gs.gy), np.asarray(gs.gx)
+        ]
+        want = a * (d[np.asarray(gs.gz), np.asarray(gs.gy),
+                      np.asarray(gs.gx)] - RADIUS)
+        # curvature error of trilinear sampling at distance ~R
+        tol = 4.0 * a * h * h / RADIUS
+        assert np.abs(got - want).max() < tol
+
+
+def test_ramp_blends_toward_target(ghost):
+    gs = ghost.u
+    xf, yf, zf = _faces()
+    X, _, _ = _coords(xf, yf, zf, "u")
+    f = jnp.ones(X.shape, jnp.float32)
+    full, _ = apply_ghost_forcing(f, gs, jnp.float32(1.0))
+    half, _ = apply_ghost_forcing(f, gs, jnp.float32(0.5))
+    np.testing.assert_allclose(
+        np.asarray(half), np.asarray(0.5 * (f + full)), atol=1e-6
+    )
+
+
+def test_sphere_stretched_ghost_case_steps():
+    """The registry case with ibm_scheme="ghost": stable steps, clean
+    projection, drag in the flow direction once the ramp is past."""
+    from cfdsim_tpu.cases import build
+
+    case = build(
+        "sphere_stretched", nx=36, ny=20, nz=20, Re=100.0,
+        domain=(8.0, 4.0, 4.0), center=(2.0, 2.0, 2.0),
+        refine_strength=2.0, refine_width=1.0,
+        ibm_scheme="ghost", ibm_ramp_steps=5,
+    )
+
+    def chunk(s):
+        def body(c, _):
+            c2, m = case.step(c, jnp.float32(1.0))
+            return c2, (m.fx, m.div_post)
+
+        return jax.lax.scan(body, s, None, length=30)
+
+    s, (fx, div_post) = jax.jit(chunk)(case.state)
+    assert np.isfinite(np.asarray(s.u)).all()
+    assert np.isfinite(np.asarray(s.v)).all()
+    assert np.isfinite(np.asarray(s.w)).all()
+    assert float(jnp.max(jnp.abs(div_post))) < 1e-3
+    assert float(fx[-1]) > 0.0
+    # the solid interior is pinned (strength 1 resets it every step)
+    gs = sphere_ghost_ibm(
+        case.extras["x_faces"], case.extras["y_faces"],
+        case.extras["z_faces"], case.extras["center"],
+        case.extras["radius"],
+    )
+    solid = np.asarray(gs.u.solid, bool)
+    # the solid interior is reset before each projection, so it only
+    # carries the O(dt·∇φ) projection kick — small vs v_inf = 1, not
+    # zero (larger on this deliberately coarse grid)
+    assert np.abs(np.asarray(s.u)[solid]).max() < 0.15
+
+
+def test_sphere_uniform_ghost_case_steps():
+    """The uniform mac3d tier carries the same ibm_scheme="ghost"."""
+    from cfdsim_tpu.cases import build
+
+    case = build(
+        "sphere", nx=32, ny=16, nz=16, Re=100.0,
+        domain=(8.0, 4.0, 4.0), center=(2.0, 2.0, 2.0),
+        ibm_scheme="ghost", ibm_ramp_steps=5,
+    )
+
+    def chunk(s):
+        def body(c, _):
+            c2, m = case.step(c, jnp.float32(1.0))
+            return c2, m.fx
+
+        return jax.lax.scan(body, s, None, length=25)
+
+    s, fx = jax.jit(chunk)(case.state)
+    assert np.isfinite(np.asarray(s.u)).all()
+    assert float(fx[-1]) > 0.0
+
+
+def test_ghost_and_masks_mutually_exclusive():
+    from cfdsim_tpu.models import mac_stretched3d as ms3
+
+    xf = np.linspace(0.0, 4.0, 17)
+    cfg = ms3.StretchedMAC3DConfig(nx=16, ny=16, nz=16, nu=0.01)
+    ghost = sphere_ghost_ibm(xf, xf, xf, CENTER, RADIUS)
+    bcs = ms3.cavity3d_bcs(1.0)
+    with pytest.raises(ValueError):
+        ms3.make_step(
+            cfg, bcs, xf, xf, xf,
+            ibm_mask_u=jnp.zeros((16, 16, 17)), ibm_ghost=ghost,
+        )
