@@ -1069,6 +1069,7 @@ def heated_sphere(
     theta_scheme: str = "upwind",
     ibm_ramp_steps: int = 200,
     ibm_profile: str = "sharp",
+    ibm_scheme: str = "penalize",
     **cfg_overrides,
 ) -> Case:
     """Forced convection from an isothermal sphere — 3D scalar transport
@@ -1112,6 +1113,20 @@ def heated_sphere(
     zf = grid.z_min + np.arange(nz + 1) * grid.dz
     mask_c = sphere_mask_cells(xf, yf, zf, center, radius,
                                profile=ibm_profile, width=grid.dx)
+    if ibm_scheme == "ghost":
+        from cfdsim_tpu.ibm_ghost import sphere_ghost_cells, sphere_ghost_ibm
+
+        ibm_kwargs = dict(
+            ibm_ghost=sphere_ghost_ibm(xf, yf, zf, center, radius),
+            ibm_ghost_c=sphere_ghost_cells(xf, yf, zf, center, radius),
+        )
+    elif ibm_scheme == "penalize":
+        ibm_kwargs = dict(
+            ibm_mask_u=mask_u, ibm_mask_v=mask_v, ibm_mask_w=mask_w,
+            ibm_mask_c=mask_c,
+        )
+    else:
+        raise ValueError(f"unknown ibm_scheme {ibm_scheme!r}")
     h = min(grid.dx, grid.dy, grid.dz)
     cells_per_d = 2 * radius / max(grid.dx, grid.dy, grid.dz)
     if Re > 150.0 and cells_per_d < 16.0:
@@ -1134,8 +1149,7 @@ def heated_sphere(
     )
     bcs = mac3d.external_flow_bcs3d(v_inf)
     step = t3.make_step(
-        cfg, bcs, ibm_mask_u=mask_u, ibm_mask_v=mask_v, ibm_mask_w=mask_w,
-        ibm_mask_c=mask_c, ibm_ramp_steps=ibm_ramp_steps,
+        cfg, bcs, ibm_ramp_steps=ibm_ramp_steps, **ibm_kwargs
     )
     u0, v0, w0 = potential_flow_sphere_mac3d(
         grid, center, radius, v_inf, mask_u, mask_v, mask_w
@@ -1169,6 +1183,7 @@ def heated_sphere_stretched(
     wake_length: float = 4.0,
     ibm_ramp_steps: int = 200,
     ibm_profile: str = "sharp",
+    ibm_scheme: str = "penalize",
     **cfg_overrides,
 ) -> Case:
     """Forced convection from an isothermal sphere on the body+wake-
@@ -1207,6 +1222,20 @@ def heated_sphere_stretched(
                                profile=ibm_profile)
     mask_c = sphere_mask_cells(xf, yf, zf, center, radius,
                                profile=ibm_profile)
+    if ibm_scheme == "ghost":
+        from cfdsim_tpu.ibm_ghost import sphere_ghost_cells, sphere_ghost_ibm
+
+        ibm_kwargs = dict(
+            ibm_ghost=sphere_ghost_ibm(xf, yf, zf, center, radius),
+            ibm_ghost_c=sphere_ghost_cells(xf, yf, zf, center, radius),
+        )
+    elif ibm_scheme == "penalize":
+        ibm_kwargs = dict(
+            ibm_mask_u=masks[0], ibm_mask_v=masks[1], ibm_mask_w=masks[2],
+            ibm_mask_c=mask_c,
+        )
+    else:
+        raise ValueError(f"unknown ibm_scheme {ibm_scheme!r}")
     grid = Grid3D(nx=nx, ny=ny, nz=nz, x_max=domain[0], y_max=domain[1],
                   z_max=domain[2], centering="cell")  # nominal descriptor
     defaults = dict(
@@ -1222,9 +1251,7 @@ def heated_sphere_stretched(
     fw = np.diff(zf)[:, None] * np.diff(yf)[None, :]
     bcs = mac3d.external_flow_bcs3d(v_inf, face_weights=fw)
     step = t3.make_stretched_step(
-        cfg, bcs, xf, yf, zf,
-        ibm_mask_u=masks[0], ibm_mask_v=masks[1], ibm_mask_w=masks[2],
-        ibm_mask_c=mask_c, ibm_ramp_steps=ibm_ramp_steps,
+        cfg, bcs, xf, yf, zf, ibm_ramp_steps=ibm_ramp_steps, **ibm_kwargs
     )
     u0, v0, w0 = potential_flow_sphere_faces(
         xf, yf, zf, center, radius, v_inf, *masks

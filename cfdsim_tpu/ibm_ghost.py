@@ -44,8 +44,12 @@ import numpy as np
 class GhostFaceSet(NamedTuple):
     """Precomputed ghost-cell forcing data for ONE staggered component.
 
-    solid: dense (nz', ny', nx') f32 mask, 1 on faces strictly inside
-        the body (zeroed); ghost faces are NOT in it.
+    solid: dense (nz', ny', nx') BOOL mask, True on faces strictly
+        inside the body (zeroed); ghost faces are NOT in it. Kept
+        boolean so the closed-over constant is 1 byte/face and never
+        const-folds into a second f32 copy — the full-resolution
+        (320×160×160) sphere closure must fit the compile relay's
+        request-body limit.
     gz/gy/gx: (M,) int32 indices of the ghost faces.
     pidx: (M, 8) int32 flat indices of the trilinear probe corners.
     pw: (M, 8) f32 trilinear weights (rows sum to 1).
@@ -132,7 +136,7 @@ def _ghost_face_set(xs, ys, zs, center, radius: float,
                 idx_cols.append(flat(iz + a, iy + b, ix + c))
                 w_cols.append(wz * wy * wx)
     return GhostFaceSet(
-        solid=jnp.asarray(solid, jnp.float32),
+        solid=jnp.asarray(solid, jnp.bool_),
         gz=jnp.asarray(gz, jnp.int32),
         gy=jnp.asarray(gy, jnp.int32),
         gx=jnp.asarray(gx, jnp.int32),
@@ -171,6 +175,28 @@ def sphere_ghost_ibm(x_faces, y_faces, z_faces, center, radius: float,
     )
 
 
+def sphere_ghost_cells(x_faces, y_faces, z_faces, center, radius: float,
+                       probe_dist: float | None = None) -> GhostFaceSet:
+    """Cell-centered ghost stencils for a Dirichlet scalar on the same
+    sphere (the θ habitat of ``sphere_ghost_ibm`` — an isothermal body
+    in models/transport3d.py). Apply to the SHIFTED field θ - θ_body:
+    the homogeneous reflection then places θ = θ_body exactly on r = R,
+    replacing the cell-mask penalization's staircase (the source of the
+    Nusselt over-report that grows with Re — BENCHNOTES forced-
+    convection table)."""
+    xf = np.asarray(x_faces, np.float64)
+    yf = np.asarray(y_faces, np.float64)
+    zf = np.asarray(z_faces, np.float64)
+    xc = 0.5 * (xf[:-1] + xf[1:])
+    yc = 0.5 * (yf[:-1] + yf[1:])
+    zc = 0.5 * (zf[:-1] + zf[1:])
+    if probe_dist is None:
+        probe_dist = 1.5 * float(
+            min(np.diff(xf).min(), np.diff(yf).min(), np.diff(zf).min())
+        )
+    return _ghost_face_set(xc, yc, zc, center, radius, probe_dist)
+
+
 def apply_ghost_forcing(field, gs: GhostFaceSet, strength,
                         sweeps: int = 2):
     """One direct-forcing application on a single component field:
@@ -183,7 +209,7 @@ def apply_ghost_forcing(field, gs: GhostFaceSet, strength,
     corners touch other ghost faces converge (2 suffices: corner
     weights of in-body points are small by construction). ``strength``
     is the usual IBM ramp ∈ [0, 1]."""
-    tgt = field * (1.0 - gs.solid)
+    tgt = jnp.where(gs.solid, jnp.float32(0.0), field)
     for _ in range(sweeps):
         probe = jnp.sum(
             jnp.take(tgt.reshape(-1), gs.pidx, axis=0) * gs.pw, axis=-1
@@ -197,5 +223,6 @@ __all__ = [
     "GhostFaceSet",
     "GhostIBM3D",
     "sphere_ghost_ibm",
+    "sphere_ghost_cells",
     "apply_ghost_forcing",
 ]

@@ -135,6 +135,8 @@ def make_stretched_step(
     ibm_mask_w=None,
     ibm_mask_c=None,
     ibm_ramp_steps: int = 0,
+    ibm_ghost=None,
+    ibm_ghost_c=None,
 ) -> Callable:
     """The stretched-grid habitat of ``make_step``: composes the full
     stretched momentum step (``mac_stretched3d.make_step`` — metric
@@ -143,7 +145,16 @@ def make_stretched_step(
     *projected* velocities, plus the isothermal-body θ penalization.
     ``cfg.grid`` is the nominal uniform descriptor; the face vectors
     define the real geometry. Note cfg.nx/ny/nz must match
-    ``StretchedMAC3DConfig`` sizes."""
+    ``StretchedMAC3DConfig`` sizes.
+
+    ``ibm_ghost`` / ``ibm_ghost_c`` select the sharp-interface
+    ghost-cell treatment (ibm_ghost.py) for momentum / θ instead of
+    the penalization masks: θ ghosts reflect θ - θ_body so the
+    isothermal surface lands exactly on r = R (same Σ Δθ·dV/dt heat
+    accounting)."""
+    if ibm_ghost_c is not None and ibm_mask_c is not None:
+        raise ValueError("ibm_ghost_c and ibm_mask_c are mutually "
+                         "exclusive")
     import numpy as np
 
     from cfdsim_tpu.models import mac_stretched3d as ms3
@@ -172,7 +183,7 @@ def make_stretched_step(
     flow_step = ms3.make_step(
         flow_cfg, bcs, x_faces, y_faces, z_faces,
         ibm_mask_u=ibm_mask_u, ibm_mask_v=ibm_mask_v, ibm_mask_w=ibm_mask_w,
-        ibm_ramp_steps=ibm_ramp_steps,
+        ibm_ramp_steps=ibm_ramp_steps, ibm_ghost=ibm_ghost,
     )
 
     f32 = lambda a: jnp.asarray(a, jnp.float32)
@@ -247,6 +258,18 @@ def make_stretched_step(
             if cfg.compute_metrics:
                 q_body = jnp.sum(dth * cellvol) / dt
                 nusselt = q_body * qscale
+        if ibm_ghost_c is not None:
+            from cfdsim_tpu.ibm import ibm_ramp
+            from cfdsim_tpu.ibm_ghost import apply_ghost_forcing
+
+            strength = ibm_ramp(state.step, ibm_ramp_steps)
+            shifted, dneg = apply_ghost_forcing(
+                theta_new - cfg.theta_body, ibm_ghost_c, strength
+            )
+            theta_new = shifted + cfg.theta_body
+            if cfg.compute_metrics:
+                q_body = jnp.sum(-dneg * cellvol) / dt
+                nusselt = q_body * qscale
 
         new_state = Transport3DState(
             u=u_new, v=v_new, w=w_new, p=new_mac.p, theta=theta_new,
@@ -283,13 +306,22 @@ def make_step(
     ibm_mask_w=None,
     ibm_mask_c=None,
     ibm_ramp_steps: int = 0,
+    ibm_ghost=None,
+    ibm_ghost_c=None,
 ) -> Callable:
     """``step(state, cfl_scale) -> (state, Transport3DMetrics)``.
 
     ``ibm_mask_c`` is the cell-centered body mask for the θ penalization
     (1 inside; sharp profile sampled at cell centers). The momentum
     physics is mac3d.make_step's, inlined so θ advects with the
-    *projected* velocities of the same step."""
+    *projected* velocities of the same step. ``ibm_ghost`` /
+    ``ibm_ghost_c`` swap in the sharp-interface ghost-cell treatment
+    (ibm_ghost.py) for momentum / θ — exact wall placement at r = R."""
+    if ibm_ghost is not None and ibm_mask_u is not None:
+        raise ValueError("ibm_ghost and ibm_mask_* are mutually exclusive")
+    if ibm_ghost_c is not None and ibm_mask_c is not None:
+        raise ValueError("ibm_ghost_c and ibm_mask_c are mutually "
+                         "exclusive")
     if cfg.scheme not in ("central", "upwind", "tvd"):
         raise ValueError(f"unknown scheme {cfg.scheme!r}")
     if cfg.theta_scheme not in ("central", "upwind"):
@@ -349,6 +381,20 @@ def make_step(
                 fx = jnp.sum(du_ibm) * cell / dt
                 fy = jnp.sum(dv_ibm) * cell / dt
                 fz = jnp.sum(dw_ibm) * cell / dt
+
+        if ibm_ghost is not None:
+            from cfdsim_tpu.ibm import ibm_ramp
+            from cfdsim_tpu.ibm_ghost import apply_ghost_forcing
+
+            strength = ibm_ramp(state.step, ibm_ramp_steps)
+            u_star, du_g = apply_ghost_forcing(u_star, ibm_ghost.u, strength)
+            v_star, dv_g = apply_ghost_forcing(v_star, ibm_ghost.v, strength)
+            w_star, dw_g = apply_ghost_forcing(w_star, ibm_ghost.w, strength)
+            if cfg.compute_metrics:
+                cell = dx * dy * dz
+                fx = jnp.sum(du_g) * cell / dt
+                fy = jnp.sum(dv_g) * cell / dt
+                fz = jnp.sum(dw_g) * cell / dt
 
         div_star = mac3d.divergence_mac3d(u_star, v_star, w_star, dx, dy, dz)
         rhs = div_star / dt
@@ -412,6 +458,18 @@ def make_step(
                 # heat the isothermal body injects, per unit ρc_p — the
                 # surface convective flux at steady state
                 q_body = jnp.sum(dth) * (dx * dy * dz) / dt
+                nusselt = q_body * qscale
+        if ibm_ghost_c is not None:
+            from cfdsim_tpu.ibm import ibm_ramp
+            from cfdsim_tpu.ibm_ghost import apply_ghost_forcing
+
+            strength = ibm_ramp(state.step, ibm_ramp_steps)
+            shifted, dneg = apply_ghost_forcing(
+                theta_new - cfg.theta_body, ibm_ghost_c, strength
+            )
+            theta_new = shifted + cfg.theta_body
+            if cfg.compute_metrics:
+                q_body = jnp.sum(-dneg) * (dx * dy * dz) / dt
                 nusselt = q_body * qscale
 
         new_state = Transport3DState(

@@ -33,7 +33,7 @@ import numpy as np
 
 def run(nx=320, ny=160, nz=160, strength=12.0, width=0.7, t_final=400.0,
         t_tail=160.0, chunk_steps=200, perturb=0.02, cs=0.17,
-        verbose=True):
+        ibm_scheme="penalize", verbose=True):
     import jax
 
     from cfdsim_tpu.cases import build
@@ -42,7 +42,8 @@ def run(nx=320, ny=160, nz=160, strength=12.0, width=0.7, t_final=400.0,
         "sphere_stretched", nx=nx, ny=ny, nz=nz, Re=3900.0,
         domain=(16.0, 8.0, 8.0), center=(4.0, 4.0, 4.0),
         refine_strength=strength, refine_width=width,
-        scheme="tvd", ibm_profile="sharp", perturb=perturb,
+        scheme="tvd", ibm_profile="sharp", ibm_scheme=ibm_scheme,
+        perturb=perturb,
         ibm_ramp_steps=200, use_les=True, smagorinsky_constant=cs,
         compute_metrics=True,
     )
@@ -102,6 +103,12 @@ if __name__ == "__main__":
     p.add_argument("--tail", type=float, default=160.0)
     p.add_argument("--perturb", type=float, default=0.02)
     p.add_argument("--cs", type=float, default=0.17)
+    p.add_argument("--ibm", default="penalize",
+                   choices=["penalize", "ghost"],
+                   help="ghost = sharp-interface ghost-cell direct "
+                        "forcing (the wall treatment for the staircase-"
+                        "BL drag bias)")
     a = p.parse_args()
     run(nx=a.nx, ny=a.ny, nz=a.nz, strength=a.strength, width=a.width,
-        t_final=a.t, t_tail=a.tail, perturb=a.perturb, cs=a.cs)
+        t_final=a.t, t_tail=a.tail, perturb=a.perturb, cs=a.cs,
+        ibm_scheme=a.ibm)

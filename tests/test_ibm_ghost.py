@@ -191,6 +191,45 @@ def test_sphere_uniform_ghost_case_steps():
     assert float(fx[-1]) > 0.0
 
 
+def test_heated_sphere_ghost_theta():
+    """Thermal ghost treatment (sphere_ghost_cells on θ - θ_body):
+    the isothermal surface lands on r = R; the body injects heat
+    (Nu > 0) and the FLUID θ stays within physical bounds (ghost
+    values are extrapolations beyond θ_body by design)."""
+    from cfdsim_tpu.cases import build
+    from cfdsim_tpu.ibm_ghost import sphere_ghost_cells
+
+    case = build(
+        "heated_sphere", nx=32, ny=16, nz=16, Re=100.0,
+        domain=(8.0, 4.0, 4.0), center=(2.0, 2.0, 2.0),
+        ibm_scheme="ghost", ibm_ramp_steps=5,
+    )
+
+    def chunk(s):
+        def body(c, _):
+            c2, m = case.step(c, jnp.float32(1.0))
+            return c2, m.nusselt
+
+        return jax.lax.scan(body, s, None, length=30)
+
+    s, nus = jax.jit(chunk)(case.state)
+    assert np.isfinite(np.asarray(s.theta)).all()
+    assert float(nus[-1]) > 0.0
+    g = case.grid
+    xf = np.arange(g.nx + 1) * g.dx
+    yf = np.arange(g.ny + 1) * g.dy
+    zf = np.arange(g.nz + 1) * g.dz
+    gs = sphere_ghost_cells(xf, yf, zf, (2.0, 2.0, 2.0), 0.5)
+    th = np.asarray(s.theta)
+    fluid = ~np.asarray(gs.solid, bool)
+    fluid[np.asarray(gs.gz), np.asarray(gs.gy), np.asarray(gs.gx)] = False
+    assert th[fluid].min() > -1e-4 and th[fluid].max() < 1.0 + 1e-4
+    # solid interior pinned at theta_body
+    np.testing.assert_allclose(
+        th[np.asarray(gs.solid, bool)], 1.0, atol=1e-5
+    )
+
+
 def test_ghost_and_masks_mutually_exclusive():
     from cfdsim_tpu.models import mac_stretched3d as ms3
 
