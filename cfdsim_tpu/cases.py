@@ -370,6 +370,7 @@ def cylinder_mac(
     ibm_ramp_steps: int = 200,
     perturb_ramp_steps: int = 200,
     ibm_profile: str = "shell",
+    ibm_scheme: str = "penalize",
     **cfg_overrides,
 ) -> Case:
     """Flow past a cylinder on the staggered (MAC) grid — the best-physics
@@ -382,7 +383,10 @@ def cylinder_mac(
     ``ibm_profile="sharp"`` makes the penalization drag/lift
     quantitative (Cd within ~7% of the unconfined literature at 20
     cells/D); the default ``"shell"`` keeps the reference's Gaussian
-    forcing — validated shedding, forces qualitative."""
+    forcing — validated shedding, forces qualitative.
+    ``ibm_scheme="ghost"``: sharp-interface ghost-cell direct forcing
+    (ibm_ghost.cylinder_ghost_ibm) — no-slip exactly on r = R, removing
+    the sharp mask's O(dx/2) effective-radius drag bias."""
     from cfdsim_tpu.models import mac
 
     grid = Grid(nx=nx, ny=ny, x_max=domain[0], y_max=domain[1],
@@ -407,8 +411,22 @@ def cylinder_mac(
         v_inf, y_face_centers, grid.y_max,
         perturb_ramp_steps=perturb_ramp_steps,
     )
-    step = mac.make_step(cfg, bcs, ibm_mask_u=mask_u, ibm_mask_v=mask_v,
-                         ibm_ramp_steps=ibm_ramp_steps)
+    if ibm_scheme == "ghost":
+        import numpy as _np
+
+        from cfdsim_tpu.ibm_ghost import cylinder_ghost_ibm
+
+        xf = grid.x_min + _np.arange(nx + 1) * grid.dx
+        yf = grid.y_min + _np.arange(ny + 1) * grid.dy
+        ibm_kwargs = dict(
+            ibm_ghost=cylinder_ghost_ibm(xf, yf, center, radius)
+        )
+    elif ibm_scheme == "penalize":
+        ibm_kwargs = dict(ibm_mask_u=mask_u, ibm_mask_v=mask_v)
+    else:
+        raise ValueError(f"unknown ibm_scheme {ibm_scheme!r}")
+    step = mac.make_step(cfg, bcs, ibm_ramp_steps=ibm_ramp_steps,
+                         **ibm_kwargs)
     from cfdsim_tpu.ibm import potential_flow_cylinder_mac
 
     u0, v0 = potential_flow_cylinder_mac(grid, center, radius, v_inf,

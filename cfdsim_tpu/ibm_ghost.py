@@ -175,6 +175,115 @@ def sphere_ghost_ibm(x_faces, y_faces, z_faces, center, radius: float,
     )
 
 
+class GhostFaceSet2D(NamedTuple):
+    """2D analog of GhostFaceSet: (ny', nx') fields, bilinear probes."""
+
+    solid: jnp.ndarray           # (ny', nx') bool
+    gy: jnp.ndarray              # (M,) int32
+    gx: jnp.ndarray
+    pidx: jnp.ndarray            # (M, 4) int32 flat bilinear corners
+    pw: jnp.ndarray              # (M, 4) f32
+    scale: jnp.ndarray           # (M,) f32
+
+
+class GhostIBM2D(NamedTuple):
+    u: GhostFaceSet2D
+    v: GhostFaceSet2D
+
+
+def _ghost_face_set_2d(xs, ys, center, radius: float,
+                       delta: float) -> GhostFaceSet2D:
+    """2D classification + bilinear probe stencils; arrays are (ny, nx)
+    row-major with x on the last axis (the repo's 2D convention)."""
+    xs = np.asarray(xs, np.float64)
+    ys = np.asarray(ys, np.float64)
+    cx, cy = float(center[0]), float(center[1])
+    X, Y = np.meshgrid(xs, ys, indexing="xy")
+    px, py = X - cx, Y - cy
+    d = np.sqrt(px * px + py * py)
+    inside = d <= radius
+    outside = ~inside
+    near_fluid = np.zeros_like(inside)
+    for ax in range(2):
+        pad = [(1, 1) if a == ax else (0, 0) for a in range(2)]
+        o = np.pad(outside, pad, mode="edge")
+        lo = [slice(None)] * 2
+        hi = [slice(None)] * 2
+        lo[ax] = slice(0, -2)
+        hi[ax] = slice(2, None)
+        near_fluid |= o[tuple(lo)] | o[tuple(hi)]
+    ghost = inside & near_fluid
+    solid = inside & ~near_fluid
+
+    gy, gx = np.nonzero(ghost)
+    d_g = d[gy, gx]
+    inv = 1.0 / np.maximum(d_g, 1e-12)
+    nxv = px[gy, gx] * inv
+    nyv = py[gy, gx] * inv
+    qx = cx + nxv * (radius + delta)
+    qy = cy + nyv * (radius + delta)
+    scale = (radius - d_g) / delta
+
+    def locate(q, s):
+        i = np.clip(np.searchsorted(s, q) - 1, 0, len(s) - 2)
+        t = (q - s[i]) / (s[i + 1] - s[i])
+        return i, np.clip(t, 0.0, 1.0)
+
+    ix, tx = locate(qx, xs)
+    iy, ty = locate(qy, ys)
+    nx_ = len(xs)
+    idx_cols, w_cols = [], []
+    for b in (0, 1):
+        wy = ty if b else 1.0 - ty
+        for c in (0, 1):
+            wx = tx if c else 1.0 - tx
+            idx_cols.append((iy + b) * nx_ + (ix + c))
+            w_cols.append(wy * wx)
+    return GhostFaceSet2D(
+        solid=jnp.asarray(solid, jnp.bool_),
+        gy=jnp.asarray(gy, jnp.int32),
+        gx=jnp.asarray(gx, jnp.int32),
+        pidx=jnp.asarray(np.stack(idx_cols, axis=-1), jnp.int32),
+        pw=jnp.asarray(np.stack(w_cols, axis=-1), jnp.float32),
+        scale=jnp.asarray(scale, jnp.float32),
+    )
+
+
+def cylinder_ghost_ibm(x_faces, y_faces, center, radius: float,
+                       probe_dist: float | None = None) -> GhostIBM2D:
+    """Ghost-cell IBM stencils for a static cylinder on the 2D MAC
+    layout (u at (ny, nx+1) x-faces, v at (ny+1, nx) y-faces) of an
+    arbitrary tensor-product grid — the 2D habitat of
+    ``sphere_ghost_ibm``, fixing the sharp-mask drag bias the static
+    cylinder rows carry (Cd +10-16% at 30 cells/D, BENCHNOTES
+    "Moving-geometry IBM")."""
+    xf = np.asarray(x_faces, np.float64)
+    yf = np.asarray(y_faces, np.float64)
+    xc = 0.5 * (xf[:-1] + xf[1:])
+    yc = 0.5 * (yf[:-1] + yf[1:])
+    if probe_dist is None:
+        probe_dist = 1.5 * float(
+            min(np.diff(xf).min(), np.diff(yf).min())
+        )
+    return GhostIBM2D(
+        u=_ghost_face_set_2d(xf, yc, center, radius, probe_dist),
+        v=_ghost_face_set_2d(xc, yf, center, radius, probe_dist),
+    )
+
+
+def apply_ghost_forcing_2d(field, gs: GhostFaceSet2D, strength,
+                           sweeps: int = 2):
+    """2D ``apply_ghost_forcing``: same contract, bilinear probes."""
+    tgt = jnp.where(gs.solid, jnp.float32(0.0), field)
+    for _ in range(sweeps):
+        probe = jnp.sum(
+            jnp.take(tgt.reshape(-1), gs.pidx, axis=0) * gs.pw, axis=-1
+        )
+        tgt = tgt.at[gs.gy, gs.gx].set(-gs.scale * probe)
+    out = field - strength * (field - tgt)
+    return out, field - out
+
+
 def sphere_ghost_cells(x_faces, y_faces, z_faces, center, radius: float,
                        probe_dist: float | None = None) -> GhostFaceSet:
     """Cell-centered ghost stencils for a Dirichlet scalar on the same
@@ -221,8 +330,12 @@ def apply_ghost_forcing(field, gs: GhostFaceSet, strength,
 
 __all__ = [
     "GhostFaceSet",
+    "GhostFaceSet2D",
+    "GhostIBM2D",
     "GhostIBM3D",
+    "cylinder_ghost_ibm",
     "sphere_ghost_ibm",
     "sphere_ghost_cells",
     "apply_ghost_forcing",
+    "apply_ghost_forcing_2d",
 ]

@@ -463,6 +463,7 @@ def make_step(
     forcing: Optional[tuple] = None,
     moving_body=None,
     implicit_kit: Optional[MACImplicitKit] = None,
+    ibm_ghost=None,
 ) -> Callable:
     """Build ``step(state, cfl_scale) -> (state, StepMetrics)``.
 
@@ -476,7 +477,14 @@ def make_step(
     the exchanged momentum reported as (fx, fy). Under rk2 the second
     (Heun) stage evaluates BCs and the body at t + dt, keeping second
     order for unsteady boundaries and moving bodies.
+
+    ``ibm_ghost`` (ibm_ghost.GhostIBM2D): sharp-interface ghost-cell
+    direct forcing for a static body — second-order wall placement at
+    the exact surface (mutually exclusive with ibm_mask_*; same
+    momentum-exchange force accounting).
     """
+    if ibm_ghost is not None and ibm_mask_u is not None:
+        raise ValueError("ibm_ghost and ibm_mask_* are mutually exclusive")
     if cfg.time_scheme not in ("euler", "rk2"):
         raise ValueError(f"unknown MAC time scheme {cfg.time_scheme!r}")
     if cfg.projection not in ("chorin", "incremental"):
@@ -617,6 +625,22 @@ def make_step(
                     cell = dx * dy
                     fx = jnp.sum(du_ibm) * cell / dt
                     fy = jnp.sum(dv_ibm) * cell / dt
+
+            if ibm_ghost is not None:
+                from cfdsim_tpu.ibm import ibm_ramp
+                from cfdsim_tpu.ibm_ghost import apply_ghost_forcing_2d
+
+                strength = ibm_ramp(state.step, ibm_ramp_steps)
+                u_star, du_g = apply_ghost_forcing_2d(
+                    u_star, ibm_ghost.u, strength
+                )
+                v_star, dv_g = apply_ghost_forcing_2d(
+                    v_star, ibm_ghost.v, strength
+                )
+                if cfg.compute_metrics:
+                    cell = dx * dy
+                    fx = jnp.sum(du_g) * cell / dt
+                    fy = jnp.sum(dv_g) * cell / dt
 
             if moving_body is not None:
                 from cfdsim_tpu.ibm import ibm_ramp

@@ -230,6 +230,44 @@ def test_heated_sphere_ghost_theta():
     )
 
 
+def test_cylinder_2d_ghost():
+    """2D habitat: constant-field reflection exactness on the u set and
+    the cylinder_mac case stepping with drag in the stream direction."""
+    from cfdsim_tpu.cases import build
+    from cfdsim_tpu.ibm_ghost import apply_ghost_forcing_2d, cylinder_ghost_ibm
+
+    xf = np.linspace(0.0, 8.0, 97)
+    yf = np.linspace(0.0, 4.0, 49)
+    g2 = cylinder_ghost_ibm(xf, yf, (2.0, 2.0), 0.5)
+    gs = g2.u
+    assert len(np.asarray(gs.gx)) > 0
+    xc = 0.5 * (yf[:-1] + yf[1:])
+    f = jnp.full((len(xc), len(xf)), 0.6, jnp.float32)
+    out, du = apply_ghost_forcing_2d(f, gs, jnp.float32(1.0))
+    np.testing.assert_allclose(
+        np.asarray(out)[np.asarray(gs.gy), np.asarray(gs.gx)],
+        -np.asarray(gs.scale) * 0.6, atol=1e-4,
+    )
+    np.testing.assert_allclose(np.asarray(f - out), np.asarray(du))
+
+    case = build(
+        "cylinder_mac", nx=96, ny=48, Re=100.0, domain=(8.0, 4.0),
+        center=(2.0, 2.0), ibm_scheme="ghost", ibm_ramp_steps=5,
+        warmup_steps=0,
+    )
+
+    def chunk(s):
+        def body(c, _):
+            c2, m = case.step(c, jnp.float32(1.0))
+            return c2, m.fx
+
+        return jax.lax.scan(body, s, None, length=30)
+
+    s, fx = jax.jit(chunk)(case.state)
+    assert np.isfinite(np.asarray(s.u)).all()
+    assert float(fx[-1]) > 0.0
+
+
 def test_ghost_and_masks_mutually_exclusive():
     from cfdsim_tpu.models import mac_stretched3d as ms3
 
