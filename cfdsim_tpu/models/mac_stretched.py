@@ -127,10 +127,15 @@ def make_step(
     ibm_mask_v: Optional[jax.Array] = None,
     ibm_ramp_steps: int = 0,
     moving_body=None,
+    ibm_ghost=None,
 ) -> Callable:
     """Build ``step(state, cfl_scale) -> (state, StepMetrics)`` on the
     stretched grid defined by face coordinates ``x_faces`` (nx+1,) /
     ``y_faces`` (ny+1,).
+
+    ``ibm_ghost`` (ibm_ghost.GhostIBM2D): sharp-interface ghost-cell
+    direct forcing for a static body (mutually exclusive with
+    ibm_mask_*; volume-weighted momentum-exchange forces).
 
     ``moving_body`` (ibm.MovingBody): moving-geometry IBM on the
     stretched metrics — sharp masks rebuilt on device each step with a
@@ -138,6 +143,8 @@ def make_step(
     stays inside the refined region), penalization toward u_b(t),
     volume-weighted momentum-exchange forces (mac.make_step's
     moving_body lifted to nonuniform control volumes)."""
+    if ibm_ghost is not None and ibm_mask_u is not None:
+        raise ValueError("ibm_ghost and ibm_mask_* are mutually exclusive")
     mx = _metrics(x_faces)
     my = _metrics(y_faces)
     nx, ny = cfg.nx, cfg.ny
@@ -336,6 +343,21 @@ def make_step(
                     area_v = f32(np.outer(my.dfull, mx.h))
                     fx = jnp.sum(du_ibm * area_u) / dt
                     fy = jnp.sum(dv_ibm * area_v) / dt
+
+            if ibm_ghost is not None:
+                from cfdsim_tpu.ibm import ibm_ramp
+                from cfdsim_tpu.ibm_ghost import apply_ghost_forcing_2d
+
+                strength = ibm_ramp(state.step, ibm_ramp_steps)
+                u_star, du_g = apply_ghost_forcing_2d(
+                    u_star, ibm_ghost.u, strength
+                )
+                v_star, dv_g = apply_ghost_forcing_2d(
+                    v_star, ibm_ghost.v, strength
+                )
+                if cfg.compute_metrics:
+                    fx = jnp.sum(du_g * f32(np.outer(my.h, mx.dfull))) / dt
+                    fy = jnp.sum(dv_g * f32(np.outer(my.dfull, mx.h))) / dt
 
             if moving_body is not None:
                 from cfdsim_tpu.ibm import ibm_ramp

@@ -268,6 +268,40 @@ def test_cylinder_2d_ghost():
     assert float(fx[-1]) > 0.0
 
 
+def test_stretched_2d_ghost_uniform_equivalence():
+    """On uniform faces the stretched-2D ghost step must reproduce the
+    uniform mac ghost step (same stencils — the builders see identical
+    coordinates), including the volume-weighted forces."""
+    from cfdsim_tpu.grid import Grid
+    from cfdsim_tpu.ibm_ghost import cylinder_ghost_ibm
+    from cfdsim_tpu.models import mac
+    from cfdsim_tpu.models import mac_stretched as ms
+
+    n = 32
+    xf = np.linspace(0.0, 1.0, n + 1)
+    ghost = cylinder_ghost_ibm(xf, xf, (0.5, 0.5), 0.15)
+    bcs = mac.cavity_bcs(1.0)
+    scfg = ms.StretchedMACConfig(nx=n, ny=n, nu=0.01, cfl_target=0.5,
+                                 dt_max=0.5 / n)
+    step_s = jax.jit(ms.make_step(scfg, bcs, xf, xf, ibm_ghost=ghost))
+    from cfdsim_tpu.solvers.poisson import PoissonConfig
+
+    # exact-DCT projection to match the stretched tier's exact FDM
+    ucfg = mac.MACConfig(grid=Grid(nx=n, ny=n, centering="cell"), nu=0.01,
+                         cfl_target=0.5, dt_max=0.5 / n,
+                         poisson=PoissonConfig(method="dct"))
+    step_u = jax.jit(mac.make_step(ucfg, bcs, ibm_ghost=ghost))
+    ss, su = ms.init_state(scfg), mac.init_state(ucfg)
+    for _ in range(10):
+        ss, m_s = step_s(ss, jnp.float32(1.0))
+        su, m_u = step_u(su, jnp.float32(1.0))
+    np.testing.assert_allclose(np.asarray(ss.u), np.asarray(su.u),
+                               rtol=0, atol=5e-6)
+    np.testing.assert_allclose(np.asarray(ss.v), np.asarray(su.v),
+                               rtol=0, atol=5e-6)
+    np.testing.assert_allclose(float(m_s.fx), float(m_u.fx), atol=1e-5)
+
+
 def test_ghost_and_masks_mutually_exclusive():
     from cfdsim_tpu.models import mac_stretched3d as ms3
 
