@@ -1,0 +1,88 @@
+"""Static-cylinder force validation: sharp-mask penalization vs the
+ghost-cell direct-forcing IBM (ibm_scheme="ghost").
+
+The BENCHNOTES "Static sharp-profile cylinder sweep" (720×240, 30
+cells/D, 12.5% blockage, t=150) measured Cd 1.557 at Re=100 vs the
+unconfined ~1.35 — the O(dx/2) sharp-mask effective-diameter bias plus
+blockage. The ghost scheme places no-slip exactly on r = R, so the
+residual offset should be mostly the blockage. Drag/lift from the
+momentum-exchange force, Strouhal from the tail FFT of the lift.
+
+Run (TPU, ~10 min per case at defaults):
+    python examples/cylinder_ghost_forces.py --re 100 --ibm ghost --t 150
+"""
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def run(re=100.0, ibm="ghost", nx=720, ny=240, t_final=150.0,
+        t_tail=75.0, chunk_steps=200, verbose=True):
+    from cfdsim_tpu.cases import build
+
+    kw = (dict(ibm_scheme="ghost") if ibm == "ghost"
+          else dict(ibm_profile="sharp"))
+    case = build("cylinder_mac", nx=nx, ny=ny, Re=re, **kw)
+    radius = case.extras["radius"]
+    v_inf = case.extras["v_inf"]
+    coeff = 2.0 / (v_inf**2 * 2 * radius)  # force per unit density -> C
+
+    def chunk(state, _):
+        def body(s, _):
+            s2, m = case.step(s, jnp.float32(1.0))
+            return s2, (m.fx, m.fy, s2.t)
+
+        return jax.lax.scan(body, state, None, length=chunk_steps)
+
+    chunk = jax.jit(chunk)
+    state = case.state
+    hist_t, hist_cd, hist_cl = [], [], []
+    t0 = time.perf_counter()
+    while float(state.t) < t_final:
+        state, (fx, fy, tt) = chunk(state, None)
+        hist_t.append(np.asarray(tt))
+        hist_cd.append(np.asarray(fx) * coeff)
+        hist_cl.append(np.asarray(fy) * coeff)
+        if verbose:
+            el = time.perf_counter() - t0
+            print(f"  t={float(state.t):7.2f}  Cd={hist_cd[-1][-1]:6.3f}  "
+                  f"Cl={hist_cl[-1][-1]:+6.3f}  "
+                  f"[{float(state.step) / el:6.1f} steps/s]", flush=True)
+
+    t = np.concatenate(hist_t)
+    cd = np.concatenate(hist_cd)
+    cl = np.concatenate(hist_cl)
+    tail = t > t_tail
+    # uniform-in-time resample for the FFT (adaptive dt)
+    tu = np.linspace(t[tail][0], t[tail][-1], tail.sum())
+    clu = np.interp(tu, t[tail], cl[tail])
+    spec = np.abs(np.fft.rfft(clu - clu.mean()))
+    freqs = np.fft.rfftfreq(len(clu), tu[1] - tu[0])
+    f_shed = freqs[1:][np.argmax(spec[1:])]
+    st = f_shed * 2 * radius / v_inf
+    cd_mean = float(cd[tail].mean())
+    cl_amp = float(np.sqrt(2.0) * cl[tail].std())
+    print(f"\nRESULT ibm={ibm} Re={re:g}: St={st:.3f}  "
+          f"mean Cd={cd_mean:.3f}  Cl_amp={cl_amp:.3f}  "
+          f"(unconfined lit Re=100: St 0.165 / Cd ~1.35 / Cl ~0.33; "
+          f"Re=150: St 0.185 / Cd ~1.33 / Cl ~0.5)")
+    return {"st": float(st), "cd": cd_mean, "cl_amp": cl_amp}
+
+
+if __name__ == "__main__":
+    p = argparse.ArgumentParser()
+    p.add_argument("--re", type=float, default=100.0)
+    p.add_argument("--ibm", default="ghost", choices=["ghost", "sharp"])
+    p.add_argument("--t", type=float, default=150.0)
+    p.add_argument("--nx", type=int, default=720)
+    p.add_argument("--ny", type=int, default=240)
+    a = p.parse_args()
+    run(re=a.re, ibm=a.ibm, nx=a.nx, ny=a.ny, t_final=a.t)

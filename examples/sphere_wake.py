@@ -34,11 +34,13 @@ def run_sphere(re: float = 100.0, cells_per_d: int = 12, t_final: float = 40.0,
     )
 
     n = cells_per_d
-    name = ("heated_sphere" if heated
-            else "sphere_stretched" if stretched else "sphere")
+    if heated:
+        name = "heated_sphere_stretched" if stretched else "heated_sphere"
+    else:
+        name = "sphere_stretched" if stretched else "sphere"
     kw = {}
     if ibm_scheme != "penalize":
-        kw["ibm_scheme"] = ibm_scheme  # sphere_stretched only
+        kw["ibm_scheme"] = ibm_scheme
     case = build(
         name, nx=16 * n, ny=8 * n, nz=8 * n, Re=re,
         domain=(16.0, 8.0, 8.0), center=(4.0, 4.0, 4.0),
