@@ -33,18 +33,18 @@ import numpy as np
 
 def run(nx=320, ny=160, nz=160, strength=12.0, width=0.7, t_final=400.0,
         t_tail=160.0, chunk_steps=200, perturb=0.02, cs=0.17,
-        ibm_scheme="penalize", verbose=True):
+        ibm_scheme="penalize", re=3900.0, use_les=True, verbose=True):
     import jax
 
     from cfdsim_tpu.cases import build
 
     case = build(
-        "sphere_stretched", nx=nx, ny=ny, nz=nz, Re=3900.0,
+        "sphere_stretched", nx=nx, ny=ny, nz=nz, Re=re,
         domain=(16.0, 8.0, 8.0), center=(4.0, 4.0, 4.0),
         refine_strength=strength, refine_width=width,
         scheme="tvd", ibm_profile="sharp", ibm_scheme=ibm_scheme,
         perturb=perturb,
-        ibm_ramp_steps=200, use_les=True, smagorinsky_constant=cs,
+        ibm_ramp_steps=200, use_les=use_les, smagorinsky_constant=cs,
         compute_metrics=True,
     )
     h_min = case.extras["h_min"]
@@ -81,14 +81,28 @@ def run(nx=320, ny=160, nz=160, strength=12.0, width=0.7, t_final=400.0,
 
     t = np.concatenate(hist_t)
     cd = np.concatenate(hist_cd)
+    cly = np.concatenate(hist_cly)
+    clz = np.concatenate(hist_clz)
     tail = t > t_tail
     cd_mean = float(cd[tail].mean())
-    print(f"\nRESULT cells/D={1 / h_min:.0f}  "
-          f"Cd_mean(t>{t_tail:.0f})={cd_mean:.4f}  "
-          f"(DNS 0.394: {100 * (cd_mean / 0.394 - 1):+.1f}%)  "
-          f"Cl_rms=({np.concatenate(hist_cly)[tail].std():.4f},"
-          f"{np.concatenate(hist_clz)[tail].std():.4f})")
-    return {"cells_per_d": 1 / h_min, "cd_mean": cd_mean,
+
+    # lateral-force Strouhal from the tail (uniform-time resample; the
+    # dominant bin of |FFT(Cl_y)| + |FFT(Cl_z)| — J&P St=0.137 at Re=300)
+    tu = np.linspace(t[tail][0], t[tail][-1], int(tail.sum()))
+    sy = np.abs(np.fft.rfft(np.interp(tu, t[tail], cly[tail])
+                            - cly[tail].mean()))
+    sz = np.abs(np.fft.rfft(np.interp(tu, t[tail], clz[tail])
+                            - clz[tail].mean()))
+    freqs = np.fft.rfftfreq(len(tu), tu[1] - tu[0])
+    st = float(freqs[1:][np.argmax((sy + sz)[1:])])  # D = U = 1
+
+    print(f"\nRESULT Re={re:g} cells/D={1 / h_min:.0f}  "
+          f"Cd_mean(t>{t_tail:.0f})={cd_mean:.4f}"
+          + (f"  (DNS 0.394: {100 * (cd_mean / 0.394 - 1):+.1f}%)"
+             if re == 3900.0 else "")
+          + f"  St_lat={st:.4f}  "
+          f"Cl_rms=({cly[tail].std():.4f},{clz[tail].std():.4f})")
+    return {"cells_per_d": 1 / h_min, "cd_mean": cd_mean, "st": st,
             "t": t, "cd": cd}
 
 
@@ -108,7 +122,10 @@ if __name__ == "__main__":
                    help="ghost = sharp-interface ghost-cell direct "
                         "forcing (the wall treatment for the staircase-"
                         "BL drag bias)")
+    p.add_argument("--re", type=float, default=3900.0)
+    p.add_argument("--no-les", action="store_true",
+                   help="laminar/DNS mode (e.g. the Re=300 hairpin rows)")
     a = p.parse_args()
     run(nx=a.nx, ny=a.ny, nz=a.nz, strength=a.strength, width=a.width,
         t_final=a.t, t_tail=a.tail, perturb=a.perturb, cs=a.cs,
-        ibm_scheme=a.ibm)
+        ibm_scheme=a.ibm, re=a.re, use_les=not a.no_les)
