@@ -79,7 +79,7 @@ class Transport3DConfig:
     nu: float                      # momentum diffusivity (from Re)
     prandtl: float = 0.7           # α = nu/prandtl
     scheme: str = "tvd"            # momentum advection (mac3d schemes)
-    theta_scheme: str = "upwind"   # θ face values: upwind | central
+    theta_scheme: str = "upwind"   # θ face values: upwind | central | tvd
     theta_body: float = 1.0        # isothermal body temperature
     theta_in: float = 0.0          # inflow temperature
     body_diameter: float = 1.0     # D for the Nusselt normalization
@@ -166,6 +166,8 @@ def make_stretched_step(
             "a non-default Transport3DConfig.poisson cannot be honored "
             "on the stretched path"
         )
+    if cfg.theta_scheme not in ("central", "upwind", "tvd"):
+        raise ValueError(f"unknown theta_scheme {cfg.theta_scheme!r}")
     mx = _metrics(x_faces)
     my = _metrics(y_faces)
     mz = _metrics(z_faces)
@@ -200,6 +202,25 @@ def make_stretched_step(
         np.pi * cfg.body_diameter * alpha
         * max(abs(cfg.theta_body - cfg.theta_in), 1e-30)
     )
+    if cfg.theta_scheme == "tvd":
+        # MUSCL donor distances for the ghost-extended cell-center
+        # samples advected to faces (the mac_stretched3d *_f pattern:
+        # ghost centers mirrored one cell width outside)
+        xf_np = np.asarray(x_faces)
+        yf_np = np.asarray(y_faces)
+        zf_np = np.asarray(z_faces)
+        xg = np.concatenate(
+            [[mx.xc[0] - mx.h[0]], mx.xc, [mx.xc[-1] + mx.h[-1]]])
+        yg = np.concatenate(
+            [[my.xc[0] - my.h[0]], my.xc, [my.xc[-1] + my.h[-1]]])
+        zg = np.concatenate(
+            [[mz.xc[0] - mz.h[0]], mz.xc, [mz.xc[-1] + mz.h[-1]]])
+        dxl_f = f32(xf_np - xg[:-1])[None, None, :]
+        dxr_f = f32(xg[1:] - xf_np)[None, None, :]
+        dyl_f = f32(yf_np - yg[:-1])[None, :, None]
+        dyr_f = f32(yg[1:] - yf_np)[None, :, None]
+        dzl_f = f32(zf_np - zg[:-1])[:, None, None]
+        dzr_f = f32(zg[1:] - zf_np)[:, None, None]
 
     def step(state: Transport3DState, cfl_scale):
         mac_state = mac3d.MAC3DState(
@@ -224,6 +245,25 @@ def make_stretched_step(
                             te[1:-1, 1:, 1:-1])
             thz = jnp.where(w_new >= 0.0, te[:-1, 1:-1, 1:-1],
                             te[1:, 1:-1, 1:-1])
+        elif cfg.theta_scheme == "tvd":
+            # van-Leer-MUSCL donor values on the nonuniform metrics —
+            # kills the 1st-order upwind's numerical diffusion in the
+            # thin thermal boundary layer (the residual Nusselt
+            # over-report once the wall is ghost-exact)
+            from cfdsim_tpu.models.mac_stretched3d import _muscl_axis
+
+            lox, hix = _muscl_axis(
+                te[1:-1, 1:-1, :], inv_dfx, dxl_f, dxr_f, 2, True)
+            thx = jnp.where(u_new >= 0.0, lox, hix)
+            thx = thx.at[:, :, 0].set(jnp.where(
+                u_new[:, :, 0] >= 0.0, jnp.float32(cfg.theta_in),
+                theta[:, :, 0]))
+            loy, hiy = _muscl_axis(
+                te[1:-1, :, 1:-1], inv_dfy, dyl_f, dyr_f, 1, True)
+            thy = jnp.where(v_new >= 0.0, loy, hiy)
+            loz, hiz = _muscl_axis(
+                te[:, 1:-1, 1:-1], inv_dfz, dzl_f, dzr_f, 0, True)
+            thz = jnp.where(w_new >= 0.0, loz, hiz)
         else:
             thx = 0.5 * (te[1:-1, 1:-1, :-1] + te[1:-1, 1:-1, 1:])
             thy = 0.5 * (te[1:-1, :-1, 1:-1] + te[1:-1, 1:, 1:-1])
@@ -324,7 +364,7 @@ def make_step(
                          "exclusive")
     if cfg.scheme not in ("central", "upwind", "tvd"):
         raise ValueError(f"unknown scheme {cfg.scheme!r}")
-    if cfg.theta_scheme not in ("central", "upwind"):
+    if cfg.theta_scheme not in ("central", "upwind", "tvd"):
         raise ValueError(f"unknown theta_scheme {cfg.theta_scheme!r}")
     g = cfg.grid
     dx, dy, dz = g.dx, g.dy, g.dz
@@ -428,6 +468,23 @@ def make_step(
                             te[1:-1, 1:, 1:-1])
             thz = jnp.where(w_new >= 0.0, te[:-1, 1:-1, 1:-1],
                             te[1:, 1:-1, 1:-1])
+        elif cfg.theta_scheme == "tvd":
+            # van-Leer MUSCL donor values (uniform spacing: the
+            # stretched _muscl_axis with scalar metrics)
+            from cfdsim_tpu.models.mac_stretched3d import _muscl_axis
+
+            lox, hix = _muscl_axis(
+                te[1:-1, 1:-1, :], 1.0 / dx, 0.5 * dx, 0.5 * dx, 2, True)
+            thx = jnp.where(u_new >= 0.0, lox, hix)
+            thx = thx.at[:, :, 0].set(jnp.where(
+                u_new[:, :, 0] >= 0.0, jnp.float32(cfg.theta_in),
+                theta[:, :, 0]))
+            loy, hiy = _muscl_axis(
+                te[1:-1, :, 1:-1], 1.0 / dy, 0.5 * dy, 0.5 * dy, 1, True)
+            thy = jnp.where(v_new >= 0.0, loy, hiy)
+            loz, hiz = _muscl_axis(
+                te[:, 1:-1, 1:-1], 1.0 / dz, 0.5 * dz, 0.5 * dz, 0, True)
+            thz = jnp.where(w_new >= 0.0, loz, hiz)
         else:
             thx = 0.5 * (te[1:-1, 1:-1, :-1] + te[1:-1, 1:-1, 1:])
             thy = 0.5 * (te[1:-1, :-1, 1:-1] + te[1:-1, 1:, 1:-1])

@@ -51,6 +51,11 @@ def make_heated_sphere_explicit_step(
     face masks from ``mac3d_explicit.trim_face_masks3d``."""
     from cfdsim_tpu.models import mac3d as m3
 
+    if cfg.theta_scheme not in ("central", "upwind"):
+        raise ValueError(
+            "the sharded transport step implements theta_scheme "
+            "central/upwind (tvd needs width-2 halos; single-device only)"
+        )
     g = cfg.grid
     nx, ny, nz = g.nx, g.ny, g.nz
     dx, dy, dz = g.dx, g.dy, g.dz
@@ -236,6 +241,11 @@ def make_heated_sphere_stretched_explicit_step(
         raise ValueError(
             "the sharded stretched heated-sphere step implements "
             "scheme='central' (the sharded stretched momentum path)"
+        )
+    if cfg.theta_scheme not in ("central", "upwind"):
+        raise ValueError(
+            "the sharded transport step implements theta_scheme "
+            "central/upwind (tvd needs width-2 halos; single-device only)"
         )
     g = cfg.grid
     nx, ny, nz = g.nx, g.ny, g.nz

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 def run_sphere(re: float = 100.0, cells_per_d: int = 12, t_final: float = 40.0,
                chunk_steps: int = 100, verbose: bool = True,
                stretched: bool = False, heated: bool = False,
-               ibm_scheme: str = "penalize"):
+               ibm_scheme: str = "penalize", theta_scheme: str | None = None):
     from cfdsim_tpu.cases import build
     from cfdsim_tpu.validation import (
         sphere_drag_schiller_naumann,
@@ -41,6 +41,8 @@ def run_sphere(re: float = 100.0, cells_per_d: int = 12, t_final: float = 40.0,
     kw = {}
     if ibm_scheme != "penalize":
         kw["ibm_scheme"] = ibm_scheme
+    if theta_scheme is not None:
+        kw["theta_scheme"] = theta_scheme
     case = build(
         name, nx=16 * n, ny=8 * n, nz=8 * n, Re=re,
         domain=(16.0, 8.0, 8.0), center=(4.0, 4.0, 4.0),
@@ -126,7 +128,11 @@ if __name__ == "__main__":
                     choices=["penalize", "ghost"],
                     help="IBM scheme (ghost = sharp-interface ghost-cell "
                          "direct forcing; --stretched only)")
+    ap.add_argument("--theta-scheme", default=None,
+                    choices=["upwind", "central", "tvd"],
+                    help="θ face scheme for --heated (tvd = van Leer "
+                         "MUSCL, kills the upwind thermal-BL diffusion)")
     args = ap.parse_args()
     run_sphere(re=args.re, cells_per_d=args.n, t_final=args.t,
                stretched=args.stretched, heated=args.heated,
-               ibm_scheme=args.ibm)
+               ibm_scheme=args.ibm, theta_scheme=args.theta_scheme)

@@ -238,3 +238,57 @@ def test_heated_sphere_stretched_explicit_matches_single_device():
     np.testing.assert_allclose(float(m_ex.theta_max),
                                float(m_ref.theta_max), rtol=1e-4)
     assert len(t.theta.sharding.device_set) == 8
+
+
+def test_theta_tvd_stretched_uniform_matches():
+    """theta_scheme="tvd": with strength-0 refinement the stretched
+    MUSCL θ update must reproduce the uniform one (the donor-distance
+    constants reduce to ±dx/2)."""
+    kw = dict(nx=32, ny=16, nz=16, Re=100.0, domain=(8.0, 4.0, 4.0),
+              center=(2.0, 2.0, 2.0), scheme="central",
+              theta_scheme="tvd", ibm_ramp_steps=3)
+    c_u = build("heated_sphere", **kw)
+    c_s = build("heated_sphere_stretched", refine_strength=0.0,
+                wake_length=1.0, **kw)
+    su, ss = c_u.state, c_s.state
+    step_u = jax.jit(c_u.step)
+    step_s = jax.jit(c_s.step)
+    for _ in range(5):
+        su, mu = step_u(su, jnp.float32(1.0))
+        ss, ms = step_s(ss, jnp.float32(1.0))
+    np.testing.assert_allclose(np.asarray(ss.theta), np.asarray(su.theta),
+                               rtol=0, atol=5e-5)
+    np.testing.assert_allclose(float(ms.nusselt), float(mu.nusselt),
+                               rtol=1e-3)
+
+
+def test_theta_tvd_bounded_and_less_diffusive():
+    """TVD θ stays in [0, 1] (+ penalization) and at a fixed short
+    horizon transports the body's thermal wake with LESS smearing than
+    1st-order upwind — measured as a longer high-θ wake footprint
+    (upwind's numerical diffusion bleeds the peak faster).  Both runs
+    share the flow (theta is passive)."""
+    out = {}
+    for sch in ("upwind", "tvd"):
+        case = build(
+            "heated_sphere", nx=32, ny=16, nz=16, Re=100.0,
+            domain=(8.0, 4.0, 4.0), center=(2.0, 2.0, 2.0),
+            theta_scheme=sch, ibm_ramp_steps=3,
+        )
+
+        def chunk(s):
+            def body(c, _):
+                c2, m = case.step(c, jnp.float32(1.0))
+                return c2, None
+
+            return jax.lax.scan(body, s, None, length=60)[0]
+
+        s = jax.jit(chunk)(case.state)
+        th = np.asarray(s.theta)
+        assert th.min() > -1e-3 and th.max() < 1.0 + 1e-3
+        out[sch] = th
+    # same flow, different θ transport: the schemes genuinely differ
+    assert np.abs(out["tvd"] - out["upwind"]).max() > 1e-4
+    # sharper wake: the TVD field holds more cells above the half house
+    # temperature downstream of the body
+    assert (out["tvd"] > 0.3).sum() >= (out["upwind"] > 0.3).sum()
