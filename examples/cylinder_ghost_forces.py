@@ -25,12 +25,15 @@ import numpy as np
 
 
 def run(re=100.0, ibm="ghost", nx=720, ny=240, t_final=150.0,
-        t_tail=75.0, chunk_steps=200, verbose=True):
+        t_tail=75.0, chunk_steps=200, domain=(24.0, 8.0),
+        center=(6.0, None), verbose=True):
     from cfdsim_tpu.cases import build
 
     kw = (dict(ibm_scheme="ghost") if ibm == "ghost"
           else dict(ibm_profile="sharp"))
-    case = build("cylinder_mac", nx=nx, ny=ny, Re=re, **kw)
+    cy = domain[1] / 2 if center[1] is None else center[1]
+    case = build("cylinder_mac", nx=nx, ny=ny, Re=re, domain=domain,
+                 center=(center[0], cy), **kw)
     radius = case.extras["radius"]
     v_inf = case.extras["v_inf"]
     coeff = 2.0 / (v_inf**2 * 2 * radius)  # force per unit density -> C
@@ -84,5 +87,10 @@ if __name__ == "__main__":
     p.add_argument("--t", type=float, default=150.0)
     p.add_argument("--nx", type=int, default=720)
     p.add_argument("--ny", type=int, default=240)
+    p.add_argument("--ly", type=float, default=8.0,
+                   help="domain height (8 -> 12.5%% blockage at D=1; "
+                        "16 with --ny 480 halves the blockage at the "
+                        "same resolution)")
     a = p.parse_args()
-    run(re=a.re, ibm=a.ibm, nx=a.nx, ny=a.ny, t_final=a.t)
+    run(re=a.re, ibm=a.ibm, nx=a.nx, ny=a.ny, t_final=a.t,
+        domain=(24.0, a.ly))
