@@ -44,6 +44,13 @@ CASES = {
              ibm_ramp_steps=4),
         60,
     ),
+    "sphere_ghost_ibm": (
+        dict(name="sphere_stretched", nx=36, ny=20, nz=20, Re=100.0,
+             domain=(8.0, 4.0, 4.0), center=(2.0, 2.0, 2.0),
+             refine_strength=2.0, refine_width=1.0,
+             ibm_scheme="ghost", ibm_ramp_steps=4),
+        60,
+    ),
 }
 
 
