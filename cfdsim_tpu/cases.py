@@ -453,6 +453,7 @@ def cylinder_oscillating(
     ibm_ramp_steps: int = 0,
     stretched: bool = False,
     refine_strength: float = 3.0,
+    ibm_scheme: str = "penalize",
     **cfg_overrides,
 ) -> Case:
     """In-line oscillating cylinder in quiescent fluid — the
@@ -464,7 +465,11 @@ def cylinder_oscillating(
     far-field box. Moving geometry is a capability the reference has no
     analog of (its IBM is static, v5.py:275-283). ``stretched=True``
     clusters the grid around the sweep region (the stretched tier's
-    moving-body path) for resolution the uniform grid can't afford."""
+    moving-body path) for resolution the uniform grid can't afford.
+    ``ibm_scheme="ghost"`` (uniform path): moving sharp-interface
+    ghost-cell forcing — the wall condition u(r=R) = u_b(t) imposed
+    exactly, classification + probe stencils rebuilt on device each
+    stage (ibm_ghost.moving_ghost_forcing_2d)."""
     import numpy as np
 
     from cfdsim_tpu.ibm import oscillating_cylinder
@@ -483,7 +488,14 @@ def cylinder_oscillating(
               "u_max": u_max, "center": center, "radius": radius,
               # Cd normalization by U_max: Cd(t) = coeff_scale·fx(t)
               "coeff_scale": 2.0 / (u_max**2 * D)}
+    if ibm_scheme not in ("penalize", "ghost"):
+        raise ValueError(f"unknown ibm_scheme {ibm_scheme!r}")
     if stretched:
+        if ibm_scheme == "ghost":
+            raise ValueError(
+                "cylinder_oscillating ibm_scheme='ghost' is the uniform "
+                "path (the on-device probe lookup needs uniform spacing)"
+            )
         from cfdsim_tpu.models import mac_stretched as ms
 
         xf = ms.stretched_faces(
@@ -520,7 +532,8 @@ def cylinder_oscillating(
     cfg = mac.MACConfig(grid=grid, nu=nu, scheme=scheme, poisson=pois,
                         **defaults)
     step = mac.make_step(cfg, bcs, moving_body=body,
-                         ibm_ramp_steps=ibm_ramp_steps)
+                         ibm_ramp_steps=ibm_ramp_steps,
+                         moving_scheme=ibm_scheme)
     state = mac.init_state(cfg)
     return Case("cylinder_oscillating", cfg, step, state, grid, extras)
 

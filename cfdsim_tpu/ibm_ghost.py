@@ -284,6 +284,65 @@ def apply_ghost_forcing_2d(field, gs: GhostFaceSet2D, strength,
     return out, field - out
 
 
+def moving_ghost_forcing_2d(field, X, Y, x0: float, dx: float, y0: float,
+                            dy: float, center, radius: float, delta: float,
+                            u_b, strength, sweeps: int = 2):
+    """Ghost-cell direct forcing for a MOVING body on a UNIFORM 2D face
+    set, fully on device (the moving-body analog of
+    ``apply_ghost_forcing_2d`` — classification, normals, and bilinear
+    probe stencils recomputed elementwise each call from ``center``;
+    closed-form floor-arithmetic corner lookup, so no host precompute
+    and no data-dependent shapes).
+
+    X/Y are the face-sample coordinate grids of ``field`` (the same
+    arrays the moving-penalization mask rebuild closes over), (x0, y0)
+    the coordinates of sample (0, 0) and (dx, dy) the uniform spacings.
+    The wall condition is u(r=R) = u_b: ghosts take
+    u_g = u_b − (R−d)/δ · (u(probe) − u_b), the solid interior is
+    pinned to u_b. Returns (field_out, du) with the usual
+    momentum-exchange accounting."""
+    cx, cy = center
+    px, py = X - cx, Y - cy
+    d = jnp.sqrt(px * px + py * py)
+    inside = d <= radius
+    outside = ~inside
+    o = jnp.pad(outside, 1, mode="edge")
+    near = o[1:-1, :-2] | o[1:-1, 2:] | o[:-2, 1:-1] | o[2:, 1:-1]
+    ghost = inside & near
+    solid = inside & ~near
+
+    inv = 1.0 / jnp.maximum(d, 1e-12)
+    qx = cx + px * inv * (radius + delta)
+    qy = cy + py * inv * (radius + delta)
+    scale = (radius - d) / delta
+
+    ny_, nx_ = field.shape
+    gx = jnp.clip((qx - x0) / dx, 0.0, nx_ - 1.001)
+    gy = jnp.clip((qy - y0) / dy, 0.0, ny_ - 1.001)
+    ix = jnp.floor(gx).astype(jnp.int32)
+    tx = gx - ix
+    iy = jnp.floor(gy).astype(jnp.int32)
+    ty = gy - iy
+    base = iy * nx_ + ix
+
+    def gather(f):
+        fl = f.reshape(-1)
+        v00 = fl[base]
+        v01 = fl[base + 1]
+        v10 = fl[base + nx_]
+        v11 = fl[base + nx_ + 1]
+        return ((1.0 - ty) * ((1.0 - tx) * v00 + tx * v01)
+                + ty * ((1.0 - tx) * v10 + tx * v11))
+
+    tgt = jnp.where(solid, u_b, field)
+    for _ in range(sweeps):
+        probe = gather(tgt)
+        u_g = u_b - scale * (probe - u_b)
+        tgt = jnp.where(ghost, u_g, jnp.where(solid, u_b, field))
+    out = field - strength * (field - tgt)
+    return out, field - out
+
+
 def sphere_ghost_cells(x_faces, y_faces, z_faces, center, radius: float,
                        probe_dist: float | None = None) -> GhostFaceSet:
     """Cell-centered ghost stencils for a Dirichlet scalar on the same
@@ -334,6 +393,7 @@ __all__ = [
     "GhostIBM2D",
     "GhostIBM3D",
     "cylinder_ghost_ibm",
+    "moving_ghost_forcing_2d",
     "sphere_ghost_ibm",
     "sphere_ghost_cells",
     "apply_ghost_forcing",

@@ -464,6 +464,7 @@ def make_step(
     moving_body=None,
     implicit_kit: Optional[MACImplicitKit] = None,
     ibm_ghost=None,
+    moving_scheme: str = "penalize",
 ) -> Callable:
     """Build ``step(state, cfl_scale) -> (state, StepMetrics)``.
 
@@ -481,10 +482,16 @@ def make_step(
     ``ibm_ghost`` (ibm_ghost.GhostIBM2D): sharp-interface ghost-cell
     direct forcing for a static body — second-order wall placement at
     the exact surface (mutually exclusive with ibm_mask_*; same
-    momentum-exchange force accounting).
+    momentum-exchange force accounting). ``moving_scheme="ghost"``
+    upgrades ``moving_body`` from the penalization masks to the same
+    sharp-interface treatment, with the classification and bilinear
+    probe stencils rebuilt on device each stage from center(t)
+    (ibm_ghost.moving_ghost_forcing_2d — uniform grids).
     """
     if ibm_ghost is not None and ibm_mask_u is not None:
         raise ValueError("ibm_ghost and ibm_mask_* are mutually exclusive")
+    if moving_scheme not in ("penalize", "ghost"):
+        raise ValueError(f"unknown moving_scheme {moving_scheme!r}")
     if cfg.time_scheme not in ("euler", "rk2"):
         raise ValueError(f"unknown MAC time scheme {cfg.time_scheme!r}")
     if cfg.projection not in ("chorin", "incremental"):
@@ -645,13 +652,28 @@ def make_step(
             if moving_body is not None:
                 from cfdsim_tpu.ibm import ibm_ramp
 
-                m_u, m_v = body_masks(t_s)
                 ub, vb = moving_body.velocity(t_s)
                 strength = ibm_ramp(state.step, ibm_ramp_steps)
-                du_mb = (u_star - ub) * (strength * m_u)
-                dv_mb = (v_star - vb) * (strength * m_v)
-                u_star = u_star - du_mb
-                v_star = v_star - dv_mb
+                if moving_scheme == "ghost":
+                    from cfdsim_tpu.ibm_ghost import moving_ghost_forcing_2d
+
+                    ctr = moving_body.center(t_s)
+                    r = moving_body.radius
+                    delta = 1.5 * hb
+                    u_star, du_mb = moving_ghost_forcing_2d(
+                        u_star, Xu, Yu, g.x_min, dx, g.y_min + 0.5 * dy,
+                        dy, ctr, r, delta, ub, strength,
+                    )
+                    v_star, dv_mb = moving_ghost_forcing_2d(
+                        v_star, Xv, Yv, g.x_min + 0.5 * dx, dx, g.y_min,
+                        dy, ctr, r, delta, vb, strength,
+                    )
+                else:
+                    m_u, m_v = body_masks(t_s)
+                    du_mb = (u_star - ub) * (strength * m_u)
+                    dv_mb = (v_star - vb) * (strength * m_v)
+                    u_star = u_star - du_mb
+                    v_star = v_star - dv_mb
                 if cfg.compute_metrics:
                     cell = dx * dy
                     fx = fx + jnp.sum(du_mb) * cell / dt

@@ -302,6 +302,85 @@ def test_stretched_2d_ghost_uniform_equivalence():
     np.testing.assert_allclose(float(m_s.fx), float(m_u.fx), atol=1e-5)
 
 
+def test_moving_ghost_static_limit_matches_precomputed():
+    """moving_ghost_forcing_2d with a constant center and u_b = 0 must
+    reproduce the host-precomputed static apply (same classification,
+    same bilinear probes on the uniform grid)."""
+    from cfdsim_tpu.ibm_ghost import (
+        apply_ghost_forcing_2d,
+        cylinder_ghost_ibm,
+        moving_ghost_forcing_2d,
+    )
+
+    nx, ny = 96, 48
+    xf = np.linspace(0.0, 8.0, nx + 1)
+    yf = np.linspace(0.0, 4.0, ny + 1)
+    dx = 8.0 / nx
+    dy = 4.0 / ny
+    yc = 0.5 * (yf[:-1] + yf[1:])
+    X, Y = (jnp.asarray(a, jnp.float32)
+            for a in np.meshgrid(xf, yc, indexing="xy"))
+    rng = np.random.default_rng(0)
+    f = jnp.asarray(rng.normal(size=(ny, nx + 1)), jnp.float32)
+    static = cylinder_ghost_ibm(xf, yf, (2.0, 2.0), 0.5,
+                                probe_dist=1.5 * dx)
+    out_s, du_s = apply_ghost_forcing_2d(f, static.u, jnp.float32(1.0))
+    out_m, du_m = moving_ghost_forcing_2d(
+        f, X, Y, 0.0, dx, 0.5 * dy, dy, (2.0, 2.0), 0.5, 1.5 * dx,
+        jnp.float32(0.0), jnp.float32(1.0),
+    )
+    np.testing.assert_allclose(np.asarray(out_m), np.asarray(out_s),
+                               rtol=0, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(du_m), np.asarray(du_s),
+                               rtol=0, atol=2e-5)
+
+
+def test_moving_ghost_comoving_stream_is_forceless():
+    """A body co-moving with a uniform stream (u ≡ u_b everywhere)
+    leaves the field untouched: the ghost reflection of a constant
+    u_b field through the wall value u_b is u_b."""
+    from cfdsim_tpu.ibm_ghost import moving_ghost_forcing_2d
+
+    nx, ny = 64, 64
+    xf = np.linspace(0.0, 4.0, nx + 1)
+    yf = np.linspace(0.0, 4.0, ny + 1)
+    dx = dy = 4.0 / nx
+    yc = 0.5 * (yf[:-1] + yf[1:])
+    X, Y = (jnp.asarray(a, jnp.float32)
+            for a in np.meshgrid(xf, yc, indexing="xy"))
+    ub = jnp.float32(0.7)
+    f = jnp.full((ny, nx + 1), 0.7, jnp.float32)
+    out, du = moving_ghost_forcing_2d(
+        f, X, Y, 0.0, dx, 0.5 * dy, dy, (2.0, 2.0), 0.5, 1.5 * dx,
+        ub, jnp.float32(1.0),
+    )
+    np.testing.assert_allclose(np.asarray(out), 0.7, atol=1e-5)
+    assert float(jnp.max(jnp.abs(du))) < 1e-5
+
+
+def test_oscillating_cylinder_ghost_case_steps():
+    from cfdsim_tpu.cases import build
+
+    case = build(
+        "cylinder_oscillating", nx=96, ny=48, domain=(8.0, 4.0),
+        center=(4.0, 2.0), ibm_scheme="ghost",
+    )
+
+    def chunk(s):
+        def body(c, _):
+            c2, m = case.step(c, jnp.float32(1.0))
+            return c2, m.fx
+
+        return jax.lax.scan(body, s, None, length=25)
+
+    s, fx = jax.jit(chunk)(case.state)
+    assert np.isfinite(np.asarray(s.u)).all()
+    assert np.isfinite(float(fx[-1]))
+    with pytest.raises(ValueError):
+        build("cylinder_oscillating", nx=32, ny=32, stretched=True,
+              ibm_scheme="ghost")
+
+
 def test_ghost_and_masks_mutually_exclusive():
     from cfdsim_tpu.models import mac_stretched3d as ms3
 
