@@ -343,6 +343,68 @@ def moving_ghost_forcing_2d(field, X, Y, x0: float, dx: float, y0: float,
     return out, field - out
 
 
+def moving_ghost_forcing_3d(field, X, Y, Z, origin, spacing, center,
+                            radius: float, delta: float, u_b, strength,
+                            sweeps: int = 2):
+    """3D ``moving_ghost_forcing_2d``: ghost-cell direct forcing for a
+    MOVING sphere on a UNIFORM 3D face set, classification and
+    trilinear probe stencils recomputed on device each call from
+    ``center``. ``origin``/``spacing`` are the (x, y, z) coordinate of
+    sample (0, 0, 0) and the uniform spacings of this face set (X/Y/Z
+    its coordinate grids, the moving-penalization rebuild arrays)."""
+    cx, cy, cz = center
+    px, py, pz = X - cx, Y - cy, Z - cz
+    d = jnp.sqrt(px * px + py * py + pz * pz)
+    inside = d <= radius
+    outside = ~inside
+    o = jnp.pad(outside, 1, mode="edge")
+    near = (
+        o[1:-1, 1:-1, :-2] | o[1:-1, 1:-1, 2:]
+        | o[1:-1, :-2, 1:-1] | o[1:-1, 2:, 1:-1]
+        | o[:-2, 1:-1, 1:-1] | o[2:, 1:-1, 1:-1]
+    )
+    ghost = inside & near
+    solid = inside & ~near
+
+    inv = 1.0 / jnp.maximum(d, 1e-12)
+    qx = cx + px * inv * (radius + delta)
+    qy = cy + py * inv * (radius + delta)
+    qz = cz + pz * inv * (radius + delta)
+    scale = (radius - d) / delta
+
+    nz_, ny_, nx_ = field.shape
+    x0, y0, z0 = origin
+    dx, dy, dz = spacing
+    gx = jnp.clip((qx - x0) / dx, 0.0, nx_ - 1.001)
+    gy = jnp.clip((qy - y0) / dy, 0.0, ny_ - 1.001)
+    gz = jnp.clip((qz - z0) / dz, 0.0, nz_ - 1.001)
+    ix = jnp.floor(gx).astype(jnp.int32)
+    tx = gx - ix
+    iy = jnp.floor(gy).astype(jnp.int32)
+    ty = gy - iy
+    iz = jnp.floor(gz).astype(jnp.int32)
+    tz = gz - iz
+    base = (iz * ny_ + iy) * nx_ + ix
+    sy, sz = nx_, ny_ * nx_
+
+    def gather(f):
+        fl = f.reshape(-1)
+
+        def plane(b):
+            return ((1.0 - ty) * ((1.0 - tx) * fl[b] + tx * fl[b + 1])
+                    + ty * ((1.0 - tx) * fl[b + sy] + tx * fl[b + sy + 1]))
+
+        return (1.0 - tz) * plane(base) + tz * plane(base + sz)
+
+    tgt = jnp.where(solid, u_b, field)
+    for _ in range(sweeps):
+        probe = gather(tgt)
+        u_g = u_b - scale * (probe - u_b)
+        tgt = jnp.where(ghost, u_g, jnp.where(solid, u_b, field))
+    out = field - strength * (field - tgt)
+    return out, field - out
+
+
 def sphere_ghost_cells(x_faces, y_faces, z_faces, center, radius: float,
                        probe_dist: float | None = None) -> GhostFaceSet:
     """Cell-centered ghost stencils for a Dirichlet scalar on the same
@@ -394,6 +456,7 @@ __all__ = [
     "GhostIBM3D",
     "cylinder_ghost_ibm",
     "moving_ghost_forcing_2d",
+    "moving_ghost_forcing_3d",
     "sphere_ghost_ibm",
     "sphere_ghost_cells",
     "apply_ghost_forcing",

@@ -421,6 +421,7 @@ def make_step(
     ibm_ramp_steps: int = 0,
     moving_body=None,
     ibm_ghost=None,
+    moving_scheme: str = "penalize",
 ) -> Callable:
     """Build ``step(state, cfl_scale) -> (state, StepMetrics)``.
 
@@ -434,9 +435,14 @@ def make_step(
     3D habitat of mac.make_step's moving_body. ``ibm_ghost``
     (ibm_ghost.GhostIBM3D): sharp-interface ghost-cell direct forcing
     — second-order wall placement at the exact body surface, mutually
-    exclusive with ibm_mask_* (same momentum-exchange forces)."""
+    exclusive with ibm_mask_* (same momentum-exchange forces).
+    ``moving_scheme="ghost"`` upgrades ``moving_body`` to the same
+    treatment with on-device per-stage stencil rebuild
+    (ibm_ghost.moving_ghost_forcing_3d)."""
     if ibm_ghost is not None and ibm_mask_u is not None:
         raise ValueError("ibm_ghost and ibm_mask_* are mutually exclusive")
+    if moving_scheme not in ("penalize", "ghost"):
+        raise ValueError(f"unknown moving_scheme {moving_scheme!r}")
     if cfg.scheme not in ("central", "upwind", "tvd"):
         raise ValueError(f"unknown MAC3D scheme {cfg.scheme!r}")
     if cfg.time_scheme not in ("euler", "rk2"):
@@ -578,15 +584,38 @@ def make_step(
             if moving_body is not None:
                 from cfdsim_tpu.ibm import ibm_ramp
 
-                m_u, m_v, m_w = body_masks(t_s)
                 ub, vb, wb = moving_body.velocity(t_s)
                 strength = ibm_ramp(state.step, ibm_ramp_steps)
-                du_mb = (u_star - ub) * (strength * m_u)
-                dv_mb = (v_star - vb) * (strength * m_v)
-                dw_mb = (w_star - wb) * (strength * m_w)
-                u_star = u_star - du_mb
-                v_star = v_star - dv_mb
-                w_star = w_star - dw_mb
+                if moving_scheme == "ghost":
+                    from cfdsim_tpu.ibm_ghost import moving_ghost_forcing_3d
+
+                    ctr = moving_body.center(t_s)
+                    r = moving_body.radius
+                    delta = 1.5 * h
+                    sp = (dx, dy, dz)
+                    u_star, du_mb = moving_ghost_forcing_3d(
+                        u_star, XU, YU, ZU,
+                        (g.x_min, g.y_min + 0.5 * dy, g.z_min + 0.5 * dz),
+                        sp, ctr, r, delta, ub, strength,
+                    )
+                    v_star, dv_mb = moving_ghost_forcing_3d(
+                        v_star, XV, YV, ZV,
+                        (g.x_min + 0.5 * dx, g.y_min, g.z_min + 0.5 * dz),
+                        sp, ctr, r, delta, vb, strength,
+                    )
+                    w_star, dw_mb = moving_ghost_forcing_3d(
+                        w_star, XW, YW, ZW,
+                        (g.x_min + 0.5 * dx, g.y_min + 0.5 * dy, g.z_min),
+                        sp, ctr, r, delta, wb, strength,
+                    )
+                else:
+                    m_u, m_v, m_w = body_masks(t_s)
+                    du_mb = (u_star - ub) * (strength * m_u)
+                    dv_mb = (v_star - vb) * (strength * m_v)
+                    dw_mb = (w_star - wb) * (strength * m_w)
+                    u_star = u_star - du_mb
+                    v_star = v_star - dv_mb
+                    w_star = w_star - dw_mb
                 if cfg.compute_metrics:
                     cell = dx * dy * dz
                     fx = fx + jnp.sum(du_mb) * cell / dt

@@ -381,6 +381,68 @@ def test_oscillating_cylinder_ghost_case_steps():
               ibm_scheme="ghost")
 
 
+def test_moving_ghost_3d_static_limit_matches_precomputed():
+    """moving_ghost_forcing_3d with constant center and u_b=0 equals the
+    host-precomputed static sphere apply on the uniform grid."""
+    from cfdsim_tpu.ibm_ghost import (
+        apply_ghost_forcing,
+        moving_ghost_forcing_3d,
+        sphere_ghost_ibm,
+    )
+
+    nx, ny, nz = 32, 16, 16
+    xf = np.linspace(0.0, 8.0, nx + 1)
+    yf = np.linspace(0.0, 4.0, ny + 1)
+    zf = np.linspace(0.0, 4.0, nz + 1)
+    dx = dy = dz = 0.25
+    yc = 0.5 * (yf[:-1] + yf[1:])
+    zc = 0.5 * (zf[:-1] + zf[1:])
+    Z, Y, X = (jnp.asarray(a, jnp.float32)
+               for a in np.meshgrid(zc, yc, xf, indexing="ij"))
+    rng = np.random.default_rng(1)
+    f = jnp.asarray(rng.normal(size=(nz, ny, nx + 1)), jnp.float32)
+    static = sphere_ghost_ibm(xf, yf, zf, (2.0, 2.0, 2.0), 0.5,
+                              probe_dist=1.5 * dx)
+    out_s, du_s = apply_ghost_forcing(f, static.u, jnp.float32(1.0))
+    out_m, du_m = moving_ghost_forcing_3d(
+        f, X, Y, Z, (0.0, 0.5 * dy, 0.5 * dz), (dx, dy, dz),
+        (2.0, 2.0, 2.0), 0.5, 1.5 * dx, jnp.float32(0.0),
+        jnp.float32(1.0),
+    )
+    np.testing.assert_allclose(np.asarray(out_m), np.asarray(out_s),
+                               rtol=0, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(du_m), np.asarray(du_s),
+                               rtol=0, atol=2e-5)
+
+
+def test_moving_ghost_3d_step_runs():
+    """mac3d moving_scheme="ghost": a translating sphere steps stably
+    with finite forces and a clean projection."""
+    from cfdsim_tpu.grid import Grid3D
+    from cfdsim_tpu.ibm import MovingBody3D
+    from cfdsim_tpu.models import mac3d
+    from cfdsim_tpu.solvers.poisson3d import Poisson3DConfig
+
+    grid = Grid3D(nx=32, ny=16, nz=16, x_max=8.0, y_max=4.0, z_max=4.0,
+                  centering="cell")
+    cfg = mac3d.MAC3DConfig(grid=grid, nu=0.01, scheme="tvd",
+                            dt_max=0.05,
+                            poisson=Poisson3DConfig(method="dct"))
+    one3 = lambda t: (jnp.ones_like(t), jnp.zeros_like(t),
+                      jnp.zeros_like(t))
+    body = MovingBody3D(center=lambda t: (2.0 + t, 2.0, 2.0),
+                        velocity=one3, radius=0.5)
+    step = jax.jit(mac3d.make_step(cfg, mac3d.free_slip_bcs3d(),
+                                   moving_body=body,
+                                   moving_scheme="ghost"))
+    s = mac3d.init_state(cfg)
+    for _ in range(10):
+        s, m = step(s, jnp.float32(1.0))
+    assert np.isfinite(np.asarray(s.u)).all()
+    assert np.isfinite(float(m.fx))
+    assert float(m.div_post) < 1e-3
+
+
 def test_ghost_and_masks_mutually_exclusive():
     from cfdsim_tpu.models import mac_stretched3d as ms3
 
