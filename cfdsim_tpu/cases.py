@@ -466,10 +466,10 @@ def cylinder_oscillating(
     analog of (its IBM is static, v5.py:275-283). ``stretched=True``
     clusters the grid around the sweep region (the stretched tier's
     moving-body path) for resolution the uniform grid can't afford.
-    ``ibm_scheme="ghost"`` (uniform path): moving sharp-interface
-    ghost-cell forcing — the wall condition u(r=R) = u_b(t) imposed
-    exactly, classification + probe stencils rebuilt on device each
-    stage (ibm_ghost.moving_ghost_forcing_2d)."""
+    ``ibm_scheme="ghost"``: moving sharp-interface ghost-cell forcing —
+    the wall condition u(r=R) = u_b(t) imposed exactly, classification
+    + probe stencils rebuilt on device each stage
+    (ibm_ghost.moving_ghost_forcing_2d[_nonuniform])."""
     import numpy as np
 
     from cfdsim_tpu.ibm import oscillating_cylinder
@@ -491,11 +491,6 @@ def cylinder_oscillating(
     if ibm_scheme not in ("penalize", "ghost"):
         raise ValueError(f"unknown ibm_scheme {ibm_scheme!r}")
     if stretched:
-        if ibm_scheme == "ghost":
-            raise ValueError(
-                "cylinder_oscillating ibm_scheme='ghost' is the uniform "
-                "path (the on-device probe lookup needs uniform spacing)"
-            )
         from cfdsim_tpu.models import mac_stretched as ms
 
         xf = ms.stretched_faces(
@@ -517,7 +512,8 @@ def cylinder_oscillating(
         scfg = ms.StretchedMACConfig(nx=nx, ny=ny, nu=nu, scheme=scheme,
                                      **defaults)
         step = ms.make_step(scfg, bcs, xf, yf, moving_body=body,
-                            ibm_ramp_steps=ibm_ramp_steps)
+                            ibm_ramp_steps=ibm_ramp_steps,
+                            moving_scheme=ibm_scheme)
         state = ms.init_state(scfg)
         extras.update({"x_faces": xf, "y_faces": yf, "h_min": h_min})
         return Case("cylinder_oscillating", scfg, step, state, grid,

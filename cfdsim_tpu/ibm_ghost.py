@@ -343,6 +343,59 @@ def moving_ghost_forcing_2d(field, X, Y, x0: float, dx: float, y0: float,
     return out, field - out
 
 
+def moving_ghost_forcing_2d_nonuniform(field, X, Y, xs, ys, center,
+                                       radius: float, delta: float, u_b,
+                                       strength, sweeps: int = 2):
+    """``moving_ghost_forcing_2d`` on a NONUNIFORM tensor-product face
+    set: the probe cell is located with an on-device searchsorted into
+    the 1D sample-coordinate vectors ``xs``/``ys`` (closed-over
+    constants — fine under single-device jit; the shard_map
+    closed-over-gather miscompile keeps this off the sharded paths).
+    The stretched moving-body tier's habitat (Dütsch at 70 cells/D)."""
+    cx, cy = center
+    px, py = X - cx, Y - cy
+    d = jnp.sqrt(px * px + py * py)
+    inside = d <= radius
+    outside = ~inside
+    o = jnp.pad(outside, 1, mode="edge")
+    near = o[1:-1, :-2] | o[1:-1, 2:] | o[:-2, 1:-1] | o[2:, 1:-1]
+    ghost = inside & near
+    solid = inside & ~near
+
+    inv = 1.0 / jnp.maximum(d, 1e-12)
+    qx = cx + px * inv * (radius + delta)
+    qy = cy + py * inv * (radius + delta)
+    scale = (radius - d) / delta
+
+    ny_, nx_ = field.shape
+    xs_ = jnp.asarray(xs, jnp.float32)
+    ys_ = jnp.asarray(ys, jnp.float32)
+    ix = jnp.clip(jnp.searchsorted(xs_, qx, side="right") - 1, 0, nx_ - 2)
+    iy = jnp.clip(jnp.searchsorted(ys_, qy, side="right") - 1, 0, ny_ - 2)
+    x_lo = xs_[ix]
+    y_lo = ys_[iy]
+    tx = jnp.clip((qx - x_lo) / (xs_[ix + 1] - x_lo), 0.0, 1.0)
+    ty = jnp.clip((qy - y_lo) / (ys_[iy + 1] - y_lo), 0.0, 1.0)
+    base = iy * nx_ + ix
+
+    def gather(f):
+        fl = f.reshape(-1)
+        v00 = fl[base]
+        v01 = fl[base + 1]
+        v10 = fl[base + nx_]
+        v11 = fl[base + nx_ + 1]
+        return ((1.0 - ty) * ((1.0 - tx) * v00 + tx * v01)
+                + ty * ((1.0 - tx) * v10 + tx * v11))
+
+    tgt = jnp.where(solid, u_b, field)
+    for _ in range(sweeps):
+        probe = gather(tgt)
+        u_g = u_b - scale * (probe - u_b)
+        tgt = jnp.where(ghost, u_g, jnp.where(solid, u_b, field))
+    out = field - strength * (field - tgt)
+    return out, field - out
+
+
 def moving_ghost_forcing_3d(field, X, Y, Z, origin, spacing, center,
                             radius: float, delta: float, u_b, strength,
                             sweeps: int = 2):
@@ -456,6 +509,7 @@ __all__ = [
     "GhostIBM3D",
     "cylinder_ghost_ibm",
     "moving_ghost_forcing_2d",
+    "moving_ghost_forcing_2d_nonuniform",
     "moving_ghost_forcing_3d",
     "sphere_ghost_ibm",
     "sphere_ghost_cells",

@@ -128,6 +128,7 @@ def make_step(
     ibm_ramp_steps: int = 0,
     moving_body=None,
     ibm_ghost=None,
+    moving_scheme: str = "penalize",
 ) -> Callable:
     """Build ``step(state, cfl_scale) -> (state, StepMetrics)`` on the
     stretched grid defined by face coordinates ``x_faces`` (nx+1,) /
@@ -136,6 +137,10 @@ def make_step(
     ``ibm_ghost`` (ibm_ghost.GhostIBM2D): sharp-interface ghost-cell
     direct forcing for a static body (mutually exclusive with
     ibm_mask_*; volume-weighted momentum-exchange forces).
+    ``moving_scheme="ghost"``: the moving-body analog — stencils
+    rebuilt on device each stage with a searchsorted probe lookup on
+    the nonuniform metrics (ibm_ghost.moving_ghost_forcing_2d_
+    nonuniform).
 
     ``moving_body`` (ibm.MovingBody): moving-geometry IBM on the
     stretched metrics — sharp masks rebuilt on device each step with a
@@ -145,6 +150,8 @@ def make_step(
     moving_body lifted to nonuniform control volumes)."""
     if ibm_ghost is not None and ibm_mask_u is not None:
         raise ValueError("ibm_ghost and ibm_mask_* are mutually exclusive")
+    if moving_scheme not in ("penalize", "ghost"):
+        raise ValueError(f"unknown moving_scheme {moving_scheme!r}")
     mx = _metrics(x_faces)
     my = _metrics(y_faces)
     nx, ny = cfg.nx, cfg.ny
@@ -362,13 +369,30 @@ def make_step(
             if moving_body is not None:
                 from cfdsim_tpu.ibm import ibm_ramp
 
-                m_u, m_v = body_masks(t_s)
                 ub, vb = moving_body.velocity(t_s)
                 strength = ibm_ramp(state.step, ibm_ramp_steps)
-                du_mb = (u_star - ub) * (strength * m_u)
-                dv_mb = (v_star - vb) * (strength * m_v)
-                u_star = u_star - du_mb
-                v_star = v_star - dv_mb
+                if moving_scheme == "ghost":
+                    from cfdsim_tpu.ibm_ghost import (
+                        moving_ghost_forcing_2d_nonuniform,
+                    )
+
+                    ctr = moving_body.center(t_s)
+                    r = moving_body.radius
+                    delta = 1.5 * h_min
+                    u_star, du_mb = moving_ghost_forcing_2d_nonuniform(
+                        u_star, Xu_m, Yu_m, xf_np, my.xc, ctr, r, delta,
+                        ub, strength,
+                    )
+                    v_star, dv_mb = moving_ghost_forcing_2d_nonuniform(
+                        v_star, Xv_m, Yv_m, mx.xc, yf_np, ctr, r, delta,
+                        vb, strength,
+                    )
+                else:
+                    m_u, m_v = body_masks(t_s)
+                    du_mb = (u_star - ub) * (strength * m_u)
+                    dv_mb = (v_star - vb) * (strength * m_v)
+                    u_star = u_star - du_mb
+                    v_star = v_star - dv_mb
                 if cfg.compute_metrics:
                     fx = fx + jnp.sum(du_mb * area_u_mb) / dt
                     fy = fy + jnp.sum(dv_mb * area_v_mb) / dt

@@ -376,9 +376,54 @@ def test_oscillating_cylinder_ghost_case_steps():
     s, fx = jax.jit(chunk)(case.state)
     assert np.isfinite(np.asarray(s.u)).all()
     assert np.isfinite(float(fx[-1]))
-    with pytest.raises(ValueError):
-        build("cylinder_oscillating", nx=32, ny=32, stretched=True,
-              ibm_scheme="ghost")
+
+
+def test_moving_ghost_nonuniform_matches_uniform_on_uniform_faces():
+    """The searchsorted nonuniform moving-ghost apply equals the
+    floor-arithmetic uniform one on uniform coordinate vectors."""
+    from cfdsim_tpu.ibm_ghost import (
+        moving_ghost_forcing_2d,
+        moving_ghost_forcing_2d_nonuniform,
+    )
+
+    nx, ny = 96, 48
+    xf = np.linspace(0.0, 8.0, nx + 1)
+    yf = np.linspace(0.0, 4.0, ny + 1)
+    dx = 8.0 / nx
+    dy = 4.0 / ny
+    yc = 0.5 * (yf[:-1] + yf[1:])
+    X, Y = (jnp.asarray(a, jnp.float32)
+            for a in np.meshgrid(xf, yc, indexing="xy"))
+    rng = np.random.default_rng(2)
+    f = jnp.asarray(rng.normal(size=(ny, nx + 1)), jnp.float32)
+    args = ((2.1, 1.9), 0.5, 1.5 * dx, jnp.float32(0.3),
+            jnp.float32(1.0))
+    out_u, du_u = moving_ghost_forcing_2d(
+        f, X, Y, 0.0, dx, 0.5 * dy, dy, *args)
+    out_n, du_n = moving_ghost_forcing_2d_nonuniform(
+        f, X, Y, xf, yc, *args)
+    np.testing.assert_allclose(np.asarray(out_n), np.asarray(out_u),
+                               rtol=0, atol=2e-5)
+
+
+def test_oscillating_cylinder_stretched_ghost_steps():
+    from cfdsim_tpu.cases import build
+
+    case = build(
+        "cylinder_oscillating", nx=64, ny=48, domain=(8.0, 4.0),
+        center=(4.0, 2.0), stretched=True, ibm_scheme="ghost",
+    )
+
+    def chunk(s):
+        def body(c, _):
+            c2, m = case.step(c, jnp.float32(1.0))
+            return c2, m.fx
+
+        return jax.lax.scan(body, s, None, length=20)
+
+    s, fx = jax.jit(chunk)(case.state)
+    assert np.isfinite(np.asarray(s.u)).all()
+    assert np.isfinite(float(fx[-1]))
 
 
 def test_moving_ghost_3d_static_limit_matches_precomputed():
