@@ -458,6 +458,64 @@ def moving_ghost_forcing_3d(field, X, Y, Z, origin, spacing, center,
     return out, field - out
 
 
+def moving_ghost_forcing_3d_nonuniform(field, X, Y, Z, xs, ys, zs,
+                                       center, radius: float,
+                                       delta: float, u_b, strength,
+                                       sweeps: int = 2):
+    """``moving_ghost_forcing_3d`` on a NONUNIFORM tensor-product face
+    set (searchsorted probe lookup into the 1D coordinate vectors —
+    the stretched-3D moving-body tier's habitat)."""
+    cx, cy, cz = center
+    px, py, pz = X - cx, Y - cy, Z - cz
+    d = jnp.sqrt(px * px + py * py + pz * pz)
+    inside = d <= radius
+    outside = ~inside
+    o = jnp.pad(outside, 1, mode="edge")
+    near = (
+        o[1:-1, 1:-1, :-2] | o[1:-1, 1:-1, 2:]
+        | o[1:-1, :-2, 1:-1] | o[1:-1, 2:, 1:-1]
+        | o[:-2, 1:-1, 1:-1] | o[2:, 1:-1, 1:-1]
+    )
+    ghost = inside & near
+    solid = inside & ~near
+
+    inv = 1.0 / jnp.maximum(d, 1e-12)
+    qx = cx + px * inv * (radius + delta)
+    qy = cy + py * inv * (radius + delta)
+    qz = cz + pz * inv * (radius + delta)
+    scale = (radius - d) / delta
+
+    nz_, ny_, nx_ = field.shape
+    xs_ = jnp.asarray(xs, jnp.float32)
+    ys_ = jnp.asarray(ys, jnp.float32)
+    zs_ = jnp.asarray(zs, jnp.float32)
+    ix = jnp.clip(jnp.searchsorted(xs_, qx, side="right") - 1, 0, nx_ - 2)
+    iy = jnp.clip(jnp.searchsorted(ys_, qy, side="right") - 1, 0, ny_ - 2)
+    iz = jnp.clip(jnp.searchsorted(zs_, qz, side="right") - 1, 0, nz_ - 2)
+    tx = jnp.clip((qx - xs_[ix]) / (xs_[ix + 1] - xs_[ix]), 0.0, 1.0)
+    ty = jnp.clip((qy - ys_[iy]) / (ys_[iy + 1] - ys_[iy]), 0.0, 1.0)
+    tz = jnp.clip((qz - zs_[iz]) / (zs_[iz + 1] - zs_[iz]), 0.0, 1.0)
+    base = (iz * ny_ + iy) * nx_ + ix
+    sy, sz = nx_, ny_ * nx_
+
+    def gather(f):
+        fl = f.reshape(-1)
+
+        def plane(b):
+            return ((1.0 - ty) * ((1.0 - tx) * fl[b] + tx * fl[b + 1])
+                    + ty * ((1.0 - tx) * fl[b + sy] + tx * fl[b + sy + 1]))
+
+        return (1.0 - tz) * plane(base) + tz * plane(base + sz)
+
+    tgt = jnp.where(solid, u_b, field)
+    for _ in range(sweeps):
+        probe = gather(tgt)
+        u_g = u_b - scale * (probe - u_b)
+        tgt = jnp.where(ghost, u_g, jnp.where(solid, u_b, field))
+    out = field - strength * (field - tgt)
+    return out, field - out
+
+
 def sphere_ghost_cells(x_faces, y_faces, z_faces, center, radius: float,
                        probe_dist: float | None = None) -> GhostFaceSet:
     """Cell-centered ghost stencils for a Dirichlet scalar on the same
@@ -511,6 +569,7 @@ __all__ = [
     "moving_ghost_forcing_2d",
     "moving_ghost_forcing_2d_nonuniform",
     "moving_ghost_forcing_3d",
+    "moving_ghost_forcing_3d_nonuniform",
     "sphere_ghost_ibm",
     "sphere_ghost_cells",
     "apply_ghost_forcing",

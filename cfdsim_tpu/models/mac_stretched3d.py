@@ -208,6 +208,7 @@ def make_step(
     ibm_ramp_steps: int = 0,
     moving_body=None,
     ibm_ghost=None,
+    moving_scheme: str = "penalize",
 ) -> Callable:
     """Build ``step(state, cfl_scale) -> (state, StepMetrics)`` on the
     stretched grid defined by the three face-coordinate vectors.
@@ -226,9 +227,14 @@ def make_step(
     second-order wall placement at the exact body surface (the LES
     wall treatment for under-resolved boundary layers; mutually
     exclusive with ibm_mask_*). Forces use the same Σ Δu·V/dt
-    momentum-exchange accounting."""
+    momentum-exchange accounting. ``moving_scheme="ghost"`` upgrades
+    ``moving_body`` to the same treatment with on-device per-stage
+    stencil rebuild (searchsorted probe lookup on the nonuniform
+    metrics, ibm_ghost.moving_ghost_forcing_3d_nonuniform)."""
     if ibm_ghost is not None and ibm_mask_u is not None:
         raise ValueError("ibm_ghost and ibm_mask_* are mutually exclusive")
+    if moving_scheme not in ("penalize", "ghost"):
+        raise ValueError(f"unknown moving_scheme {moving_scheme!r}")
     mx = _metrics(x_faces)
     my = _metrics(y_faces)
     mz = _metrics(z_faces)
@@ -521,15 +527,36 @@ def make_step(
             if moving_body is not None:
                 from cfdsim_tpu.ibm import ibm_ramp
 
-                m_u, m_v, m_w = body_masks(t_s)
                 ub, vb, wb = moving_body.velocity(t_s)
                 strength = ibm_ramp(state.step, ibm_ramp_steps)
-                du_mb = (u_star - ub) * (strength * m_u)
-                dv_mb = (v_star - vb) * (strength * m_v)
-                dw_mb = (w_star - wb) * (strength * m_w)
-                u_star = u_star - du_mb
-                v_star = v_star - dv_mb
-                w_star = w_star - dw_mb
+                if moving_scheme == "ghost":
+                    from cfdsim_tpu.ibm_ghost import (
+                        moving_ghost_forcing_3d_nonuniform,
+                    )
+
+                    ctr = moving_body.center(t_s)
+                    r = moving_body.radius
+                    delta = 1.5 * h_min
+                    u_star, du_mb = moving_ghost_forcing_3d_nonuniform(
+                        u_star, XU, YU, ZU, xf, my.xc, mz.xc, ctr, r,
+                        delta, ub, strength,
+                    )
+                    v_star, dv_mb = moving_ghost_forcing_3d_nonuniform(
+                        v_star, XV, YV, ZV, mx.xc, yf, mz.xc, ctr, r,
+                        delta, vb, strength,
+                    )
+                    w_star, dw_mb = moving_ghost_forcing_3d_nonuniform(
+                        w_star, XW, YW, ZW, mx.xc, my.xc, zf, ctr, r,
+                        delta, wb, strength,
+                    )
+                else:
+                    m_u, m_v, m_w = body_masks(t_s)
+                    du_mb = (u_star - ub) * (strength * m_u)
+                    dv_mb = (v_star - vb) * (strength * m_v)
+                    dw_mb = (w_star - wb) * (strength * m_w)
+                    u_star = u_star - du_mb
+                    v_star = v_star - dv_mb
+                    w_star = w_star - dw_mb
                 if cfg.compute_metrics:
                     fx = fx + jnp.sum(du_mb * cv_u) / dt
                     fy = fy + jnp.sum(dv_mb * cv_v) / dt

@@ -488,6 +488,48 @@ def test_moving_ghost_3d_step_runs():
     assert float(m.div_post) < 1e-3
 
 
+def test_moving_ghost_stretched3d_uniform_matches_mac3d():
+    """On uniform faces the stretched-3D moving ghost equals the
+    uniform mac3d moving ghost (searchsorted vs floor lookup)."""
+    from cfdsim_tpu.grid import Grid3D
+    from cfdsim_tpu.ibm import MovingBody3D
+    from cfdsim_tpu.models import mac3d
+    from cfdsim_tpu.models import mac_stretched3d as ms3
+    from cfdsim_tpu.solvers.poisson3d import Poisson3DConfig
+
+    nx, ny, nz = 32, 16, 16
+    xf = np.linspace(0.0, 8.0, nx + 1)
+    yf = np.linspace(0.0, 4.0, ny + 1)
+    zf = np.linspace(0.0, 4.0, nz + 1)
+    one3 = lambda t: (0.5 * jnp.ones_like(t), jnp.zeros_like(t),
+                      jnp.zeros_like(t))
+    body = MovingBody3D(center=lambda t: (2.0 + 0.5 * t, 2.0, 2.0),
+                        velocity=one3, radius=0.5)
+    grid = Grid3D(nx=nx, ny=ny, nz=nz, x_max=8.0, y_max=4.0, z_max=4.0,
+                  centering="cell")
+    ucfg = mac3d.MAC3DConfig(grid=grid, nu=0.01, scheme="central",
+                             dt_max=0.02,
+                             poisson=Poisson3DConfig(method="dct"))
+    scfg = ms3.StretchedMAC3DConfig(nx=nx, ny=ny, nz=nz, nu=0.01,
+                                    scheme="central", dt_max=0.02)
+    bcs_u = mac3d.free_slip_bcs3d()
+    step_u = jax.jit(mac3d.make_step(ucfg, bcs_u, moving_body=body,
+                                     moving_scheme="ghost"))
+    step_s = jax.jit(ms3.make_step(scfg, bcs_u, xf, yf, zf,
+                                   moving_body=body,
+                                   moving_scheme="ghost"))
+    su, ss = mac3d.init_state(ucfg), ms3.init_state(scfg)
+    for _ in range(6):
+        su, m_u = step_u(su, jnp.float32(1.0))
+        ss, m_s = step_s(ss, jnp.float32(1.0))
+    np.testing.assert_allclose(np.asarray(ss.u), np.asarray(su.u),
+                               rtol=0, atol=5e-6)
+    np.testing.assert_allclose(np.asarray(ss.w), np.asarray(su.w),
+                               rtol=0, atol=5e-6)
+    np.testing.assert_allclose(float(m_s.fx), float(m_u.fx),
+                               rtol=1e-4, atol=1e-6)
+
+
 def test_ghost_and_masks_mutually_exclusive():
     from cfdsim_tpu.models import mac_stretched3d as ms3
 
