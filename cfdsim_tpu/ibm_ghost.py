@@ -27,10 +27,11 @@ static flat-index gathers), so the per-step cost is two M-point
 gather/scatter passes over ~surface-count faces — TPU-friendly static
 shapes, no data-dependent control flow.
 
-Scope: single-device paths (the sharded shard_map tiers keep
-penalization — gathers on closed-over constants miscompile inside
-shard_map on this rig's XLA CPU backend, see CLAUDE.md). Static
-geometry; moving bodies would need the stencils rebuilt per step.
+Static geometry uses host-precomputed stencils (``sphere_ghost_ibm`` /
+``cylinder_ghost_ibm``); MOVING bodies use the fully-on-device
+``moving_ghost_forcing_*`` family below, which recomputes
+classification, normals, and probe stencils elementwise each call from
+``center`` (Galilean-validated; Dütsch KC=5 — BENCHNOTES).
 """
 
 from __future__ import annotations
@@ -53,7 +54,9 @@ class GhostFaceSet(NamedTuple):
     gz/gy/gx: (M,) int32 indices of the ghost faces.
     pidx: (M, 8) int32 flat indices of the trilinear probe corners.
     pw: (M, 8) f32 trilinear weights (rows sum to 1).
-    scale: (M,) f32 reflection factor (R - d_ghost)/δ ∈ (0, ~1].
+    scale: (M,) f32 reflection factor (R - d_ghost)/δ clipped to [0, 1]
+        (the clip matters on stretched grids where a ghost face in a
+        coarse region can sit deeper than the global δ — ADVICE r3).
     """
 
     solid: jnp.ndarray
@@ -111,7 +114,12 @@ def _ghost_face_set(xs, ys, zs, center, radius: float,
     qx = cx + nxv * (radius + delta)
     qy = cy + nyv * (radius + delta)
     qz = cz + nzv * (radius + delta)
-    scale = (radius - d_g) / delta
+    # Clip to [0, 1]: δ is GLOBAL (1.5·h_min), so on a stretched grid a
+    # ghost face sitting in a coarser region can lie deeper than δ below
+    # the surface; an unclipped (R-d)/δ > 1 amplifies the reflection and
+    # can destabilize (ADVICE r3). Clipping saturates the mirror at the
+    # full-reflection limit instead.
+    scale = np.clip((radius - d_g) / delta, 0.0, 1.0)
 
     def locate(q, s):
         i = np.clip(np.searchsorted(s, q) - 1, 0, len(s) - 2)
@@ -222,7 +230,7 @@ def _ghost_face_set_2d(xs, ys, center, radius: float,
     nyv = py[gy, gx] * inv
     qx = cx + nxv * (radius + delta)
     qy = cy + nyv * (radius + delta)
-    scale = (radius - d_g) / delta
+    scale = np.clip((radius - d_g) / delta, 0.0, 1.0)  # see 3D note
 
     def locate(q, s):
         i = np.clip(np.searchsorted(s, q) - 1, 0, len(s) - 2)
@@ -314,7 +322,7 @@ def moving_ghost_forcing_2d(field, X, Y, x0: float, dx: float, y0: float,
     inv = 1.0 / jnp.maximum(d, 1e-12)
     qx = cx + px * inv * (radius + delta)
     qy = cy + py * inv * (radius + delta)
-    scale = (radius - d) / delta
+    scale = jnp.clip((radius - d) / delta, 0.0, 1.0)
 
     ny_, nx_ = field.shape
     gx = jnp.clip((qx - x0) / dx, 0.0, nx_ - 1.001)
@@ -365,7 +373,7 @@ def moving_ghost_forcing_2d_nonuniform(field, X, Y, xs, ys, center,
     inv = 1.0 / jnp.maximum(d, 1e-12)
     qx = cx + px * inv * (radius + delta)
     qy = cy + py * inv * (radius + delta)
-    scale = (radius - d) / delta
+    scale = jnp.clip((radius - d) / delta, 0.0, 1.0)
 
     ny_, nx_ = field.shape
     xs_ = jnp.asarray(xs, jnp.float32)
@@ -423,7 +431,7 @@ def moving_ghost_forcing_3d(field, X, Y, Z, origin, spacing, center,
     qx = cx + px * inv * (radius + delta)
     qy = cy + py * inv * (radius + delta)
     qz = cz + pz * inv * (radius + delta)
-    scale = (radius - d) / delta
+    scale = jnp.clip((radius - d) / delta, 0.0, 1.0)
 
     nz_, ny_, nx_ = field.shape
     x0, y0, z0 = origin
@@ -483,7 +491,7 @@ def moving_ghost_forcing_3d_nonuniform(field, X, Y, Z, xs, ys, zs,
     qx = cx + px * inv * (radius + delta)
     qy = cy + py * inv * (radius + delta)
     qz = cz + pz * inv * (radius + delta)
-    scale = (radius - d) / delta
+    scale = jnp.clip((radius - d) / delta, 0.0, 1.0)
 
     nz_, ny_, nx_ = field.shape
     xs_ = jnp.asarray(xs, jnp.float32)

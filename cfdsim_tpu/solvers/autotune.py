@@ -48,12 +48,18 @@ def _load_disk() -> dict:
         return {}
 
 
-def _store_disk(key: str, value: str, timings: dict) -> None:
+def _store_disk(key: str, value: str, timings: dict,
+                fallback: list | None = None) -> None:
     path = _cache_path()
     try:
         path.parent.mkdir(parents=True, exist_ok=True)
         data = _load_disk()
-        data[key] = {"variant": value, "ms": timings}
+        entry = {"variant": value, "ms": timings}
+        if fallback:
+            # these ms values are constant-inclusive upper bounds, not
+            # marginals (shared-chip variance inverted the slope)
+            entry["fallback_upper_bound"] = sorted(fallback)
+        data[key] = entry
         path.write_text(json.dumps(data, indent=1, sort_keys=True))
     except OSError:
         pass  # read-only home: in-process cache still applies
@@ -113,26 +119,32 @@ def _time_marginal(fn, rhs, k_short: int = 2, k_long: int = 10,
     # shared-chip variance can invert the marginal (t_long < t_short);
     # the old 1e-9 floor then published a falsely-zero time that FAKE-WON
     # the tune.  Retry, then fall back to the long-chain average — a
-    # conservative upper bound that still ranks variants sanely.
+    # conservative upper bound (it still carries the per-call dispatch
+    # constant, ~100 ms on this rig's relay) flagged to the caller so the
+    # winner selection and the cached timings record it (ADVICE r3).
     for _ in range(3):
         t_l, t_s = best_of(f_l), best_of(f_s)
         if t_l > t_s:
-            return (t_l - t_s) / (k_long - k_short)
-    return t_l / k_long
+            return (t_l - t_s) / (k_long - k_short), False
+    return t_l / k_long, True
 
 
-def measure_dct_variants(shape, dx: float, dy: float) -> dict:
-    """Time every exact variant on the live backend → {variant: ms}."""
+def measure_dct_variants(shape, dx: float, dy: float) -> tuple[dict, list]:
+    """Time every exact variant on the live backend → ({variant: ms},
+    [variants whose timing is a constant-inclusive upper bound])."""
     rng = np.random.default_rng(0)
     rhs = jnp.asarray(rng.standard_normal(shape), jnp.float32)
     rhs = rhs - jnp.mean(rhs)
-    out = {}
+    out, fallback = {}, []
     for v in _VARIANTS:
         try:
-            out[v] = _time_marginal(_candidate(v, shape, dx, dy), rhs) * 1e3
+            t, is_ub = _time_marginal(_candidate(v, shape, dx, dy), rhs)
         except Exception:  # pragma: no cover - variant unsupported here
             continue
-    return out
+        out[v] = t * 1e3
+        if is_ub:
+            fallback.append(v)
+    return out, fallback
 
 
 def _key(shape) -> str:
@@ -171,15 +183,27 @@ def best_dct_variant(shape, dx: float, dy: float) -> str:
     hit = cached_dct_variant(shape)
     if hit:
         return hit
-    from jax._src import core as _core
+    # trace_state_clean is a private jax path that can move on upgrade
+    # (ADVICE r3): if it's gone, assume we might be inside a trace and
+    # return the documented in-trace default rather than ImportError.
+    try:
+        from jax._src import core as _core
 
-    if not _core.trace_state_clean():  # inside jit tracing: no timing
+        in_trace = not _core.trace_state_clean()
+    except Exception:
         return "rfft"
-    timings = measure_dct_variants(shape, dx, dy)
-    winner = min(timings, key=timings.get) if timings else "rfft"
+    if in_trace:  # inside jit tracing: no timing
+        return "rfft"
+    timings, fallback = measure_dct_variants(shape, dx, dy)
+    # constant-inclusive fallback timings must not beat clean marginals:
+    # prefer the fastest cleanly-measured variant when one exists.
+    clean = {k: v for k, v in timings.items() if k not in fallback}
+    pool = clean or timings
+    winner = min(pool, key=pool.get) if pool else "rfft"
     _MEM[_key(shape)] = winner
     _store_disk(_key(shape), winner,
-                {k: round(v, 4) for k, v in timings.items()})
+                {k: round(v, 4) for k, v in timings.items()},
+                fallback=fallback)
     return winner
 
 

@@ -104,13 +104,15 @@ def test_golden(name):
     # Noise floor: quantities that are numerical zeros (e.g. fy on a
     # symmetric sphere, ~1e-8) shift at noise level whenever the solver's
     # fp reduction order changes (e.g. a faster-but-equal Poisson variant).
-    # Compare them against an absolute floor scaled to the case's dominant
-    # magnitude instead of a meaningless 2e-13 relative band.
+    # The floor applies ONLY to keys whose golden value is itself below
+    # it — small-but-physical keys (l2_theta ~0.57 next to max_p ~2563)
+    # keep the tight relative band (ADVICE r3: the old max(rtol, atol)
+    # silently loosened them ~230x).
     scale = max(abs(v) for v in ref.values())
     atol = 1e-6 * scale
     for key, want in ref.items():
         got = sig[key]
-        tol = max(RTOL * abs(want), atol)
+        tol = RTOL * abs(want) if abs(want) > atol else atol
         assert abs(got - want) <= tol, (
             f"{name}.{key}: {got!r} != golden {want!r} "
             f"(|Δ|={abs(got - want):.3e} > {tol:.3e}) — physics changed? "
