@@ -129,6 +129,7 @@ def test_sharded_step_metrics_match(mesh):
 
 
 @pytest.mark.xfail(
+    jax.__version__.startswith("0.9."),
     reason="XLA SPMD miscompiles elementwise ops on arrays with uneven "
     "(non-divisible) derived shapes on this jax/XLA version: with u "
     "P('y',None)-sharded and v fully REPLICATED, v_x*u_y (both factors "
@@ -198,8 +199,10 @@ def test_mac_trimmed_roundtrip_bitwise_exact():
 
 
 @pytest.mark.xfail(
+    jax.__version__.startswith("0.9."),
     reason="same XLA uneven-sharding miscompilation as "
-    "test_mac_sharded_trimmed_state_matches_single_device",
+    "test_mac_sharded_trimmed_state_matches_single_device; the gate is "
+    "version-conditional so any JAX upgrade re-runs the repro for real",
     strict=False,
 )
 def test_stretched_mac_sharded_runs():
