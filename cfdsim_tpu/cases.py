@@ -905,9 +905,8 @@ def sphere_mac3d(
         xf = grid.x_min + np.arange(nx + 1) * grid.dx
         yf = grid.y_min + np.arange(ny + 1) * grid.dy
         zf = grid.z_min + np.arange(nz + 1) * grid.dz
-        ibm_kwargs = dict(ibm_ghost=sphere_ghost_ibm(
-            xf, yf, zf, center, radius
-        ))
+        ghost = sphere_ghost_ibm(xf, yf, zf, center, radius)
+        ibm_kwargs = dict(ibm_ghost=ghost)
     elif ibm_scheme == "penalize":
         ibm_kwargs = dict(
             ibm_mask_u=mask_u, ibm_mask_v=mask_v, ibm_mask_w=mask_w
@@ -956,6 +955,10 @@ def sphere_mac3d(
             "bcs": bcs,
             # Cd = coeff_scale·fx (force per unit density from metrics)
             "coeff_scale": 2.0 / (v_inf**2 * np.pi * radius**2),
+            # host-built ghost tables for the sharded twin
+            # (parallel.ibm_ghost_explicit.partition_ghost_ibm3d)
+            **({"ibm_ghost": ibm_kwargs["ibm_ghost"]}
+               if ibm_scheme == "ghost" else {}),
         },
     )
 
@@ -1078,6 +1081,8 @@ def sphere_stretched(
             "ibm_masks": masks, "center": center, "radius": radius,
             "v_inf": v_inf, "h_min": h_min, "bcs": bcs,
             "coeff_scale": 2.0 / (v_inf**2 * np.pi * radius**2),
+            **({"ibm_ghost": ibm_kwargs["ibm_ghost"]}
+               if ibm_scheme == "ghost" else {}),
         },
     )
 
@@ -1189,6 +1194,9 @@ def heated_sphere(
             "center": center, "radius": radius, "v_inf": v_inf,
             "bcs": bcs,
             "coeff_scale": 2.0 / (v_inf**2 * np.pi * radius**2),
+            **({"ibm_ghost": ibm_kwargs["ibm_ghost"],
+                "ibm_ghost_c": ibm_kwargs["ibm_ghost_c"]}
+               if ibm_scheme == "ghost" else {}),
         },
     )
 
@@ -1292,6 +1300,9 @@ def heated_sphere_stretched(
             "radius": radius, "v_inf": v_inf, "h_min": h_min,
             "bcs": bcs,
             "coeff_scale": 2.0 / (v_inf**2 * np.pi * radius**2),
+            **({"ibm_ghost": ibm_kwargs["ibm_ghost"],
+                "ibm_ghost_c": ibm_kwargs["ibm_ghost_c"]}
+               if ibm_scheme == "ghost" else {}),
         },
     )
 

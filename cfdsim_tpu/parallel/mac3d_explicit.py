@@ -401,7 +401,8 @@ def make_mac3d_explicit_step(cfg: MAC3DConfig, mesh: Mesh,
                              bcs: MAC3DLocalBCs,
                              use_ibm: bool = False,
                              ibm_ramp_steps: int = 0,
-                             moving_body=None):
+                             moving_body=None,
+                             ghost_halo: int | None = None):
     """Build ``step(tstate, cfl_scale[, mask_u_t, mask_v_t, mask_w_t]) ->
     (tstate, StepMetrics)`` on the trimmed 3D representation,
     P(None, "y", "x")-sharded. Optional IBM masks are the trimmed
@@ -411,7 +412,14 @@ def make_mac3d_explicit_step(cfg: MAC3DConfig, mesh: Mesh,
     global index grids (pure elementwise iota arithmetic — no gathers,
     no closed-over coordinate constants, per the shard_map backend-bug
     rules in CLAUDE.md), penalization toward u_b(t), forces psum'd —
-    the 3D habitat of mac_explicit's moving_body."""
+    the 3D habitat of mac_explicit's moving_body. ``ghost_halo``
+    enables the sharded ghost-cell direct-forcing IBM instead: the step
+    then takes the per-shard ``ShardedGhostIBM3D`` tables as a trailing
+    argument (tables-as-args per the shard_map backend-bug rules) and
+    ``ghost_halo`` is the static probe halo width returned by
+    ``ibm_ghost_explicit.partition_ghost_ibm3d``."""
+    if ghost_halo is not None and use_ibm:
+        raise ValueError("ghost_halo and use_ibm are mutually exclusive")
     g = cfg.grid
     nx, ny, nz = g.nx, g.ny, g.nz
     dx, dy, dz = g.dx, g.dy, g.dz
@@ -473,6 +481,10 @@ def make_mac3d_explicit_step(cfg: MAC3DConfig, mesh: Mesh,
     in_specs = [state_spec, P()]
     if use_ibm:
         in_specs += [spec, spec, spec]
+    if ghost_halo is not None:
+        from cfdsim_tpu.parallel.ibm_ghost_explicit import ghost_ibm_spec
+
+        in_specs += [ghost_ibm_spec()]
 
     def step_local(ts: MAC3DState, cfl_scale, *extras):
         iy = lax.axis_index("y")
@@ -653,6 +665,34 @@ def make_mac3d_explicit_step(cfg: MAC3DConfig, mesh: Mesh,
                 fy = _psum(jnp.sum(dv_ibm)) * cell / dt
                 fz = _psum(jnp.sum(dw_ibm)) * cell / dt
 
+        if ghost_halo is not None:
+            # sharded twin of mac3d.make_step's ibm_ghost block: apply
+            # the sharp-interface ghost forcing to the BC-consistent
+            # provisional fields, forces psum'd (same momentum-exchange
+            # accounting). Tables arrive as a shard_map ARG (never
+            # closed over — gather-on-constants miscompile rules).
+            from cfdsim_tpu.ibm import ibm_ramp
+            from cfdsim_tpu.parallel.ibm_ghost_explicit import (
+                apply_ghost_forcing_local,
+            )
+
+            (tables,) = extras
+            strength = ibm_ramp(ts.step, ibm_ramp_steps)
+            u_star, du_g = apply_ghost_forcing_local(
+                u_star, tables.u, py, px, ghost_halo, strength
+            )
+            v_star, dv_g = apply_ghost_forcing_local(
+                v_star, tables.v, py, px, ghost_halo, strength
+            )
+            w_star, dw_g = apply_ghost_forcing_local(
+                w_star, tables.w, py, px, ghost_halo, strength
+            )
+            if cfg.compute_metrics:
+                cell = dx * dy * dz
+                fx = _psum(jnp.sum(du_g)) * cell / dt
+                fy = _psum(jnp.sum(dv_g)) * cell / dt
+                fz = _psum(jnp.sum(dw_g)) * cell / dt
+
         if moving_body is not None:
             from cfdsim_tpu.ibm import ibm_ramp
 
@@ -768,6 +808,37 @@ def make_sphere_mac3d_explicit_step(cfg: MAC3DConfig, mesh: Mesh,
     return jax.jit(make_mac3d_explicit_step(
         cfg, mesh, bcs, use_ibm=True, ibm_ramp_steps=ibm_ramp_steps
     ))
+
+
+def make_sphere_ghost_mac3d_explicit_step(cfg: MAC3DConfig, mesh: Mesh,
+                                          ghost, v_inf: float = 1.0,
+                                          ibm_ramp_steps: int = 0):
+    """Sharded ghost-cell sphere step — the multi-chip habitat of the
+    sharp-interface wall treatment (``sphere`` with ``ibm_scheme=
+    "ghost"``; cut Re=3900 LES drag error from +23% to +7.2% vs DNS).
+
+    ``ghost`` is the host-built ``ibm_ghost.GhostIBM3D``
+    (``sphere_ghost_ibm``); it is partitioned per shard here and the
+    per-shard tables are returned ALONGSIDE the step because they must
+    travel as a shard_map argument (gathers on closed-over constants
+    miscompile — CLAUDE.md "SECOND backend bug").
+
+    Returns ``(step, tables)``; call ``step(tstate, cfl_scale,
+    tables)``."""
+    from cfdsim_tpu.parallel.ibm_ghost_explicit import (
+        partition_ghost_ibm3d,
+        shard_ghost_tables,
+    )
+
+    g = cfg.grid
+    bcs = external_flow3d_local_bcs(g.nx, g.ny, g.nz, v_inf)
+    py, px = mesh.shape["y"], mesh.shape["x"]
+    tables, width = partition_ghost_ibm3d(ghost, g.nx, g.ny, g.nz, py, px)
+    tables = shard_ghost_tables(tables, mesh)
+    step = jax.jit(make_mac3d_explicit_step(
+        cfg, mesh, bcs, ghost_halo=width, ibm_ramp_steps=ibm_ramp_steps
+    ))
+    return step, tables
 
 
 def make_moving_body_mac3d_explicit_step(cfg: MAC3DConfig, mesh: Mesh,

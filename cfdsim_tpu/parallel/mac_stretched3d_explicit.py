@@ -61,6 +61,7 @@ def make_stretched3d_explicit_step(
     use_ibm: bool = False,
     ibm_ramp_steps: int = 0,
     moving_body=None,
+    ghost_halo: int | None = None,
 ):
     """Build ``step(tstate, cfl_scale[, mask_u_t, mask_v_t, mask_w_t]) ->
     (tstate, StepMetrics)`` on the trimmed 3D representation,
@@ -70,7 +71,14 @@ def make_stretched3d_explicit_step(
     optional IBM masks are the trimmed face masks from
     ``mac3d_explicit.trim_face_masks3d``, with the body force
     volume-weighted by the staggered control volumes (the sharded analog
-    of mac_stretched3d.make_step's IBM block)."""
+    of mac_stretched3d.make_step's IBM block). ``ghost_halo`` instead
+    enables the sharded sharp-interface ghost-cell forcing: the step
+    then takes the per-shard ``ShardedGhostIBM3D`` tables as a trailing
+    argument (tables-as-args per the shard_map backend-bug rules) and
+    ``ghost_halo`` is the static probe halo width from
+    ``ibm_ghost_explicit.partition_ghost_ibm3d``."""
+    if ghost_halo is not None and use_ibm:
+        raise ValueError("ghost_halo and use_ibm are mutually exclusive")
     if cfg.scheme != "central":
         raise ValueError(
             "the explicit stretched-3D step implements scheme='central'"
@@ -139,6 +147,10 @@ def make_stretched3d_explicit_step(
     in_specs = [state_spec, P()]
     if use_ibm:
         in_specs += [spec, spec, spec]
+    if ghost_halo is not None:
+        from cfdsim_tpu.parallel.ibm_ghost_explicit import ghost_ibm_spec
+
+        in_specs += [ghost_ibm_spec()]
 
     def step_local(ts: MAC3DState, cfl_scale, *extras):
         iy = lax.axis_index("y")
@@ -294,6 +306,35 @@ def make_stretched3d_explicit_step(
                 fy = _psum(jnp.sum(dv_ibm * cv_v)) / dt
                 fz = _psum(jnp.sum(dw_ibm * cv_w)) / dt
 
+        if ghost_halo is not None:
+            # sharded twin of mac_stretched3d.make_step's ibm_ghost
+            # block: sharp-interface forcing on the provisional fields,
+            # volume-weighted forces psum'd; tables arrive as a
+            # shard_map ARG (gather-on-constants miscompile rules)
+            from cfdsim_tpu.ibm import ibm_ramp
+            from cfdsim_tpu.parallel.ibm_ghost_explicit import (
+                apply_ghost_forcing_local,
+            )
+
+            (tables,) = extras
+            strength = ibm_ramp(ts.step, ibm_ramp_steps)
+            u_star, du_g = apply_ghost_forcing_local(
+                u_star, tables.u, py, px, ghost_halo, strength
+            )
+            v_star, dv_g = apply_ghost_forcing_local(
+                v_star, tables.v, py, px, ghost_halo, strength
+            )
+            w_star, dw_g = apply_ghost_forcing_local(
+                w_star, tables.w, py, px, ghost_halo, strength
+            )
+            if cfg.compute_metrics:
+                cv_u = hz_c * hy_at(gy0, ny_l) * dfx_at(gx0, nx_l)
+                cv_v = hz_c * dfy_at(gy0, ny_l) * hx_at(gx0, nx_l)
+                cv_w = dfz_c[:nz] * hy_at(gy0, ny_l) * hx_at(gx0, nx_l)
+                fx = _psum(jnp.sum(du_g * cv_u)) / dt
+                fy = _psum(jnp.sum(dv_g * cv_v)) / dt
+                fz = _psum(jnp.sum(dw_g * cv_w)) / dt
+
         if moving_body is not None:
             from cfdsim_tpu.ibm import ibm_ramp
 
@@ -447,6 +488,40 @@ def make_sphere3d_stretched_explicit_step(
         cfg, mesh, x_faces, y_faces, z_faces, bcs,
         use_ibm=True, ibm_ramp_steps=ibm_ramp_steps,
     ))
+
+
+def make_sphere_ghost3d_stretched_explicit_step(
+    cfg: StretchedMAC3DConfig, mesh: Mesh, x_faces, y_faces, z_faces,
+    ghost, v_inf: float = 1.0, ibm_ramp_steps: int = 0,
+):
+    """Sharded stretched-3D ghost-cell sphere step (the
+    ``sphere_stretched`` case with ``ibm_scheme="ghost"``): the
+    host-built ``GhostIBM3D`` is partitioned per shard here (the
+    nonuniform probe stencils are index-based, so the same partitioner
+    serves both tiers). Returns ``(step, tables)``; call
+    ``step(tstate, cfl_scale, tables)``."""
+    from cfdsim_tpu.parallel.ibm_ghost_explicit import (
+        partition_ghost_ibm3d,
+        shard_ghost_tables,
+    )
+    from cfdsim_tpu.parallel.mac3d_explicit import external_flow3d_local_bcs
+
+    hy = np.diff(np.asarray(y_faces))
+    hz = np.diff(np.asarray(z_faces))
+    fw = hz[:, None] * hy[None, :]
+    bcs = external_flow3d_local_bcs(
+        cfg.nx, cfg.ny, cfg.nz, v_inf, face_weights=fw
+    )
+    py, px = mesh.shape["y"], mesh.shape["x"]
+    tables, width = partition_ghost_ibm3d(
+        ghost, cfg.nx, cfg.ny, cfg.nz, py, px
+    )
+    tables = shard_ghost_tables(tables, mesh)
+    step = jax.jit(make_stretched3d_explicit_step(
+        cfg, mesh, x_faces, y_faces, z_faces, bcs,
+        ghost_halo=width, ibm_ramp_steps=ibm_ramp_steps,
+    ))
+    return step, tables
 
 
 def make_moving_body3d_stretched_explicit_step(

@@ -43,14 +43,27 @@ def make_heated_sphere_explicit_step(
     mesh: Mesh,
     v_inf: float,
     ibm_ramp_steps: int = 0,
+    ghost=None,
+    ghost_c=None,
 ):
     """Build ``step(tstate, cfl_scale, mask_u_t, mask_v_t, mask_w_t,
     mask_c) -> (tstate, Transport3DMetrics)`` on the trimmed state
     (Transport3DState with trimmed faces), P(None, "y", "x")-sharded;
     ``mask_c`` is the (nz, ny, nx) cell mask (ibm.sphere_mask_cells),
-    face masks from ``mac3d_explicit.trim_face_masks3d``."""
+    face masks from ``mac3d_explicit.trim_face_masks3d``.
+
+    ``ghost``/``ghost_c`` (the host-built ``GhostIBM3D`` +
+    cell-centered ``GhostFaceSet`` from the heated-sphere case with
+    ``ibm_scheme="ghost"``) swap in the sharp-interface ghost-cell
+    treatment on BOTH momentum and θ. The builder then returns
+    ``(step, tables, table_c)`` and the call signature becomes
+    ``step(tstate, cfl_scale, tables, table_c)`` — the per-shard tables
+    travel as shard_map args (gather-on-constants miscompile rules)."""
     from cfdsim_tpu.models import mac3d as m3
 
+    use_ghost = ghost is not None
+    if use_ghost != (ghost_c is not None):
+        raise ValueError("ghost and ghost_c must be given together")
     if cfg.theta_scheme not in ("central", "upwind"):
         raise ValueError(
             "the sharded transport step implements theta_scheme "
@@ -73,9 +86,27 @@ def make_heated_sphere_explicit_step(
         poisson=cfg.poisson,  # the sharded step raises unless "dct"
     )
     bcs = external_flow3d_local_bcs(nx, ny, nz, v_inf)
-    flow_step = jax.jit(make_mac3d_explicit_step(
-        flow_cfg, mesh, bcs, use_ibm=True, ibm_ramp_steps=ibm_ramp_steps,
-    ))
+    if use_ghost:
+        from cfdsim_tpu.parallel.ibm_ghost_explicit import (
+            partition_ghost_ibm3d,
+            shard_ghost_tables,
+        )
+
+        py_, px_ = mesh.shape["y"], mesh.shape["x"]
+        tables, width, table_c = partition_ghost_ibm3d(
+            ghost, nx, ny, nz, py_, px_, extra=ghost_c
+        )
+        tables = shard_ghost_tables(tables, mesh)
+        table_c = shard_ghost_tables(table_c, mesh)
+        flow_step = jax.jit(make_mac3d_explicit_step(
+            flow_cfg, mesh, bcs, ghost_halo=width,
+            ibm_ramp_steps=ibm_ramp_steps,
+        ))
+    else:
+        flow_step = jax.jit(make_mac3d_explicit_step(
+            flow_cfg, mesh, bcs, use_ibm=True,
+            ibm_ramp_steps=ibm_ramp_steps,
+        ))
 
     py = mesh.shape["y"]
     px = mesh.shape["x"]
@@ -167,30 +198,54 @@ def make_heated_sphere_explicit_step(
         from cfdsim_tpu.ibm import ibm_ramp
 
         strength = ibm_ramp(step_i, ibm_ramp_steps)
-        dth = (cfg.theta_body - theta_new) * (strength * mask_c)
-        theta_new = theta_new + dth
-        q_body = _psum(jnp.sum(dth)) * (dx * dy * dz) / dt
+        if use_ghost:
+            # sharded twin of transport3d.make_step's ibm_ghost_c block:
+            # ghost forcing on the θ excess over the body temperature
+            from cfdsim_tpu.parallel.ibm_ghost_explicit import (
+                apply_ghost_forcing_local,
+            )
+
+            shifted, dneg = apply_ghost_forcing_local(
+                theta_new - cfg.theta_body, mask_c, py, px, width,
+                strength,
+            )
+            theta_new = shifted + cfg.theta_body
+            q_body = _psum(jnp.sum(-dneg)) * (dx * dy * dz) / dt
+        else:
+            dth = (cfg.theta_body - theta_new) * (strength * mask_c)
+            theta_new = theta_new + dth
+            q_body = _psum(jnp.sum(dth)) * (dx * dy * dz) / dt
         nusselt = q_body * qscale
         th_min = lax.pmin(lax.pmin(jnp.min(theta_new), "y"), "x")
         th_max = lax.pmax(lax.pmax(jnp.max(theta_new), "y"), "x")
         return theta_new, q_body, nusselt, th_min, th_max
 
+    if use_ghost:
+        from cfdsim_tpu.parallel.ibm_ghost_explicit import ghost_set_spec
+
+        c_spec = ghost_set_spec()
+    else:
+        c_spec = spec
     theta_step = jax.jit(jax.shard_map(
         theta_local,
         mesh=mesh,
-        in_specs=(spec, spec, spec, spec, P(), P(), spec),
+        in_specs=(spec, spec, spec, spec, P(), P(), c_spec),
         out_specs=(spec, P(), P(), P(), P()),
     ))
 
-    def step(ts: Transport3DState, cfl_scale, mask_u_t, mask_v_t,
-             mask_w_t, mask_c):
+    def step(ts: Transport3DState, cfl_scale, *ibm_args):
         mac_ts = MAC3DState(u=ts.u, v=ts.v, w=ts.w, p=ts.p,
                             t=ts.t, step=ts.step)
-        new_mac, fm = flow_step(mac_ts, cfl_scale, mask_u_t, mask_v_t,
-                                mask_w_t)
+        if use_ghost:
+            flow_tables, c_table = ibm_args
+            new_mac, fm = flow_step(mac_ts, cfl_scale, flow_tables)
+        else:
+            mask_u_t, mask_v_t, mask_w_t, c_table = ibm_args
+            new_mac, fm = flow_step(mac_ts, cfl_scale, mask_u_t,
+                                    mask_v_t, mask_w_t)
         theta_new, q_body, nusselt, th_min, th_max = theta_step(
             ts.theta, new_mac.u, new_mac.v, new_mac.w, fm.dt, ts.step,
-            mask_c,
+            c_table,
         )
         new_ts = Transport3DState(
             u=new_mac.u, v=new_mac.v, w=new_mac.w, p=new_mac.p,
@@ -204,6 +259,8 @@ def make_heated_sphere_explicit_step(
         )
         return new_ts, metrics
 
+    if use_ghost:
+        return step, tables, table_c
     return step
 
 
@@ -215,6 +272,8 @@ def make_heated_sphere_stretched_explicit_step(
     z_faces,
     v_inf: float,
     ibm_ramp_steps: int = 0,
+    ghost=None,
+    ghost_c=None,
 ):
     """The stretched-grid habitat of ``make_heated_sphere_explicit_step``
     — the multi-chip twin of ``transport3d.make_stretched_step`` (the
@@ -225,7 +284,12 @@ def make_heated_sphere_stretched_explicit_step(
     fluxes — per-axis gaps enter as ``_lut3`` dynamic slices (never
     gathers), z metrics as local lines. Same call signature:
     ``step(tstate, cfl_scale, mask_u_t, mask_v_t, mask_w_t, mask_c)``.
-    Equality vs the single-device step: tests/test_transport3d.py."""
+    Equality vs the single-device step: tests/test_transport3d.py.
+
+    ``ghost``/``ghost_c`` swap in the sharp-interface ghost-cell
+    treatment (heated_sphere_stretched with ``ibm_scheme="ghost"``);
+    the builder then returns ``(step, tables, table_c)`` and the call
+    signature becomes ``step(tstate, cfl_scale, tables, table_c)``."""
     from cfdsim_tpu.models.mac_stretched import _metrics
     from cfdsim_tpu.models import mac_stretched3d as ms3
     from cfdsim_tpu.parallel.mac3d_explicit import (
@@ -237,6 +301,9 @@ def make_heated_sphere_stretched_explicit_step(
         make_sphere3d_stretched_explicit_step,
     )
 
+    use_ghost = ghost is not None
+    if use_ghost != (ghost_c is not None):
+        raise ValueError("ghost and ghost_c must be given together")
     if cfg.scheme != "central":
         raise ValueError(
             "the sharded stretched heated-sphere step implements "
@@ -264,10 +331,38 @@ def make_heated_sphere_stretched_explicit_step(
         max_velocity=cfg.max_velocity,
         compute_metrics=cfg.compute_metrics,
     )
-    flow_step = make_sphere3d_stretched_explicit_step(
-        flow_cfg, mesh, x_faces, y_faces, z_faces, v_inf=v_inf,
-        ibm_ramp_steps=ibm_ramp_steps,
-    )
+    if use_ghost:
+        from cfdsim_tpu.parallel.ibm_ghost_explicit import (
+            partition_ghost_ibm3d,
+            shard_ghost_tables,
+        )
+        py_, px_ = mesh.shape["y"], mesh.shape["x"]
+        tables, width, table_c = partition_ghost_ibm3d(
+            ghost, nx, ny, nz, py_, px_, extra=ghost_c
+        )
+        tables = shard_ghost_tables(tables, mesh)
+        table_c = shard_ghost_tables(table_c, mesh)
+        # build the flow step directly with the SAME width so momentum
+        # and θ share one partition pass
+        from cfdsim_tpu.parallel.mac_stretched3d_explicit import (
+            make_stretched3d_explicit_step,
+        )
+
+        hy_fw = np.diff(np.asarray(y_faces))
+        hz_fw = np.diff(np.asarray(z_faces))
+        fw_g = hz_fw[:, None] * hy_fw[None, :]
+        flow_bcs = external_flow3d_local_bcs(
+            nx, ny, nz, v_inf, face_weights=fw_g
+        )
+        flow_step = jax.jit(make_stretched3d_explicit_step(
+            flow_cfg, mesh, x_faces, y_faces, z_faces, flow_bcs,
+            ghost_halo=width, ibm_ramp_steps=ibm_ramp_steps,
+        ))
+    else:
+        flow_step = make_sphere3d_stretched_explicit_step(
+            flow_cfg, mesh, x_faces, y_faces, z_faces, v_inf=v_inf,
+            ibm_ramp_steps=ibm_ramp_steps,
+        )
     hy_w = np.diff(np.asarray(y_faces))
     hz_w = np.diff(np.asarray(z_faces))
     fw = hz_w[:, None] * hy_w[None, :]
@@ -372,31 +467,55 @@ def make_heated_sphere_stretched_explicit_step(
         from cfdsim_tpu.ibm import ibm_ramp
 
         strength = ibm_ramp(step_i, ibm_ramp_steps)
-        dth = (cfg.theta_body - theta_new) * (strength * mask_c)
-        theta_new = theta_new + dth
         cellvol = hz_c * hy_at(gy0, ny_l) * hx_at(gx0, nx_l)
-        q_body = _psum(jnp.sum(dth * cellvol)) / dt
+        if use_ghost:
+            # sharded twin of transport3d.make_stretched_step's
+            # ibm_ghost_c block (volume-weighted heat flux)
+            from cfdsim_tpu.parallel.ibm_ghost_explicit import (
+                apply_ghost_forcing_local,
+            )
+
+            shifted, dneg = apply_ghost_forcing_local(
+                theta_new - cfg.theta_body, mask_c, py, px, width,
+                strength,
+            )
+            theta_new = shifted + cfg.theta_body
+            q_body = _psum(jnp.sum(-dneg * cellvol)) / dt
+        else:
+            dth = (cfg.theta_body - theta_new) * (strength * mask_c)
+            theta_new = theta_new + dth
+            q_body = _psum(jnp.sum(dth * cellvol)) / dt
         nusselt = q_body * qscale
         th_min = lax.pmin(lax.pmin(jnp.min(theta_new), "y"), "x")
         th_max = lax.pmax(lax.pmax(jnp.max(theta_new), "y"), "x")
         return theta_new, q_body, nusselt, th_min, th_max
 
+    if use_ghost:
+        from cfdsim_tpu.parallel.ibm_ghost_explicit import ghost_set_spec
+
+        c_spec = ghost_set_spec()
+    else:
+        c_spec = spec
     theta_step = jax.jit(jax.shard_map(
         theta_local,
         mesh=mesh,
-        in_specs=(spec, spec, spec, spec, P(), P(), spec),
+        in_specs=(spec, spec, spec, spec, P(), P(), c_spec),
         out_specs=(spec, P(), P(), P(), P()),
     ))
 
-    def step(ts: Transport3DState, cfl_scale, mask_u_t, mask_v_t,
-             mask_w_t, mask_c):
+    def step(ts: Transport3DState, cfl_scale, *ibm_args):
         mac_ts = MAC3DState(u=ts.u, v=ts.v, w=ts.w, p=ts.p,
                             t=ts.t, step=ts.step)
-        new_mac, fm = flow_step(mac_ts, cfl_scale, mask_u_t, mask_v_t,
-                                mask_w_t)
+        if use_ghost:
+            flow_tables, c_table = ibm_args
+            new_mac, fm = flow_step(mac_ts, cfl_scale, flow_tables)
+        else:
+            mask_u_t, mask_v_t, mask_w_t, c_table = ibm_args
+            new_mac, fm = flow_step(mac_ts, cfl_scale, mask_u_t,
+                                    mask_v_t, mask_w_t)
         theta_new, q_body, nusselt, th_min, th_max = theta_step(
             ts.theta, new_mac.u, new_mac.v, new_mac.w, fm.dt, ts.step,
-            mask_c,
+            c_table,
         )
         new_ts = Transport3DState(
             u=new_mac.u, v=new_mac.v, w=new_mac.w, p=new_mac.p,
@@ -410,4 +529,6 @@ def make_heated_sphere_stretched_explicit_step(
         )
         return new_ts, metrics
 
+    if use_ghost:
+        return step, tables, table_c
     return step
