@@ -281,6 +281,255 @@ def apply_ghost_forcing_local(field_t, gs: ShardedGhostSet, py: int,
     return out, field_t - out
 
 
+def moving_ghost_width_2d(delta: float, dx: float, dy: float) -> int:
+    """Static halo width for the sharded moving ghost: a ghost sample
+    sits within h·√2 of the surface, its probe at radius+δ along the
+    normal, so the probe corner is at most δ + h·√2 + h away in index
+    space (+1 for the floor)."""
+    import math
+
+    h = min(dx, dy)
+    return int(math.ceil((delta + 2.5 * max(dx, dy)) / h)) + 1
+
+
+def moving_ghost_forcing_2d_local(field_t, x0: float, dx: float,
+                                  y0: float, dy: float, nxf: int,
+                                  nyf: int, gy0, gx0, center,
+                                  radius: float, delta: float, u_b,
+                                  strength, py: int, px: int,
+                                  width: int, sweeps: int = 2):
+    """Sharded twin of ``ibm_ghost.moving_ghost_forcing_2d`` — call
+    INSIDE shard_map on the trimmed owned block ``field_t``
+    (ny_l, nx_l). Classification, normals and probe stencils are
+    recomputed elementwise from the shard's global index offsets
+    (``gy0``/``gx0`` = iy·ny_l / ix·nx_l) — no closed-over coordinate
+    constants; probe corners gather from a width-``width``
+    (``moving_ghost_width_2d``) halo window re-exchanged each sweep.
+    ``x0``/``y0`` are the face-set sample-(0,0) coordinates, (nxf, nyf)
+    the FULL face-array dims the single-device clip uses. Exact vs the
+    single-device apply for bodies ≥ (width+1) samples inside the
+    domain (the moving-body cases' standing assumption)."""
+    from jax import lax
+
+    from cfdsim_tpu.parallel.halo import halo_exchange
+
+    ny_l, nx_l = field_t.shape
+    cx, cy = center
+    shp_e = (ny_l + 2, nx_l + 2)
+    re = gy0 - 1 + lax.broadcasted_iota(jnp.int32, shp_e, 0)
+    ce = gx0 - 1 + lax.broadcasted_iota(jnp.int32, shp_e, 1)
+    Xe = x0 + ce.astype(jnp.float32) * dx
+    Ye = y0 + re.astype(jnp.float32) * dy
+    pxe, pye = Xe - cx, Ye - cy
+    de = jnp.sqrt(pxe * pxe + pye * pye)
+    outside_e = de > radius
+    near = (outside_e[1:-1, :-2] | outside_e[1:-1, 2:]
+            | outside_e[:-2, 1:-1] | outside_e[2:, 1:-1])
+    inside = ~outside_e[1:-1, 1:-1]
+    ghost = inside & near
+    solid = inside & ~near
+
+    d = de[1:-1, 1:-1]
+    inv = 1.0 / jnp.maximum(d, 1e-12)
+    qx = cx + pxe[1:-1, 1:-1] * inv * (radius + delta)
+    qy = cy + pye[1:-1, 1:-1] * inv * (radius + delta)
+    scale = jnp.clip((radius - d) / delta, 0.0, 1.0)
+
+    # single-device global clip, then window re-encode (clamped lanes
+    # are non-ghost samples whose gathers are never used)
+    gxf = jnp.clip((qx - x0) / dx, 0.0, nxf - 1.001)
+    gyf = jnp.clip((qy - y0) / dy, 0.0, nyf - 1.001)
+    ixg = jnp.floor(gxf).astype(jnp.int32)
+    tx = gxf - ixg
+    iyg = jnp.floor(gyf).astype(jnp.int32)
+    ty = gyf - iyg
+    NXW = nx_l + 2 * width
+    NYW = ny_l + 2 * width
+    jw = jnp.clip(ixg - gx0 + width, 0, NXW - 2)
+    iw = jnp.clip(iyg - gy0 + width, 0, NYW - 2)
+    base = iw * NXW + jw
+
+    def gather(Twin):
+        fl = Twin.reshape(-1)
+        v00 = jnp.take(fl, base, axis=0)
+        v01 = jnp.take(fl, base + 1, axis=0)
+        v10 = jnp.take(fl, base + NXW, axis=0)
+        v11 = jnp.take(fl, base + NXW + 1, axis=0)
+        return ((1.0 - ty) * ((1.0 - tx) * v00 + tx * v01)
+                + ty * ((1.0 - tx) * v10 + tx * v11))
+
+    tgt = jnp.where(solid, u_b, field_t)
+    for _ in range(sweeps):
+        Twin = halo_exchange(tgt, py, px, width=width)
+        probe = gather(Twin)
+        u_g = u_b - scale * (probe - u_b)
+        tgt = jnp.where(ghost, u_g, jnp.where(solid, u_b, field_t))
+    out = field_t - strength * (field_t - tgt)
+    return out, field_t - out
+
+
+def moving_ghost_forcing_2d_nonuniform_local(field_t, xline_e, yline_e,
+                                             xs, ys, gy0, gx0, center,
+                                             radius: float, delta: float,
+                                             u_b, strength, py: int,
+                                             px: int, width: int,
+                                             sweeps: int = 2):
+    """Sharded twin of ``ibm_ghost.moving_ghost_forcing_2d_nonuniform``
+    on the trimmed owned block. ``xline_e``/``yline_e`` are the
+    edge-padded ±1-extended sample-coordinate LINES of this face set
+    ((1, nx_l+2) / (ny_l+2, 1), from the stretched tier's ``_lut``
+    dynamic slices) — edge padding reproduces the single-device
+    ``jnp.pad(outside, mode="edge")`` classification exactly. ``xs``/
+    ``ys`` are the FULL 1D sample-coordinate vectors, passed as
+    shard_map ARGS (replicated) so the searchsorted/corner gathers run
+    on traced operands (gather-on-constants miscompile rules)."""
+    from cfdsim_tpu.parallel.halo import halo_exchange
+
+    ny_l, nx_l = field_t.shape
+    cx, cy = center
+    Xe = jnp.broadcast_to(xline_e, (ny_l + 2, nx_l + 2))
+    Ye = jnp.broadcast_to(yline_e, (ny_l + 2, nx_l + 2))
+    pxe, pye = Xe - cx, Ye - cy
+    de = jnp.sqrt(pxe * pxe + pye * pye)
+    outside_e = de > radius
+    near = (outside_e[1:-1, :-2] | outside_e[1:-1, 2:]
+            | outside_e[:-2, 1:-1] | outside_e[2:, 1:-1])
+    inside = ~outside_e[1:-1, 1:-1]
+    ghost = inside & near
+    solid = inside & ~near
+
+    d = de[1:-1, 1:-1]
+    inv = 1.0 / jnp.maximum(d, 1e-12)
+    qx = cx + pxe[1:-1, 1:-1] * inv * (radius + delta)
+    qy = cy + pye[1:-1, 1:-1] * inv * (radius + delta)
+    scale = jnp.clip((radius - d) / delta, 0.0, 1.0)
+
+    nxf = xs.shape[0]
+    nyf = ys.shape[0]
+    ixg = jnp.clip(jnp.searchsorted(xs, qx, side="right") - 1, 0, nxf - 2)
+    iyg = jnp.clip(jnp.searchsorted(ys, qy, side="right") - 1, 0, nyf - 2)
+    x_lo = jnp.take(xs, ixg, axis=0)
+    y_lo = jnp.take(ys, iyg, axis=0)
+    tx = jnp.clip(
+        (qx - x_lo) / (jnp.take(xs, ixg + 1, axis=0) - x_lo), 0.0, 1.0
+    )
+    ty = jnp.clip(
+        (qy - y_lo) / (jnp.take(ys, iyg + 1, axis=0) - y_lo), 0.0, 1.0
+    )
+    NXW = nx_l + 2 * width
+    NYW = ny_l + 2 * width
+    jw = jnp.clip(ixg - gx0 + width, 0, NXW - 2)
+    iw = jnp.clip(iyg - gy0 + width, 0, NYW - 2)
+    base = iw * NXW + jw
+
+    def gather(Twin):
+        fl = Twin.reshape(-1)
+        v00 = jnp.take(fl, base, axis=0)
+        v01 = jnp.take(fl, base + 1, axis=0)
+        v10 = jnp.take(fl, base + NXW, axis=0)
+        v11 = jnp.take(fl, base + NXW + 1, axis=0)
+        return ((1.0 - ty) * ((1.0 - tx) * v00 + tx * v01)
+                + ty * ((1.0 - tx) * v10 + tx * v11))
+
+    tgt = jnp.where(solid, u_b, field_t)
+    for _ in range(sweeps):
+        Twin = halo_exchange(tgt, py, px, width=width)
+        probe = gather(Twin)
+        u_g = u_b - scale * (probe - u_b)
+        tgt = jnp.where(ghost, u_g, jnp.where(solid, u_b, field_t))
+    out = field_t - strength * (field_t - tgt)
+    return out, field_t - out
+
+
+def moving_ghost_forcing_3d_local(field_t, origin, spacing, dims_full,
+                                  gy0, gx0, center, radius: float,
+                                  delta: float, u_b, strength,
+                                  py: int, px: int, width: int,
+                                  sweeps: int = 2):
+    """Sharded twin of ``ibm_ghost.moving_ghost_forcing_3d`` on the
+    trimmed (nz, ny_l, nx_l) block (z local). Same window/classification
+    strategy as the 2D local apply; ``origin``/``spacing`` are the face
+    set's sample-(0,0,0) coordinates and uniform spacings,
+    ``dims_full = (nzf, nyf, nxf)`` the full face-array dims of the
+    single-device clip."""
+    from jax import lax
+
+    from cfdsim_tpu.parallel.halo import _exchange_axis
+
+    nz_l, ny_l, nx_l = field_t.shape
+    nzf, nyf, nxf = dims_full
+    x0, y0, z0 = origin
+    dx, dy, dz = spacing
+    cx, cy, cz = center
+    shp_e = (nz_l + 2, ny_l + 2, nx_l + 2)
+    ze = -1 + lax.broadcasted_iota(jnp.int32, shp_e, 0)
+    re = gy0 - 1 + lax.broadcasted_iota(jnp.int32, shp_e, 1)
+    ce = gx0 - 1 + lax.broadcasted_iota(jnp.int32, shp_e, 2)
+    Xe = x0 + ce.astype(jnp.float32) * dx
+    Ye = y0 + re.astype(jnp.float32) * dy
+    Ze = z0 + ze.astype(jnp.float32) * dz
+    pxe, pye, pze = Xe - cx, Ye - cy, Ze - cz
+    de = jnp.sqrt(pxe * pxe + pye * pye + pze * pze)
+    outside_e = de > radius
+    near = (
+        outside_e[1:-1, 1:-1, :-2] | outside_e[1:-1, 1:-1, 2:]
+        | outside_e[1:-1, :-2, 1:-1] | outside_e[1:-1, 2:, 1:-1]
+        | outside_e[:-2, 1:-1, 1:-1] | outside_e[2:, 1:-1, 1:-1]
+    )
+    inside = ~outside_e[1:-1, 1:-1, 1:-1]
+    ghost = inside & near
+    solid = inside & ~near
+
+    d = de[1:-1, 1:-1, 1:-1]
+    inv = 1.0 / jnp.maximum(d, 1e-12)
+    qx = cx + pxe[1:-1, 1:-1, 1:-1] * inv * (radius + delta)
+    qy = cy + pye[1:-1, 1:-1, 1:-1] * inv * (radius + delta)
+    qz = cz + pze[1:-1, 1:-1, 1:-1] * inv * (radius + delta)
+    scale = jnp.clip((radius - d) / delta, 0.0, 1.0)
+
+    gxf = jnp.clip((qx - x0) / dx, 0.0, nxf - 1.001)
+    gyf = jnp.clip((qy - y0) / dy, 0.0, nyf - 1.001)
+    gzf = jnp.clip((qz - z0) / dz, 0.0, nzf - 1.001)
+    ixg = jnp.floor(gxf).astype(jnp.int32)
+    tx = gxf - ixg
+    iyg = jnp.floor(gyf).astype(jnp.int32)
+    ty = gyf - iyg
+    izg = jnp.floor(gzf).astype(jnp.int32)
+    tz = gzf - izg
+    NXW = nx_l + 2 * width
+    NYW = ny_l + 2 * width
+    jw = jnp.clip(ixg - gx0 + width, 0, NXW - 2)
+    iw = jnp.clip(iyg - gy0 + width, 0, NYW - 2)
+    kw = jnp.clip(izg, 0, nz_l - 2)  # z local: window = global
+    base = (kw * NYW + iw) * NXW + jw
+    sy, sz = NXW, NYW * NXW
+
+    def gather(Twin):
+        fl = Twin.reshape(-1)
+
+        def plane(b):
+            return (
+                (1.0 - ty) * ((1.0 - tx) * jnp.take(fl, b, axis=0)
+                              + tx * jnp.take(fl, b + 1, axis=0))
+                + ty * ((1.0 - tx) * jnp.take(fl, b + sy, axis=0)
+                        + tx * jnp.take(fl, b + sy + 1, axis=0))
+            )
+
+        return (1.0 - tz) * plane(base) + tz * plane(base + sz)
+
+    tgt = jnp.where(solid, u_b, field_t)
+    for _ in range(sweeps):
+        lo, hi = _exchange_axis(tgt, "y", py, axis=1, width=width)
+        Twin = jnp.concatenate([lo, tgt, hi], axis=1)
+        lo, hi = _exchange_axis(Twin, "x", px, axis=2, width=width)
+        Twin = jnp.concatenate([lo, Twin, hi], axis=2)
+        probe = gather(Twin)
+        u_g = u_b - scale * (probe - u_b)
+        tgt = jnp.where(ghost, u_g, jnp.where(solid, u_b, field_t))
+    out = field_t - strength * (field_t - tgt)
+    return out, field_t - out
+
+
 __all__ = [
     "ShardedGhostSet",
     "ShardedGhostIBM3D",
@@ -289,4 +538,8 @@ __all__ = [
     "ghost_ibm_spec",
     "shard_ghost_tables",
     "apply_ghost_forcing_local",
+    "moving_ghost_width_2d",
+    "moving_ghost_forcing_2d_local",
+    "moving_ghost_forcing_2d_nonuniform_local",
+    "moving_ghost_forcing_3d_local",
 ]

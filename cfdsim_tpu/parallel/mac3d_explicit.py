@@ -402,6 +402,7 @@ def make_mac3d_explicit_step(cfg: MAC3DConfig, mesh: Mesh,
                              use_ibm: bool = False,
                              ibm_ramp_steps: int = 0,
                              moving_body=None,
+                             moving_scheme: str = "penalize",
                              ghost_halo: int | None = None):
     """Build ``step(tstate, cfl_scale[, mask_u_t, mask_v_t, mask_w_t]) ->
     (tstate, StepMetrics)`` on the trimmed 3D representation,
@@ -417,9 +418,13 @@ def make_mac3d_explicit_step(cfg: MAC3DConfig, mesh: Mesh,
     then takes the per-shard ``ShardedGhostIBM3D`` tables as a trailing
     argument (tables-as-args per the shard_map backend-bug rules) and
     ``ghost_halo`` is the static probe halo width returned by
-    ``ibm_ghost_explicit.partition_ghost_ibm3d``."""
+    ``ibm_ghost_explicit.partition_ghost_ibm3d``. ``moving_scheme=
+    "ghost"`` upgrades ``moving_body`` to the sharded sharp-interface
+    moving ghost (ibm_ghost_explicit.moving_ghost_forcing_3d_local)."""
     if ghost_halo is not None and use_ibm:
         raise ValueError("ghost_halo and use_ibm are mutually exclusive")
+    if moving_scheme not in ("penalize", "ghost"):
+        raise ValueError(f"unknown moving_scheme {moving_scheme!r}")
     g = cfg.grid
     nx, ny, nz = g.nx, g.ny, g.nz
     dx, dy, dz = g.dx, g.dy, g.dz
@@ -452,6 +457,20 @@ def make_mac3d_explicit_step(cfg: MAC3DConfig, mesh: Mesh,
 
     if moving_body is not None:
         hb = min(dx, dy, dz)  # isotropic taper = models/mac3d.py's
+        if moving_scheme == "ghost":
+            from cfdsim_tpu.parallel.ibm_ghost_explicit import (
+                moving_ghost_width_2d,
+            )
+
+            _mg_delta = 1.5 * hb  # = models/mac3d.py's moving-ghost δ
+            _mg_width = moving_ghost_width_2d(
+                _mg_delta, min(dx, dy, dz), max(dx, dy, dz)
+            )
+            if _mg_width >= min(ny_l, nx_l):
+                raise ValueError(
+                    f"moving-ghost halo width {_mg_width} needs local "
+                    f"blocks > {_mg_width}; got {ny_l}x{nx_l}"
+                )
 
         def _mb_masks3d(ro, co, t):
             cx, cy, cz = moving_body.center(t)
@@ -696,15 +715,44 @@ def make_mac3d_explicit_step(cfg: MAC3DConfig, mesh: Mesh,
         if moving_body is not None:
             from cfdsim_tpu.ibm import ibm_ramp
 
-            m_u, m_v, m_w = _mb_masks3d(ro, co, ts.t)
             ub, vb, wb = moving_body.velocity(ts.t)
             strength = ibm_ramp(ts.step, ibm_ramp_steps)
-            du_mb = (u_star - ub) * (strength * m_u)
-            dv_mb = (v_star - vb) * (strength * m_v)
-            dw_mb = (w_star - wb) * (strength * m_w)
-            u_star = u_star - du_mb
-            v_star = v_star - dv_mb
-            w_star = w_star - dw_mb
+            if moving_scheme == "ghost":
+                from cfdsim_tpu.parallel.ibm_ghost_explicit import (
+                    moving_ghost_forcing_3d_local,
+                )
+
+                ctr = moving_body.center(ts.t)
+                r = moving_body.radius
+                gy0s = iy * ny_l
+                gx0s = ix * nx_l
+                sp = (dx, dy, dz)
+                u_star, du_mb = moving_ghost_forcing_3d_local(
+                    u_star,
+                    (g.x_min, g.y_min + 0.5 * dy, g.z_min + 0.5 * dz),
+                    sp, (nz, ny, nx + 1), gy0s, gx0s, ctr, r, _mg_delta,
+                    ub, strength, py, px, _mg_width,
+                )
+                v_star, dv_mb = moving_ghost_forcing_3d_local(
+                    v_star,
+                    (g.x_min + 0.5 * dx, g.y_min, g.z_min + 0.5 * dz),
+                    sp, (nz, ny + 1, nx), gy0s, gx0s, ctr, r, _mg_delta,
+                    vb, strength, py, px, _mg_width,
+                )
+                w_star, dw_mb = moving_ghost_forcing_3d_local(
+                    w_star,
+                    (g.x_min + 0.5 * dx, g.y_min + 0.5 * dy, g.z_min),
+                    sp, (nz + 1, ny, nx), gy0s, gx0s, ctr, r, _mg_delta,
+                    wb, strength, py, px, _mg_width,
+                )
+            else:
+                m_u, m_v, m_w = _mb_masks3d(ro, co, ts.t)
+                du_mb = (u_star - ub) * (strength * m_u)
+                dv_mb = (v_star - vb) * (strength * m_v)
+                dw_mb = (w_star - wb) * (strength * m_w)
+                u_star = u_star - du_mb
+                v_star = v_star - dv_mb
+                w_star = w_star - dw_mb
             if cfg.compute_metrics:
                 cell = dx * dy * dz
                 fx = fx + _psum(jnp.sum(du_mb)) * cell / dt
@@ -843,14 +891,17 @@ def make_sphere_ghost_mac3d_explicit_step(cfg: MAC3DConfig, mesh: Mesh,
 
 def make_moving_body_mac3d_explicit_step(cfg: MAC3DConfig, mesh: Mesh,
                                          moving_body,
-                                         ibm_ramp_steps: int = 0):
+                                         ibm_ramp_steps: int = 0,
+                                         moving_scheme: str = "penalize"):
     """Explicit-comm 3D MAC step for a moving body (ibm.MovingBody3D) in
     a quiescent free-slip box — the sharded twin of mac3d.make_step's
     moving_body (the oscillating-sphere configuration): masks rebuilt
-    per step from the shard's global index grids, forces psum'd."""
+    per step from the shard's global index grids, forces psum'd.
+    ``moving_scheme="ghost"`` selects the sharded sharp-interface
+    moving ghost instead of penalization."""
     g = cfg.grid
     bcs = free_slip3d_local_bcs(g.nx, g.ny)
     return jax.jit(make_mac3d_explicit_step(
         cfg, mesh, bcs, moving_body=moving_body,
-        ibm_ramp_steps=ibm_ramp_steps,
+        ibm_ramp_steps=ibm_ramp_steps, moving_scheme=moving_scheme,
     ))

@@ -231,6 +231,7 @@ def make_mac_explicit_step(
     use_ibm: bool = False,
     ibm_ramp_steps: int = 0,
     moving_body=None,
+    moving_scheme: str = "penalize",
 ):
     """Build the explicit-comm MAC step on the trimmed representation.
 
@@ -242,7 +243,17 @@ def make_mac_explicit_step(
     ``trim_face_masks``), which holds for any body ≥ radius+5dx from the
     domain boundary — the Gaussian shell is hard-cut to 0 there
     (ibm._gaussian_shell, reference v5.py:275-283).
+
+    ``moving_scheme="ghost"`` upgrades ``moving_body`` to the sharded
+    sharp-interface moving ghost
+    (ibm_ghost_explicit.moving_ghost_forcing_2d_local): on-device
+    classification from the shard's global index offsets, probe gathers
+    through measured-width halo windows re-exchanged each sweep — the
+    multi-chip habitat of mac.make_step's moving_scheme="ghost" (the
+    Dütsch KC=5 configuration).
     """
+    if moving_scheme not in ("penalize", "ghost"):
+        raise ValueError(f"unknown moving_scheme {moving_scheme!r}")
     g = cfg.grid
     ny, nx = g.ny, g.nx
     dx, dy = g.dx, g.dy
@@ -278,6 +289,19 @@ def make_mac_explicit_step(
 
     if moving_body is not None:
         _g = cfg.grid
+        _hb = min(dx, dy)
+        if moving_scheme == "ghost":
+            from cfdsim_tpu.parallel.ibm_ghost_explicit import (
+                moving_ghost_width_2d,
+            )
+
+            _mg_delta = 1.5 * _hb  # = models/mac.py's moving-ghost δ
+            _mg_width = moving_ghost_width_2d(_mg_delta, dx, dy)
+            if _mg_width >= min(ny_l, nx_l):
+                raise ValueError(
+                    f"moving-ghost halo width {_mg_width} needs local "
+                    f"blocks > {_mg_width}; got {ny_l}x{nx_l}"
+                )
 
         def _mb_masks(gr0, gc0, t):
             # u faces: x = x_min + gc·dx, y = y_min + (gr+½)·dy on the
@@ -432,13 +456,33 @@ def make_mac_explicit_step(
         if moving_body is not None:
             from cfdsim_tpu.ibm import ibm_ramp
 
-            m_u, m_v = _mb_masks(gr0, gc0, tstate.t)
             ub, vb = moving_body.velocity(tstate.t)
             strength = ibm_ramp(tstate.step, ibm_ramp_steps)
-            du_mb = (u_star - ub) * (strength * m_u)
-            dv_mb = (v_star - vb) * (strength * m_v)
-            u_star = u_star - du_mb
-            v_star = v_star - dv_mb
+            if moving_scheme == "ghost":
+                from cfdsim_tpu.parallel.ibm_ghost_explicit import (
+                    moving_ghost_forcing_2d_local,
+                )
+
+                ctr = moving_body.center(tstate.t)
+                r = moving_body.radius
+                gy0s = iy * ny_l
+                gx0s = ix * nx_l
+                u_star, du_mb = moving_ghost_forcing_2d_local(
+                    u_star, _g.x_min, dx, _g.y_min + 0.5 * dy, dy,
+                    nx + 1, ny, gy0s, gx0s, ctr, r, _mg_delta, ub,
+                    strength, py, px, _mg_width,
+                )
+                v_star, dv_mb = moving_ghost_forcing_2d_local(
+                    v_star, _g.x_min + 0.5 * dx, dx, _g.y_min, dy,
+                    nx, ny + 1, gy0s, gx0s, ctr, r, _mg_delta, vb,
+                    strength, py, px, _mg_width,
+                )
+            else:
+                m_u, m_v = _mb_masks(gr0, gc0, tstate.t)
+                du_mb = (u_star - ub) * (strength * m_u)
+                dv_mb = (v_star - vb) * (strength * m_v)
+                u_star = u_star - du_mb
+                v_star = v_star - dv_mb
             if cfg.compute_metrics:
                 cell = dx * dy
                 fx = fx + _psum(jnp.sum(du_mb)) * cell / dt
@@ -656,15 +700,17 @@ def make_cylinder_mac_explicit_step(cfg: MACConfig, mesh: Mesh,
 
 def make_moving_body_mac_explicit_step(cfg: MACConfig, mesh: Mesh,
                                        moving_body,
-                                       ibm_ramp_steps: int = 0):
+                                       ibm_ramp_steps: int = 0,
+                                       moving_scheme: str = "penalize"):
     """Explicit-comm MAC step for a moving body (ibm.MovingBody) in a
     quiescent free-slip box — the sharded twin of the
     ``cylinder_oscillating`` case: masks are rebuilt per step from the
     shard's global index grids (elementwise — no constants, no
-    gathers), forces psum'd."""
+    gathers), forces psum'd. ``moving_scheme="ghost"`` selects the
+    sharded sharp-interface moving ghost instead of penalization."""
     g = cfg.grid
     bcs = free_slip_mac_local_bcs(g.ny, g.nx)
     return jax.jit(make_mac_explicit_step(
         cfg, mesh, bcs, moving_body=moving_body,
-        ibm_ramp_steps=ibm_ramp_steps,
+        ibm_ramp_steps=ibm_ramp_steps, moving_scheme=moving_scheme,
     ))

@@ -74,6 +74,8 @@ def make_stretched_mac_explicit_step(
     use_ibm: bool = False,
     ibm_ramp_steps: int = 0,
     moving_body=None,
+    moving_scheme: str = "penalize",
+    moving_ghost_halo: int = 5,
 ):
     """Build the explicit-comm stretched-MAC step on the trimmed
     representation: ``step(tstate, cfl_scale[, mask_u_t, mask_v_t])``
@@ -84,7 +86,16 @@ def make_stretched_mac_explicit_step(
     per-axis coordinate LUT slices (``_lut`` — dynamic slices, never
     gathers, per the shard_map backend-bug rules) with the h_min taper,
     penalization toward u_b(t), volume-weighted psum'd forces — the
-    stretched habitat of mac_explicit's moving_body."""
+    stretched habitat of mac_explicit's moving_body.
+
+    ``moving_scheme="ghost"`` upgrades the moving body to the sharded
+    sharp-interface moving ghost (the Dütsch KC=5 quality tier,
+    ibm_ghost_explicit.moving_ghost_forcing_2d_nonuniform_local): the
+    full coordinate vectors ride into the shard_map as replicated ARGS
+    for the searchsorted corner lookup, probe gathers run through
+    width-``moving_ghost_halo`` halo windows (default 5 covers
+    δ = 1.5·h_min probes for a body in the refined region — the
+    standing moving-body convention)."""
     mx = _metrics(x_faces)
     my = _metrics(y_faces)
     nx, ny = cfg.nx, cfg.ny
@@ -154,6 +165,27 @@ def make_stretched_mac_explicit_step(
             m_v = jnp.clip((r + 0.5 * h_min - dv) / h_min, 0.0, 1.0)
             return m_u, m_v
 
+    if moving_scheme not in ("penalize", "ghost"):
+        raise ValueError(f"unknown moving_scheme {moving_scheme!r}")
+    use_mg = moving_body is not None and moving_scheme == "ghost"
+    if use_mg:
+        _mg_delta = 1.5 * h_min  # = models/mac_stretched.py's δ
+        _mg_width = int(moving_ghost_halo)
+        if _mg_width >= min(ny_l, nx_l):
+            raise ValueError(
+                f"moving-ghost halo width {_mg_width} needs local "
+                f"blocks > {_mg_width}; got {ny_l}x{nx_l}"
+            )
+        # full sample-coordinate vectors — shard_map ARGS (replicated)
+        # for the searchsorted corner lookup, fp32 exactly as the
+        # single-device moving_ghost_forcing_2d_nonuniform casts them
+        _mg_vecs = (
+            jnp.asarray(xf, jnp.float32),      # u-face x (nx+1,)
+            jnp.asarray(my.xc, jnp.float32),   # u-face y (ny,)
+            jnp.asarray(mx.xc, jnp.float32),   # v-face x (nx,)
+            jnp.asarray(yf, jnp.float32),      # v-face y (ny+1,)
+        )
+
     solve_p = make_fdm_poisson_local(mx.h, my.h, py, px)
 
     spec = P("y", "x")
@@ -162,6 +194,8 @@ def make_stretched_mac_explicit_step(
     in_specs = [state_spec, P()]
     if use_ibm:
         in_specs += [spec, spec]
+    if use_mg:
+        in_specs += [(P(), P(), P(), P())]
 
     def step_local(tstate: MACState, cfl_scale, *extras):
         iy = lax.axis_index("y")
@@ -345,13 +379,32 @@ def make_stretched_mac_explicit_step(
         if moving_body is not None:
             from cfdsim_tpu.ibm import ibm_ramp
 
-            m_u, m_v = _mb_masks(gy0, gx0, tstate.t)
             ub, vb = moving_body.velocity(tstate.t)
             strength = ibm_ramp(tstate.step, ibm_ramp_steps)
-            du_mb = (u_star - ub) * (strength * m_u)
-            dv_mb = (v_star - vb) * (strength * m_v)
-            u_star = u_star - du_mb
-            v_star = v_star - dv_mb
+            if use_mg:
+                from cfdsim_tpu.parallel.ibm_ghost_explicit import (
+                    moving_ghost_forcing_2d_nonuniform_local,
+                )
+
+                xs_u, ys_u, xs_v, ys_v = extras[-1]
+                ctr = moving_body.center(tstate.t)
+                r = moving_body.radius
+                u_star, du_mb = moving_ghost_forcing_2d_nonuniform_local(
+                    u_star, xf_at(gx0 - 1, nx_l + 2),
+                    yc_at(gy0 - 1, ny_l + 2), xs_u, ys_u, gy0, gx0, ctr,
+                    r, _mg_delta, ub, strength, py, px, _mg_width,
+                )
+                v_star, dv_mb = moving_ghost_forcing_2d_nonuniform_local(
+                    v_star, xc_at(gx0 - 1, nx_l + 2),
+                    yf_at(gy0 - 1, ny_l + 2), xs_v, ys_v, gy0, gx0, ctr,
+                    r, _mg_delta, vb, strength, py, px, _mg_width,
+                )
+            else:
+                m_u, m_v = _mb_masks(gy0, gx0, tstate.t)
+                du_mb = (u_star - ub) * (strength * m_u)
+                dv_mb = (v_star - vb) * (strength * m_v)
+                u_star = u_star - du_mb
+                v_star = v_star - dv_mb
             if cfg.compute_metrics:
                 au = hy_at(gy0, ny_l) * area_u(gx0, nx_l)
                 av = area_v(gy0, ny_l) * hx_at(gx0, nx_l)
@@ -415,12 +468,20 @@ def make_stretched_mac_explicit_step(
             metrics = StepMetrics(dt, zero, zero, zero, zero, zero, zero)
         return new_tstate, metrics
 
-    return jax.shard_map(
+    sharded = jax.shard_map(
         step_local,
         mesh=mesh,
         in_specs=tuple(in_specs),
         out_specs=(state_spec, metric_spec),
     )
+    if use_mg:
+        # append the replicated coordinate vectors OUTSIDE the shard_map
+        # body (they must be traced args inside, never closures)
+        def step(tstate, cfl_scale, *extras):
+            return sharded(tstate, cfl_scale, *extras, _mg_vecs)
+
+        return step
+    return sharded
 
 
 def make_cavity_stretched_explicit_step(cfg: StretchedMACConfig, mesh: Mesh,
@@ -462,16 +523,18 @@ def make_cylinder_stretched_explicit_step(cfg: StretchedMACConfig, mesh: Mesh,
 
 def make_moving_body_stretched_explicit_step(
     cfg: StretchedMACConfig, mesh: Mesh, x_faces, y_faces, moving_body,
-    ibm_ramp_steps: int = 0,
+    ibm_ramp_steps: int = 0, moving_scheme: str = "penalize",
 ):
     """Explicit-comm stretched-MAC step for a moving body in a quiescent
     free-slip box — the sharded twin of cylinder_oscillating(
     stretched=True): masks from per-axis coordinate LUTs, volume-
-    weighted psum'd forces."""
+    weighted psum'd forces. ``moving_scheme="ghost"`` selects the
+    sharded sharp-interface moving ghost (the Dütsch KC=5 quality
+    tier)."""
     from cfdsim_tpu.parallel.mac_explicit import free_slip_mac_local_bcs
 
     bcs = free_slip_mac_local_bcs(cfg.ny, cfg.nx)
     return jax.jit(make_stretched_mac_explicit_step(
         cfg, mesh, bcs, x_faces, y_faces, moving_body=moving_body,
-        ibm_ramp_steps=ibm_ramp_steps,
+        ibm_ramp_steps=ibm_ramp_steps, moving_scheme=moving_scheme,
     ))

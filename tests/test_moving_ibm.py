@@ -248,6 +248,99 @@ def test_moving_body_explicit_matches_single_device():
     assert len(t.u.sharding.device_set) == 8
 
 
+def test_moving_ghost_explicit_matches_single_device():
+    """Sharded moving GHOST (sharp-interface wall on a moving body):
+    on-device classification from global index offsets + probe gathers
+    through measured-width halo windows must match the single-device
+    cylinder_oscillating with ibm_scheme='ghost' on the 8-device mesh
+    (VERDICT r3 item 6 — the last cell of the {static,moving} x
+    {single,sharded} x {penalize,ghost} cube)."""
+    from cfdsim_tpu.cases import cylinder_oscillating
+    from cfdsim_tpu.parallel.mac_explicit import (
+        make_moving_body_mac_explicit_step,
+    )
+    from cfdsim_tpu.parallel.mac_sharded import (
+        shard_trimmed_state,
+        trim_state,
+    )
+    from cfdsim_tpu.parallel.mesh import make_grid_mesh
+
+    mesh = make_grid_mesh(8, topology=(2, 4))
+    case = cylinder_oscillating(
+        nx=64, ny=32, domain=(16.0, 8.0), center=(8.0, 4.0),
+        KC=4.0, Re=80.0, period=4.0, scheme="tvd", ibm_scheme="ghost",
+    )
+    step_ref = jax.jit(case.step)
+    step_ex = make_moving_body_mac_explicit_step(
+        case.cfg, mesh, case.extras["body"], moving_scheme="ghost"
+    )
+    t = shard_trimmed_state(trim_state(case.state), mesh)
+    r = case.state
+    for _ in range(8):
+        t, m_ex = step_ex(t, jnp.float32(1.0))
+        r, m_ref = step_ref(r, jnp.float32(1.0))
+    np.testing.assert_allclose(np.asarray(t.u), np.asarray(r.u)[:, :-1],
+                               rtol=0, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(t.v), np.asarray(r.v)[:-1, :],
+                               rtol=0, atol=2e-5)
+    np.testing.assert_allclose(float(m_ex.fx), float(m_ref.fx),
+                               rtol=2e-4, atol=1e-6)
+    np.testing.assert_allclose(float(m_ex.fy), float(m_ref.fy),
+                               rtol=2e-4, atol=1e-6)
+    np.testing.assert_allclose(float(m_ex.dt), float(m_ref.dt), rtol=1e-5)
+    assert abs(float(m_ex.fx)) > 1e-5  # a real force signal
+    assert len(t.u.sharding.device_set) == 8
+
+
+def test_moving_ghost3d_explicit_matches_single_device():
+    """Sharded 3D moving ghost: trilinear window probes + z-local
+    classification must match the single-device mac3d
+    moving_scheme='ghost' oscillating sphere."""
+    from cfdsim_tpu.grid import Grid3D
+    from cfdsim_tpu.ibm import oscillating_sphere
+    from cfdsim_tpu.models import mac3d
+    from cfdsim_tpu.parallel.mac3d_explicit import (
+        make_moving_body_mac3d_explicit_step,
+        shard_trimmed_state3d,
+        trim_state3d,
+    )
+    from cfdsim_tpu.parallel.mesh import make_grid_mesh
+
+    mesh = make_grid_mesh(8, topology=(2, 4))
+    grid = Grid3D(nx=24, ny=16, nz=12, x_max=6.0, y_max=4.0, z_max=3.0,
+                  centering="cell")
+    cfg = mac3d.MAC3DConfig(grid=grid, nu=0.01, scheme="tvd", dt_max=0.02)
+    body = oscillating_sphere((3.0, 2.0, 1.5), 0.5, amplitude=0.6,
+                              period=3.0)
+    step_ref = jax.jit(mac3d.make_step(
+        cfg, mac3d.free_slip_bcs3d(), moving_body=body,
+        moving_scheme="ghost", ibm_ramp_steps=2,
+    ))
+    step_ex = make_moving_body_mac3d_explicit_step(
+        cfg, mesh, body, ibm_ramp_steps=2, moving_scheme="ghost"
+    )
+    t = shard_trimmed_state3d(trim_state3d(mac3d.init_state(cfg)), mesh)
+    r = mac3d.init_state(cfg)
+    for _ in range(6):
+        t, m_ex = step_ex(t, jnp.float32(1.0))
+        r, m_ref = step_ref(r, jnp.float32(1.0))
+    np.testing.assert_allclose(np.asarray(t.u), np.asarray(r.u)[:, :, :-1],
+                               rtol=0, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(t.v), np.asarray(r.v)[:, :-1, :],
+                               rtol=0, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(t.w), np.asarray(r.w)[:-1],
+                               rtol=0, atol=2e-5)
+    np.testing.assert_allclose(float(m_ex.fx), float(m_ref.fx),
+                               rtol=2e-4, atol=1e-6)
+    np.testing.assert_allclose(float(m_ex.fy), float(m_ref.fy),
+                               rtol=2e-4, atol=1e-6)
+    np.testing.assert_allclose(float(m_ex.fz), float(m_ref.fz),
+                               rtol=2e-4, atol=1e-6)
+    np.testing.assert_allclose(float(m_ex.dt), float(m_ref.dt), rtol=1e-5)
+    assert abs(float(m_ex.fx)) > 1e-5
+    assert len(t.u.sharding.device_set) == 8
+
+
 def test_stretched3d_moving_body_uniform_matches_mac3d():
     """Uniform faces: the stretched-3D moving-body path must reproduce
     the uniform mac3d moving-body step (central scheme — identical
@@ -372,6 +465,48 @@ def test_stretched_moving_body_explicit_matches_single_device():
     np.testing.assert_allclose(float(m_ex.fy), float(m_ref.fy),
                                rtol=2e-4, atol=1e-6)
     np.testing.assert_allclose(float(m_ex.dt), float(m_ref.dt), rtol=1e-5)
+    assert len(t.u.sharding.device_set) == 8
+
+
+def test_stretched_moving_ghost_explicit_matches_single_device():
+    """Sharded stretched moving GHOST (the Dütsch KC=5 quality tier):
+    searchsorted corner lookups on the coordinate vectors riding as
+    replicated shard_map args + window probe gathers must match the
+    single-device cylinder_oscillating(stretched=True,
+    ibm_scheme='ghost') step."""
+    from cfdsim_tpu.cases import cylinder_oscillating
+    from cfdsim_tpu.parallel.mac_sharded import shard_trimmed_state, trim_state
+    from cfdsim_tpu.parallel.mac_stretched_explicit import (
+        make_moving_body_stretched_explicit_step,
+    )
+    from cfdsim_tpu.parallel.mesh import make_grid_mesh
+
+    mesh = make_grid_mesh(8, topology=(2, 4))
+    case = cylinder_oscillating(
+        nx=64, ny=32, domain=(16.0, 8.0), center=(8.0, 4.0),
+        KC=4.0, Re=80.0, period=4.0, scheme="tvd", stretched=True,
+        refine_strength=2.0, ibm_scheme="ghost",
+    )
+    step_ref = jax.jit(case.step)
+    step_ex = make_moving_body_stretched_explicit_step(
+        case.cfg, mesh, case.extras["x_faces"], case.extras["y_faces"],
+        case.extras["body"], moving_scheme="ghost",
+    )
+    t = shard_trimmed_state(trim_state(case.state), mesh)
+    r = case.state
+    for _ in range(8):
+        t, m_ex = step_ex(t, jnp.float32(1.0))
+        r, m_ref = step_ref(r, jnp.float32(1.0))
+    np.testing.assert_allclose(np.asarray(t.u), np.asarray(r.u)[:, :-1],
+                               rtol=0, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(t.v), np.asarray(r.v)[:-1, :],
+                               rtol=0, atol=2e-5)
+    np.testing.assert_allclose(float(m_ex.fx), float(m_ref.fx),
+                               rtol=2e-4, atol=1e-6)
+    np.testing.assert_allclose(float(m_ex.fy), float(m_ref.fy),
+                               rtol=2e-4, atol=1e-6)
+    np.testing.assert_allclose(float(m_ex.dt), float(m_ref.dt), rtol=1e-5)
+    assert abs(float(m_ex.fx)) > 1e-5
     assert len(t.u.sharding.device_set) == 8
 
 
