@@ -1118,7 +1118,10 @@ def heated_sphere(
     +15.5% at Re=100 and +37% at Re=200 at 12 c/D (the thermal BL
     ~D·Re^-1/2·Pr^-1/3 outruns the grid); a warning is emitted below
     16 c/D at Re > 150. ``heated_sphere_stretched`` is the
-    resolution-efficient habitat (+5%/+17% at the same cell count)."""
+    resolution-efficient habitat (+5%/+17% at the same cell count);
+    its production config ``ibm_scheme="ghost", theta_scheme="tvd"``
+    closes the residual scheme-order bias to a Re-independent −6.5%
+    vs Ranz–Marshall (round-4 rows, BENCHNOTES)."""
     import numpy as np
 
     import warnings
