@@ -31,7 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 _MEM: dict[str, str] = {}
-_VARIANTS = ("rfft", "rfft2", "packed", "matmul")
+_VARIANTS = ("rfft", "rfft2", "rfft_split", "packed", "matmul")
 
 
 def _cache_path() -> Path:
@@ -148,9 +148,9 @@ def measure_dct_variants(shape, dx: float, dy: float) -> tuple[dict, list]:
 
 
 def _key(shape) -> str:
-    # v2: the rfft2 single-2D-FFT variant joined the candidate set in
-    # round 3 — bumping the key re-times stale round-2 cache entries
-    return f"{jax.default_backend()}|dct2d.v2|{shape[0]}x{shape[1]}"
+    # v3: the rfft_split half-length-FFT variant joined in round 4
+    # (v2 added rfft2) — bumping the key re-times stale cache entries
+    return f"{jax.default_backend()}|dct2d.v3|{shape[0]}x{shape[1]}"
 
 
 def cached_dct_variant(shape) -> str | None:

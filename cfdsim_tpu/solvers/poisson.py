@@ -332,16 +332,21 @@ def _idct2(X, axis: int):
     return jnp.real(jax.lax.slice_in_dim(v, 0, n, axis=axis))
 
 
-def _dct2_fast(x, axis: int):
+def _dct2_fast(x, axis: int, split: bool = False):
     """Makhoul single-FFT DCT-II (same 2× scale as ``_dct2``): permute to
     v = [x_even, reversed(x_odd)], take one real FFT of length n (vs the
     even-extension's complex FFT of length 2n — ~4× less FFT work), and
-    twiddle. Requires even n along ``axis``."""
+    twiddle. Requires even n along ``axis``. ``split=True`` computes the
+    internal rfft via a half-length complex FFT (``_rfft_half``) — the
+    escape hatch from XLA's >2048 FFT superlinearity."""
     n = x.shape[axis]
     ev = jax.lax.slice_in_dim(x, 0, n, 2, axis=axis)
     od = jax.lax.slice_in_dim(x, 1, n, 2, axis=axis)
     v = jnp.concatenate([ev, jnp.flip(od, axis)], axis=axis)
-    W = jnp.fft.rfft(v, axis=axis)  # length n//2 + 1
+    if split:
+        W = _rfft_half(v, axis)  # length n//2 + 1
+    else:
+        W = jnp.fft.rfft(v, axis=axis)  # length n//2 + 1
     # half-spectrum twiddle: with B = e^{-iπk/2n}·W[k] (k ≤ n/2),
     # X[k] = 2·Re(B[k]) and X[n−k] = −2·Im(B[k])
     k = jnp.arange(n // 2 + 1)
@@ -355,14 +360,16 @@ def _dct2_fast(x, axis: int):
     return jnp.concatenate([head, tail], axis=axis)
 
 
-def _idct2_fast(X, axis: int, scale_k=None, scale_nk=None):
+def _idct2_fast(X, axis: int, scale_k=None, scale_nk=None,
+                split: bool = False):
     """Exact inverse of ``_dct2_fast``: rebuild the permuted-sequence
     spectrum V[k] = e^{iπk/2n}·(X[k] − i·X[n−k])/2, one ifft, un-permute.
 
     ``scale_k``/``scale_nk`` optionally fold an elementwise spectral
     multiplier s into this pass (V built from s[k]·X[k] and s[n−k]·X[n−k])
     — the Poisson solve uses it to apply 1/λ without a separate
-    full-array pass."""
+    full-array pass. ``split=True`` pairs with ``_dct2_fast(split=True)``
+    (half-length complex ifft)."""
     n = X.shape[axis]
     # the permuted sequence v is real, so its spectrum is Hermitian: only
     # V[0..n/2] is needed and a real irfft recovers v at half the FFT work
@@ -383,7 +390,10 @@ def _idct2_fast(X, axis: int, scale_k=None, scale_nk=None):
     V = jnp.exp(1j * jnp.pi * k / (2 * n)).reshape(shape) * (
         0.5 * (Xk - 1j * Xnk)
     )
-    v = jnp.fft.irfft(V, n=n, axis=axis)
+    if split:
+        v = _irfft_half(V, n, axis)
+    else:
+        v = jnp.fft.irfft(V, n=n, axis=axis)
     ev = jax.lax.slice_in_dim(v, 0, n // 2, axis=axis)
     od = jnp.flip(jax.lax.slice_in_dim(v, n // 2, n, axis=axis), axis)
     return jnp.stack([ev, od], axis=axis + 1).reshape(X.shape)
@@ -392,6 +402,54 @@ def _idct2_fast(X, axis: int, scale_k=None, scale_nk=None):
 def _spectrum_reverse(F, axis: int):
     """F[(n−k) mod n]: index-reversal of a full FFT spectrum."""
     return jnp.roll(jnp.flip(F, axis), 1, axis)
+
+
+def _rfft_half(v, axis: int):
+    """rfft of real even-length ``v`` via ONE half-length complex FFT
+    (classic even/odd packing + Hermitian split).
+
+    XLA's TPU FFT goes superlinear in length past 2048 (BENCHNOTES
+    "root cause": 4096² DCT solve 13.7 ms, 85% of the step); halving
+    the transform length keeps the FFT in the fast regime at the cost
+    of two elementwise spectral passes. Used by the autotuned
+    ``dct_variant="rfft_split"`` candidate."""
+    n = v.shape[axis]
+    ve = jax.lax.slice_in_dim(v, 0, n, 2, axis=axis)
+    vo = jax.lax.slice_in_dim(v, 1, n, 2, axis=axis)
+    Z = jnp.fft.fft(ve + 1j * vo, axis=axis)  # length n/2
+    Zr = jnp.conj(_spectrum_reverse(Z, axis))  # conj Z[(−k) mod n/2]
+    E = 0.5 * (Z + Zr)
+    O = -0.5j * (Z - Zr)
+    k = jnp.arange(n // 2)
+    shape = [1] * v.ndim
+    shape[axis] = n // 2
+    w = jnp.exp(-2j * jnp.pi * k / n).reshape(shape)
+    head = E + w * O  # X[k], k = 0..n/2−1
+    nyq = jax.lax.slice_in_dim(E - O, 0, 1, axis=axis)  # X[n/2] = E0 − O0
+    return jnp.concatenate([head, nyq], axis=axis)
+
+
+def _irfft_half(X, n: int, axis: int):
+    """Exact inverse of ``_rfft_half``: rebuild the packed half-length
+    spectrum from the Hermitian half-spectrum and take one complex
+    ifft. ``X`` has length n/2+1 along ``axis``."""
+    m = n // 2
+    Xk = jax.lax.slice_in_dim(X, 0, m, axis=axis)  # k = 0..n/2−1
+    # conj X[n/2−k] for k = 0..n/2−1
+    Xc = jnp.conj(jnp.flip(jax.lax.slice_in_dim(X, 1, m + 1, axis=axis),
+                           axis))
+    k = jnp.arange(m)
+    shape = [1] * X.ndim
+    shape[axis] = m
+    wc = jnp.exp(2j * jnp.pi * k / n).reshape(shape)  # conj(w)
+    E = 0.5 * (Xk + Xc)
+    O = 0.5 * wc * (Xk - Xc)
+    z = jnp.fft.ifft(E + 1j * O, axis=axis)
+    out_shape = list(X.shape)
+    out_shape[axis] = n
+    return jnp.stack(
+        [jnp.real(z), jnp.imag(z)], axis=axis + 1
+    ).reshape(out_shape)
 
 
 def _cdct(z, axis: int):
@@ -644,6 +702,27 @@ def solve_poisson_neumann_dct(rhs, dx: float, dy: float,
         # (~35% less FFT work than the per-axis rfft path on TPU)
         rhs_hat = _dct2d_rfft2(rhs)
         phi = _idct2d_rfft2(rhs_hat, scale=jnp.asarray(ilam))
+        return phi.astype(rhs.dtype)
+    if variant == "rfft_split" and m % 2 == 0 and n % 2 == 0:
+        # per-axis Makhoul with the internal rffts computed via
+        # HALF-LENGTH complex FFTs (_rfft_half): n-point real transform
+        # → n/2-point complex FFT + two spectral passes. Targets the
+        # XLA TPU FFT superlinearity past 2048 (the 4096²/8192² wall);
+        # the autotuner measures whether the extra passes pay.
+        rhs_hat = _dct2_fast(_dct2_fast(rhs, 0, split=True), 1, split=True)
+        ilam_k = jnp.asarray(ilam[:, : n // 2 + 1])
+        ilam_nk = jnp.asarray(
+            np.concatenate(
+                [ilam[:, :1], ilam[:, : n // 2 : -1],
+                 ilam[:, n // 2 : n // 2 + 1]],
+                axis=1,
+            )
+        )
+        phi = _idct2_fast(
+            _idct2_fast(rhs_hat, 1, scale_k=ilam_k, scale_nk=ilam_nk,
+                        split=True),
+            0, split=True,
+        )
         return phi.astype(rhs.dtype)
     rhs_hat = _dct_fwd(_dct_fwd(rhs, axis=0), axis=1)
     if n % 2 == 0:
