@@ -32,6 +32,15 @@ import numpy as np
 
 _MEM: dict[str, str] = {}
 _VARIANTS = ("rfft", "rfft2", "rfft_split", "packed", "matmul")
+# deeper radix-2 peels (internal FFT length n/4, n/8) only make sense
+# where the base FFT is superlinear — past the 2048 cliff
+_DEEP_VARIANTS = ("rfft_split4", "rfft_split8")
+
+
+def _variants_for(shape) -> tuple[str, ...]:
+    if min(shape) >= 4096:
+        return _VARIANTS + _DEEP_VARIANTS
+    return _VARIANTS
 
 
 def _cache_path() -> Path:
@@ -136,7 +145,7 @@ def measure_dct_variants(shape, dx: float, dy: float) -> tuple[dict, list]:
     rhs = jnp.asarray(rng.standard_normal(shape), jnp.float32)
     rhs = rhs - jnp.mean(rhs)
     out, fallback = {}, []
-    for v in _VARIANTS:
+    for v in _variants_for(shape):
         try:
             t, is_ub = _time_marginal(_candidate(v, shape, dx, dy), rhs)
         except Exception:  # pragma: no cover - variant unsupported here
@@ -149,8 +158,10 @@ def measure_dct_variants(shape, dx: float, dy: float) -> tuple[dict, list]:
 
 def _key(shape) -> str:
     # v3: the rfft_split half-length-FFT variant joined in round 4
-    # (v2 added rfft2) — bumping the key re-times stale cache entries
-    return f"{jax.default_backend()}|dct2d.v3|{shape[0]}x{shape[1]}"
+    # (v2 added rfft2) — bumping the key re-times stale cache entries.
+    # ≥4096 shapes carry a v4 key: the deep-split candidates joined.
+    v = "v4" if min(shape) >= 4096 else "v3"
+    return f"{jax.default_backend()}|dct2d.{v}|{shape[0]}x{shape[1]}"
 
 
 def cached_dct_variant(shape) -> str | None:
@@ -163,7 +174,8 @@ def cached_dct_variant(shape) -> str | None:
     if key in _MEM:
         return _MEM[key]
     disk = _load_disk().get(key)
-    if isinstance(disk, dict) and disk.get("variant") in _VARIANTS:
+    if isinstance(disk, dict) and disk.get("variant") in (
+            _VARIANTS + _DEEP_VARIANTS):
         _MEM[key] = disk["variant"]
         return _MEM[key]
     return None

@@ -332,19 +332,20 @@ def _idct2(X, axis: int):
     return jnp.real(jax.lax.slice_in_dim(v, 0, n, axis=axis))
 
 
-def _dct2_fast(x, axis: int, split: bool = False):
+def _dct2_fast(x, axis: int, split: int = 0):
     """Makhoul single-FFT DCT-II (same 2× scale as ``_dct2``): permute to
     v = [x_even, reversed(x_odd)], take one real FFT of length n (vs the
     even-extension's complex FFT of length 2n — ~4× less FFT work), and
-    twiddle. Requires even n along ``axis``. ``split=True`` computes the
-    internal rfft via a half-length complex FFT (``_rfft_half``) — the
-    escape hatch from XLA's >2048 FFT superlinearity."""
+    twiddle. Requires even n along ``axis``. ``split=k`` (k ≥ 1) computes
+    the internal rfft via a half-length complex FFT (``_rfft_half``) with
+    k−1 further radix-2 peels — the escape hatch from XLA's >2048 FFT
+    superlinearity (internal FFT length n / 2^k)."""
     n = x.shape[axis]
     ev = jax.lax.slice_in_dim(x, 0, n, 2, axis=axis)
     od = jax.lax.slice_in_dim(x, 1, n, 2, axis=axis)
     v = jnp.concatenate([ev, jnp.flip(od, axis)], axis=axis)
     if split:
-        W = _rfft_half(v, axis)  # length n//2 + 1
+        W = _rfft_half(v, axis, depth=int(split) - 1)  # length n//2 + 1
     else:
         W = jnp.fft.rfft(v, axis=axis)  # length n//2 + 1
     # half-spectrum twiddle: with B = e^{-iπk/2n}·W[k] (k ≤ n/2),
@@ -361,15 +362,15 @@ def _dct2_fast(x, axis: int, split: bool = False):
 
 
 def _idct2_fast(X, axis: int, scale_k=None, scale_nk=None,
-                split: bool = False):
+                split: int = 0):
     """Exact inverse of ``_dct2_fast``: rebuild the permuted-sequence
     spectrum V[k] = e^{iπk/2n}·(X[k] − i·X[n−k])/2, one ifft, un-permute.
 
     ``scale_k``/``scale_nk`` optionally fold an elementwise spectral
     multiplier s into this pass (V built from s[k]·X[k] and s[n−k]·X[n−k])
     — the Poisson solve uses it to apply 1/λ without a separate
-    full-array pass. ``split=True`` pairs with ``_dct2_fast(split=True)``
-    (half-length complex ifft)."""
+    full-array pass. ``split=k`` pairs with ``_dct2_fast(split=k)``
+    (half-length complex ifft, k−1 extra radix-2 peels)."""
     n = X.shape[axis]
     # the permuted sequence v is real, so its spectrum is Hermitian: only
     # V[0..n/2] is needed and a real irfft recovers v at half the FFT work
@@ -391,7 +392,7 @@ def _idct2_fast(X, axis: int, scale_k=None, scale_nk=None,
         0.5 * (Xk - 1j * Xnk)
     )
     if split:
-        v = _irfft_half(V, n, axis)
+        v = _irfft_half(V, n, axis, depth=int(split) - 1)
     else:
         v = jnp.fft.irfft(V, n=n, axis=axis)
     ev = jax.lax.slice_in_dim(v, 0, n // 2, axis=axis)
@@ -404,7 +405,50 @@ def _spectrum_reverse(F, axis: int):
     return jnp.roll(jnp.flip(F, axis), 1, axis)
 
 
-def _rfft_half(v, axis: int):
+def _fft_split(z, axis: int, depth: int):
+    """Complex FFT with ``depth`` radix-2 decimation-in-time levels
+    peeled off explicitly: fft_n = butterfly(fft_{n/2}(even),
+    fft_{n/2}(odd)), the two half transforms batched in ONE call along
+    a fresh leading axis (XLA FFT cost depends on LENGTH, not batch —
+    the >2048 superlinearity motivates trading length for batch)."""
+    if depth <= 0:
+        return jnp.fft.fft(z, axis=axis)
+    n = z.shape[axis]
+    ze = jax.lax.slice_in_dim(z, 0, n, 2, axis=axis)
+    zo = jax.lax.slice_in_dim(z, 1, n, 2, axis=axis)
+    ZZ = _fft_split(jnp.stack([ze, zo]), axis + 1, depth - 1)
+    E = ZZ[0]
+    O = ZZ[1]
+    k = jnp.arange(n // 2)
+    shape = [1] * E.ndim
+    shape[axis] = n // 2
+    wO = jnp.exp(-2j * jnp.pi * k / n).reshape(shape) * O
+    return jnp.concatenate([E + wO, E - wO], axis=axis)
+
+
+def _ifft_split(Z, axis: int, depth: int):
+    """Inverse of ``_fft_split`` (same radix-2 peel, conjugate
+    twiddles, 1/2 per level)."""
+    if depth <= 0:
+        return jnp.fft.ifft(Z, axis=axis)
+    n = Z.shape[axis]
+    A = jax.lax.slice_in_dim(Z, 0, n // 2, axis=axis)
+    B = jax.lax.slice_in_dim(Z, n // 2, n, axis=axis)
+    k = jnp.arange(n // 2)
+    shape = [1] * Z.ndim
+    shape[axis] = n // 2
+    wc = jnp.exp(2j * jnp.pi * k / n).reshape(shape)
+    zz = _ifft_split(
+        jnp.stack([0.5 * (A + B), 0.5 * wc * (A - B)]), axis + 1,
+        depth - 1,
+    )
+    ze = zz[0]
+    zo = zz[1]
+    out_shape = list(Z.shape)
+    return jnp.stack([ze, zo], axis=axis + 1).reshape(out_shape)
+
+
+def _rfft_half(v, axis: int, depth: int = 0):
     """rfft of real even-length ``v`` via ONE half-length complex FFT
     (classic even/odd packing + Hermitian split).
 
@@ -412,11 +456,13 @@ def _rfft_half(v, axis: int):
     "root cause": 4096² DCT solve 13.7 ms, 85% of the step); halving
     the transform length keeps the FFT in the fast regime at the cost
     of two elementwise spectral passes. Used by the autotuned
-    ``dct_variant="rfft_split"`` candidate."""
+    ``dct_variant="rfft_split"`` candidate. ``depth`` peels further
+    radix-2 levels off the internal complex FFT (``_fft_split``) —
+    the 8192 path."""
     n = v.shape[axis]
     ve = jax.lax.slice_in_dim(v, 0, n, 2, axis=axis)
     vo = jax.lax.slice_in_dim(v, 1, n, 2, axis=axis)
-    Z = jnp.fft.fft(ve + 1j * vo, axis=axis)  # length n/2
+    Z = _fft_split(ve + 1j * vo, axis, depth)  # length n/2
     Zr = jnp.conj(_spectrum_reverse(Z, axis))  # conj Z[(−k) mod n/2]
     E = 0.5 * (Z + Zr)
     O = -0.5j * (Z - Zr)
@@ -429,10 +475,11 @@ def _rfft_half(v, axis: int):
     return jnp.concatenate([head, nyq], axis=axis)
 
 
-def _irfft_half(X, n: int, axis: int):
+def _irfft_half(X, n: int, axis: int, depth: int = 0):
     """Exact inverse of ``_rfft_half``: rebuild the packed half-length
     spectrum from the Hermitian half-spectrum and take one complex
-    ifft. ``X`` has length n/2+1 along ``axis``."""
+    ifft. ``X`` has length n/2+1 along ``axis``. ``depth`` mirrors
+    ``_rfft_half`` (extra radix-2 peels via ``_ifft_split``)."""
     m = n // 2
     Xk = jax.lax.slice_in_dim(X, 0, m, axis=axis)  # k = 0..n/2−1
     # conj X[n/2−k] for k = 0..n/2−1
@@ -444,7 +491,7 @@ def _irfft_half(X, n: int, axis: int):
     wc = jnp.exp(2j * jnp.pi * k / n).reshape(shape)  # conj(w)
     E = 0.5 * (Xk + Xc)
     O = 0.5 * wc * (Xk - Xc)
-    z = jnp.fft.ifft(E + 1j * O, axis=axis)
+    z = _ifft_split(E + 1j * O, axis, depth)
     out_shape = list(X.shape)
     out_shape[axis] = n
     return jnp.stack(
@@ -703,13 +750,24 @@ def solve_poisson_neumann_dct(rhs, dx: float, dy: float,
         rhs_hat = _dct2d_rfft2(rhs)
         phi = _idct2d_rfft2(rhs_hat, scale=jnp.asarray(ilam))
         return phi.astype(rhs.dtype)
-    if variant == "rfft_split" and m % 2 == 0 and n % 2 == 0:
+    if variant.startswith("rfft_split") and m % 2 == 0 and n % 2 == 0:
         # per-axis Makhoul with the internal rffts computed via
         # HALF-LENGTH complex FFTs (_rfft_half): n-point real transform
         # → n/2-point complex FFT + two spectral passes. Targets the
         # XLA TPU FFT superlinearity past 2048 (the 4096²/8192² wall);
         # the autotuner measures whether the extra passes pay.
-        rhs_hat = _dct2_fast(_dct2_fast(rhs, 0, split=True), 1, split=True)
+        # "rfft_split4"/"rfft_split8" peel further radix-2 levels
+        # (_fft_split): internal FFT length n/4, n/8 — the suffix is
+        # the total length-division factor.
+        factor = int(variant[len("rfft_split"):] or "2")
+        depth = max(factor.bit_length() - 1, 1)  # split level: 2→1, 4→2, 8→3
+        # Makhoul permute needs even n; the split peels need n/2
+        # divisible by 2^(depth−1) → n divisible by 2^(depth+1).
+        if min(m, n) % (1 << (depth + 1)):
+            raise ValueError(
+                f"{variant} needs sizes divisible by {1 << (depth + 1)}")
+        rhs_hat = _dct2_fast(_dct2_fast(rhs, 0, split=depth), 1,
+                             split=depth)
         ilam_k = jnp.asarray(ilam[:, : n // 2 + 1])
         ilam_nk = jnp.asarray(
             np.concatenate(
@@ -720,8 +778,8 @@ def solve_poisson_neumann_dct(rhs, dx: float, dy: float,
         )
         phi = _idct2_fast(
             _idct2_fast(rhs_hat, 1, scale_k=ilam_k, scale_nk=ilam_nk,
-                        split=True),
-            0, split=True,
+                        split=depth),
+            0, split=depth,
         )
         return phi.astype(rhs.dtype)
     rhs_hat = _dct_fwd(_dct_fwd(rhs, axis=0), axis=1)

@@ -23,7 +23,9 @@ def rhs():
     return jnp.asarray(r - r.mean())
 
 
-@pytest.mark.parametrize("variant", ["rfft", "rfft2", "rfft_split", "packed", "matmul"])
+@pytest.mark.parametrize("variant", ["rfft", "rfft2", "rfft_split",
+                                     "rfft_split4", "rfft_split8",
+                                     "packed", "matmul"])
 def test_every_variant_is_exact_and_identical(rhs, variant):
     dx, dy = 1.0 / 64, 1.0 / 48
     cfg = PoissonConfig(method="dct", dct_variant=variant)

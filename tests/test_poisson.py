@@ -180,3 +180,21 @@ def test_packed_dct_matches_reference():
     assert np.abs(ref - new).max() < 1e-5 * np.abs(ref).max()
     rt = np.asarray(_idct2d_packed(_dct2d_packed(x)))
     assert np.abs(rt - np.asarray(x)).max() < 1e-5
+
+
+def test_fft_split_matches_xla_fft():
+    # explicit radix-2 DIT peels (the >2048-superlinearity escape) must
+    # reproduce jnp.fft exactly at every depth, fwd and inverse
+    import numpy as np
+
+    from cfdsim_tpu.solvers.poisson import _fft_split, _ifft_split
+
+    rng = np.random.RandomState(7)
+    z = jnp.asarray(rng.randn(5, 64) + 1j * rng.randn(5, 64),
+                    jnp.complex64)
+    ref = np.asarray(jnp.fft.fft(z, axis=1))
+    for depth in (1, 2, 3):
+        got = np.asarray(_fft_split(z, 1, depth))
+        assert np.abs(got - ref).max() < 1e-4 * np.abs(ref).max(), depth
+        rt = np.asarray(_ifft_split(_fft_split(z, 1, depth), 1, depth))
+        assert np.abs(rt - np.asarray(z)).max() < 1e-5, depth
