@@ -715,6 +715,49 @@ def _dct_inv(X, axis: int):
     return _idct2_fast(X, axis) if X.shape[axis] % 2 == 0 else _idct2(X, axis)
 
 
+# Above this many entries the 1/λ table is built IN-TRACE instead of
+# being baked as a numpy constant: at 8192² the closed-over fp32
+# eigenvalue tables are 2×134 MB and blow this rig's relay
+# remote_compile body limit (HTTP 413) — the same const-folding failure
+# mode as CLAUDE.md's "keep solid masks bool". Below the threshold the
+# baked constant wins: the in-trace build is re-executed EVERY solve
+# inside a scan (XLA does not hoist the trig+reciprocal passes as
+# loop-invariant on this backend), which measured as a 2.52e9 → 1.40e9
+# cells/s headline regression at 1024² before this gate was added.
+# 4096² (16.8M entries, 67 MB/table) is the largest size the relay has
+# accepted baked.
+_ILAM_BAKE_LIMIT = (1 << 24) + 1
+
+
+def _inv_neumann_eigenvalues(m: int, n: int, dx: float, dy: float):
+    """1/λ table for the clamped-edge (DCT-II-diagonal) FD Laplacian.
+
+    Uses the cancellation-safe identity 2cos(πk/n)−2 = −4sin²(πk/2n):
+    fp32 cos near 1 loses ~80% of λ₁ at n=8192, fp32 sin near 0 loses
+    nothing. Baked as an f64-derived numpy fp32 constant for small
+    grids; built in-trace (iota + elementwise) past _ILAM_BAKE_LIMIT."""
+    if m * n <= _ILAM_BAKE_LIMIT:
+        sy = np.sin(np.pi * np.arange(m) / (2 * m))
+        sx = np.sin(np.pi * np.arange(n) / (2 * n))
+        lam = (-4.0 / (dy * dy)) * (sy * sy)[:, None] + (
+            -4.0 / (dx * dx)
+        ) * (sx * sx)[None, :]
+        lam[0, 0] = 1.0
+        ilam = (1.0 / lam).astype(np.float32)
+        ilam[0, 0] = 0.0  # project out the constant nullspace mode
+        return jnp.asarray(ilam)
+    ky = jnp.arange(m, dtype=jnp.float32)
+    kx = jnp.arange(n, dtype=jnp.float32)
+    sy = jnp.sin((np.pi / (2 * m)) * ky)
+    sx = jnp.sin((np.pi / (2 * n)) * kx)
+    lam = (-4.0 / (dy * dy)) * (sy * sy)[:, None] + (
+        -4.0 / (dx * dx)
+    ) * (sx * sx)[None, :]
+    lam = lam.at[0, 0].set(1.0)
+    ilam = 1.0 / lam
+    return ilam.at[0, 0].set(0.0)  # project out the constant nullspace
+
+
 def solve_poisson_neumann_dct(rhs, dx: float, dy: float,
                               variant: str = "rfft"):
     """Exact solve of the clamped-edge (Neumann) FD Poisson problem.
@@ -732,23 +775,16 @@ def solve_poisson_neumann_dct(rhs, dx: float, dy: float,
     # The autotuned dispatch (solvers/autotune.py, dct_variant="auto")
     # measures rather than assumes.
     packed = variant == "packed"
-    ky = np.arange(m)
-    kx = np.arange(n)
-    lam = (2.0 * np.cos(np.pi * ky / m)[:, None] - 2.0) / (dy * dy) + (
-        2.0 * np.cos(np.pi * kx / n)[None, :] - 2.0
-    ) / (dx * dx)
-    lam[0, 0] = 1.0
-    ilam = (1.0 / lam).astype(np.float32)
-    ilam[0, 0] = 0.0  # project out the constant nullspace mode
+    ilam = _inv_neumann_eigenvalues(m, n, dx, dy)
     if packed:
         rhs_hat = _dct2d_packed(rhs)
-        phi = _idct2d_packed(rhs_hat * jnp.asarray(ilam))
+        phi = _idct2d_packed(rhs_hat * ilam)
         return phi.astype(rhs.dtype)
     if variant == "rfft2" and m % 2 == 0 and n % 2 == 0:
         # single-2D-FFT Makhoul path: one rfft2 + one irfft2 total
         # (~35% less FFT work than the per-axis rfft path on TPU)
         rhs_hat = _dct2d_rfft2(rhs)
-        phi = _idct2d_rfft2(rhs_hat, scale=jnp.asarray(ilam))
+        phi = _idct2d_rfft2(rhs_hat, scale=ilam)
         return phi.astype(rhs.dtype)
     if variant.startswith("rfft_split") and m % 2 == 0 and n % 2 == 0:
         # per-axis Makhoul with the internal rffts computed via
@@ -768,13 +804,11 @@ def solve_poisson_neumann_dct(rhs, dx: float, dy: float,
                 f"{variant} needs sizes divisible by {1 << (depth + 1)}")
         rhs_hat = _dct2_fast(_dct2_fast(rhs, 0, split=depth), 1,
                              split=depth)
-        ilam_k = jnp.asarray(ilam[:, : n // 2 + 1])
-        ilam_nk = jnp.asarray(
-            np.concatenate(
-                [ilam[:, :1], ilam[:, : n // 2 : -1],
-                 ilam[:, n // 2 : n // 2 + 1]],
-                axis=1,
-            )
+        ilam_k = ilam[:, : n // 2 + 1]
+        ilam_nk = jnp.concatenate(
+            [ilam[:, :1], ilam[:, : n // 2 : -1],
+             ilam[:, n // 2 : n // 2 + 1]],
+            axis=1,
         )
         phi = _idct2_fast(
             _idct2_fast(rhs_hat, 1, scale_k=ilam_k, scale_nk=ilam_nk,
@@ -786,19 +820,18 @@ def solve_poisson_neumann_dct(rhs, dx: float, dy: float,
     if n % 2 == 0:
         # fold 1/λ into the first inverse's spectrum-build pass: the
         # multiplier for the X[n−k] branch is 1/λ at the reversed kx index
-        ilam_k = jnp.asarray(ilam[:, : n // 2 + 1])
-        ilam_nk = jnp.asarray(
-            np.concatenate(
-                [ilam[:, :1], ilam[:, : n // 2 : -1], ilam[:, n // 2 : n // 2 + 1]],
-                axis=1,
-            )
+        ilam_k = ilam[:, : n // 2 + 1]
+        ilam_nk = jnp.concatenate(
+            [ilam[:, :1], ilam[:, : n // 2 : -1],
+             ilam[:, n // 2 : n // 2 + 1]],
+            axis=1,
         )
         phi = _dct_inv(
             _idct2_fast(rhs_hat, axis=1, scale_k=ilam_k, scale_nk=ilam_nk),
             axis=0,
         )
     else:
-        phi_hat = rhs_hat * jnp.asarray(ilam)
+        phi_hat = rhs_hat * ilam
         phi = _dct_inv(_dct_inv(phi_hat, axis=1), axis=0)
     return phi.astype(rhs.dtype)
 
