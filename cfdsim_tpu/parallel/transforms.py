@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from cfdsim_tpu.solvers.helmholtz import dst1
@@ -130,9 +131,11 @@ def dct_poisson_local(rhs_b, dx: float, dy: float, py: int, px: int):
     q = nx_l // max(py, 1)
     ky = lax.broadcasted_iota(jnp.int32, t.shape, 0)
     kx = ix * nx_l + iy * q + lax.broadcasted_iota(jnp.int32, t.shape, 1)
-    lam = (2.0 * jnp.cos(jnp.pi * ky.astype(jnp.float32) / ny_g) - 2.0) / (
-        dy * dy
-    ) + (2.0 * jnp.cos(jnp.pi * kx.astype(jnp.float32) / nx_g) - 2.0) / (dx * dx)
+    # cancellation-safe −4sin²(πk/2n) form of 2cos(πk/n)−2 (fp32-accurate
+    # low modes at large n — see poisson._inv_neumann_eigenvalues)
+    sy = jnp.sin((np.pi / (2 * ny_g)) * ky.astype(jnp.float32))
+    sx = jnp.sin((np.pi / (2 * nx_g)) * kx.astype(jnp.float32))
+    lam = (-4.0 / (dy * dy)) * sy * sy + (-4.0 / (dx * dx)) * sx * sx
     zero_mode = (ky == 0) & (kx == 0)
     ilam = jnp.where(zero_mode, 0.0, 1.0 / jnp.where(zero_mode, 1.0, lam))
     t = t * ilam
@@ -179,12 +182,14 @@ def dct_poisson3d_local(rhs_b, dx: float, dy: float, dz: float,
     kz = lax.broadcasted_iota(jnp.int32, t.shape, 0)
     ky = lax.broadcasted_iota(jnp.int32, t.shape, 1)
     kx = ix * nx_l + iy * q + lax.broadcasted_iota(jnp.int32, t.shape, 2)
+    # cancellation-safe −4sin² form (see the 2D solve above)
+    sz = jnp.sin((np.pi / (2 * nz)) * kz.astype(jnp.float32))
+    sy = jnp.sin((np.pi / (2 * ny_g)) * ky.astype(jnp.float32))
+    sx = jnp.sin((np.pi / (2 * nx_g)) * kx.astype(jnp.float32))
     lam = (
-        (2.0 * jnp.cos(jnp.pi * kz.astype(jnp.float32) / nz) - 2.0) / (dz * dz)
-        + (2.0 * jnp.cos(jnp.pi * ky.astype(jnp.float32) / ny_g) - 2.0)
-        / (dy * dy)
-        + (2.0 * jnp.cos(jnp.pi * kx.astype(jnp.float32) / nx_g) - 2.0)
-        / (dx * dx)
+        (-4.0 / (dz * dz)) * sz * sz
+        + (-4.0 / (dy * dy)) * sy * sy
+        + (-4.0 / (dx * dx)) * sx * sx
     )
     zero_mode = (kz == 0) & (ky == 0) & (kx == 0)
     t = t * jnp.where(zero_mode, 0.0, 1.0 / jnp.where(zero_mode, 1.0, lam))

@@ -117,24 +117,32 @@ def _time_marginal(fn, rhs, k_short: int = 2, k_long: int = 10,
     float(jnp.sum(f_s(rhs)))  # compile + warm
     float(jnp.sum(f_l(rhs)))
 
-    def best_of(f):
-        best = np.inf
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            float(jnp.sum(f(rhs)))  # scalar fetch = the barrier on axon
-            best = min(best, time.perf_counter() - t0)
-        return best
+    def once(f):
+        t0 = time.perf_counter()
+        float(jnp.sum(f(rhs)))  # scalar fetch = the barrier on axon
+        return time.perf_counter() - t0
 
-    # shared-chip variance can invert the marginal (t_long < t_short);
-    # the old 1e-9 floor then published a falsely-zero time that FAKE-WON
-    # the tune.  Retry, then fall back to the long-chain average — a
+    # Shared-chip variance corrupts a min-of-mins marginal in BOTH
+    # directions: t_long < t_short inverts it (the old fake-zero bug,
+    # ADVICE r3), and a lucky t_long against an unlucky t_short once
+    # published a 15x-too-fast winner (round 4: the v3 1024² re-time
+    # recorded rfft at 0.039 ms — real 0.59 — and cost the headline
+    # 2.52e9 -> 1.42e9 until re-timed).  Pair each (t_long, t_short)
+    # measurement back-to-back so they see the same chip weather, and
+    # take the MEDIAN of the positive paired marginals.
+    marginals = []
+    for _ in range(3 * reps):
+        t_l, t_s = once(f_l), once(f_s)
+        if t_l > t_s:
+            marginals.append((t_l - t_s) / (k_long - k_short))
+        if len(marginals) >= reps:
+            break
+    if marginals:
+        return float(np.median(marginals)), False
+    # every pairing inverted: fall back to the long-chain average — a
     # conservative upper bound (it still carries the per-call dispatch
     # constant, ~100 ms on this rig's relay) flagged to the caller so the
     # winner selection and the cached timings record it (ADVICE r3).
-    for _ in range(3):
-        t_l, t_s = best_of(f_l), best_of(f_s)
-        if t_l > t_s:
-            return (t_l - t_s) / (k_long - k_short), False
     return t_l / k_long, True
 
 
@@ -160,7 +168,10 @@ def _key(shape) -> str:
     # v3: the rfft_split half-length-FFT variant joined in round 4
     # (v2 added rfft2) — bumping the key re-times stale cache entries.
     # ≥4096 shapes carry a v4 key: the deep-split candidates joined.
-    v = "v4" if min(shape) >= 4096 else "v3"
+    # v5 (sub-4096): re-time entries recorded by the corruptible
+    # min-of-mins marginal (the v3 1024² entry published a 15x-too-fast
+    # fluke winner — see _time_marginal).
+    v = "v4" if min(shape) >= 4096 else "v5"
     return f"{jax.default_backend()}|dct2d.{v}|{shape[0]}x{shape[1]}"
 
 

@@ -135,10 +135,17 @@ def solve_poisson_3d(
 ):
     if cfg.method == "dct":
         nz, ny, nx = rhs.shape
+        # cancellation-safe −4sin²(πk/2n) form of 2cos(πk/n)−2: fp32 cos
+        # near 1 loses most of the low-mode eigenvalues at large n, fp32
+        # sin near 0 loses nothing (see poisson._inv_neumann_eigenvalues)
+        def _ax(n_):
+            s = jnp.sin((jnp.pi / (2 * n_)) * jnp.arange(n_, dtype=jnp.float32))
+            return -4.0 * s * s
+
         lam = (
-            (2.0 * jnp.cos(jnp.pi * jnp.arange(nz) / nz) - 2.0)[:, None, None] / dz**2
-            + (2.0 * jnp.cos(jnp.pi * jnp.arange(ny) / ny) - 2.0)[None, :, None] / dy**2
-            + (2.0 * jnp.cos(jnp.pi * jnp.arange(nx) / nx) - 2.0)[None, None, :] / dx**2
+            _ax(nz)[:, None, None] / dz**2
+            + _ax(ny)[None, :, None] / dy**2
+            + _ax(nx)[None, None, :] / dx**2
         )
         lam = lam.at[0, 0, 0].set(1.0)
         ilam = (1.0 / lam).at[0, 0, 0].set(0.0)
