@@ -46,6 +46,11 @@ class MAC3DConfig:
     # flux-form variable-ν diffusion (exactly conservative)
     use_les: bool = False
     smagorinsky_constant: float = 0.17
+    # "smagorinsky" (static C_s) or "dynamic" (Germano–Lilly: the
+    # coefficient computed from the resolved field via a 2Δ test
+    # filter, clipped ≥0 — self-switches off in laminar regions where
+    # the static model over-damps; ops/les_dynamic.py)
+    les_model: str = "smagorinsky"
     poisson: Poisson3DConfig = Poisson3DConfig(method="dct")
     # "chorin" or "incremental" (lagged-∇p predictor + increment solve:
     # O(dt²) steady splitting error — see mac.MACConfig.projection)
@@ -179,14 +184,14 @@ def external_flow_bcs3d(v_inf: float, inlet_profile=None,
     return MAC3DBCs(set_normal, ghosts)
 
 
-def smagorinsky_viscosity_mac3d(u, v, w, ghosts, dx, dy, dz, cs: float):
-    """ν_t = (C_s Δ)²|S| at cell centers, Δ = (dx dy dz)^{1/3}
-    (reference physics v5.py:96-110 lifted to the 3D staggered layout):
-    the three normal strains live at centers; each of the three shear
-    sums 2S_ij lives on the matching cell-edge set and is averaged back
-    to centers. |S| = √(2(S_xx²+S_yy²+S_zz²) + (2S_xy)²+(2S_xz)²+(2S_yz)²)."""
+def strain_magnitude_mac3d(u, v, w, ghosts, dx, dy, dz):
+    """|S| = √(2 S_ij S_ij) at cell centers from the staggered field
+    (reference strain physics v5.py:96-110 lifted to the 3D staggered
+    layout): the three normal strains live at centers; each of the
+    three shear sums 2S_ij lives on the matching cell-edge set and is
+    averaged back to centers.
+    |S| = √(2(S_xx²+S_yy²+S_zz²) + (2S_xy)²+(2S_xz)²+(2S_yz)²)."""
     u_gy, u_gz, v_gx, v_gz, w_gx, w_gy = ghosts
-    delta = (dx * dy * dz) ** (1.0 / 3.0)
     sxx = (u[:, :, 1:] - u[:, :, :-1]) * (1.0 / dx)   # (nz, ny, nx)
     syy = (v[:, 1:, :] - v[:, :-1, :]) * (1.0 / dy)
     szz = (w[1:] - w[:-1]) * (1.0 / dz)
@@ -219,7 +224,31 @@ def smagorinsky_viscosity_mac3d(u, v, w, ghosts, dx, dy, dz, cs: float):
         + to_c(sh_xz * sh_xz, 0, 2)
         + to_c(sh_yz * sh_yz, 0, 1)
     )
-    return (cs * delta) ** 2 * jnp.sqrt(s2)
+    return jnp.sqrt(s2)
+
+
+def smagorinsky_viscosity_mac3d(u, v, w, ghosts, dx, dy, dz, cs: float):
+    """Static-coefficient Smagorinsky ν_t = (C_s Δ)²|S| at cell
+    centers, Δ = (dx dy dz)^{1/3} (reference v5.py:96-110 in 3D)."""
+    delta = (dx * dy * dz) ** (1.0 / 3.0)
+    return (cs * delta) ** 2 * strain_magnitude_mac3d(
+        u, v, w, ghosts, dx, dy, dz
+    )
+
+
+def _les_viscosity_mac3d(cfg, u, v, w, ghosts, dx, dy, dz):
+    """Dispatch on cfg.les_model: static Smagorinsky or the dynamic
+    Germano–Lilly coefficient (ops.les_dynamic) times the staggered
+    strain magnitude — both at cell centers, feeding _diffuse_les3d."""
+    if cfg.les_model == "dynamic":
+        from cfdsim_tpu.ops.les_dynamic import dynamic_coefficient_3d
+
+        uc, vc, wc = center_velocities_3d(u, v, w)
+        c = dynamic_coefficient_3d(uc, vc, wc, dx, dy, dz)
+        return c * strain_magnitude_mac3d(u, v, w, ghosts, dx, dy, dz)
+    return smagorinsky_viscosity_mac3d(
+        u, v, w, ghosts, dx, dy, dz, cfg.smagorinsky_constant
+    )
 
 
 def _diffuse_les3d(u, v, w, ghosts, nu_eff_c, dx, dy, dz):
@@ -447,6 +476,8 @@ def make_step(
         raise ValueError(f"unknown MAC3D scheme {cfg.scheme!r}")
     if cfg.time_scheme not in ("euler", "rk2"):
         raise ValueError(f"unknown MAC3D time scheme {cfg.time_scheme!r}")
+    if cfg.les_model not in ("smagorinsky", "dynamic"):
+        raise ValueError(f"unknown les_model {cfg.les_model!r}")
     g = cfg.grid
     dx, dy, dz = g.dx, g.dy, g.dz
     h = min(dx, dy, dz)
@@ -492,9 +523,7 @@ def make_step(
         ghosts = bcs.ghosts(u, v, w)
 
         if cfg.use_les:
-            nu_t = smagorinsky_viscosity_mac3d(
-                u, v, w, ghosts, dx, dy, dz, cfg.smagorinsky_constant
-            )
+            nu_t = _les_viscosity_mac3d(cfg, u, v, w, ghosts, dx, dy, dz)
             nu_stab = cfg.nu + jnp.mean(nu_t)
         else:
             nu_t = None
@@ -655,9 +684,8 @@ def make_step(
             # solenoidal ⇒ so is the average); ν_t refreshed from stage 1
             ghosts1 = bcs.ghosts(u_new, v_new, w_new)
             if cfg.use_les:
-                nu_t = smagorinsky_viscosity_mac3d(
-                    u_new, v_new, w_new, ghosts1, dx, dy, dz,
-                    cfg.smagorinsky_constant,
+                nu_t = _les_viscosity_mac3d(
+                    cfg, u_new, v_new, w_new, ghosts1, dx, dy, dz
                 )
             u2, v2, w2, phi2, (fx2, fy2, fz2, div_star) = stage(
                 u_new, v_new, w_new, ghosts1, nu_t, phi, state.t + dt

@@ -446,6 +446,13 @@ def make_mac3d_explicit_step(cfg: MAC3DConfig, mesh: Mesh,
         )
     if getattr(cfg, "projection", "chorin") != "chorin":
         raise ValueError("the explicit sharded step implements projection='chorin'")
+    if getattr(cfg, "les_model", "smagorinsky") != "smagorinsky":
+        # the dynamic Germano coefficient needs ~5 halo cells (two test
+        # filters + a central gradient); the sharded step carries width-2
+        # windows — run the dynamic model single-device
+        raise ValueError(
+            "the explicit sharded step implements les_model='smagorinsky'"
+        )
 
     from cfdsim_tpu.models.mac3d import (
         _diffuse_les3d,

@@ -18,6 +18,7 @@ Run (CPU ~2.5 steps/s at 10.7k tris; tunneled TPU ~4.3 steps/s):
 """
 
 import argparse
+import os
 import sys
 import time
 from pathlib import Path
@@ -25,6 +26,10 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import jax
+
+if os.environ.get("CFDSIM_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["CFDSIM_PLATFORM"])
+
 import jax.numpy as jnp
 import numpy as np
 

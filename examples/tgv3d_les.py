@@ -28,7 +28,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def run_tgv(n=64, re=1600.0, t_final=14.0, use_les=True, chunk=200,
-            verbose=True):
+            les_model="smagorinsky", verbose=True):
     import jax
     import jax.numpy as jnp
 
@@ -51,6 +51,9 @@ def run_tgv(n=64, re=1600.0, t_final=14.0, use_les=True, chunk=200,
         # ν and (with use_les) the Smagorinsky model only, so ε(t) is a
         # clean read on the subgrid model rather than upwind diffusion
         use_les=use_les,
+        les_model=les_model,  # "dynamic" = Germano–Lilly: coefficient
+        # from the resolved field, →0 in the laminar ramp-up where the
+        # static model already damps (ops/les_dynamic.py)
         cfl_target=0.3,
     )
     step = mac3d.make_step(cfg, mac3d.free_slip_bcs3d())
@@ -100,10 +103,14 @@ def main():
     ap.add_argument("--re", type=float, default=1600.0)
     ap.add_argument("--t-final", type=float, default=14.0)
     ap.add_argument("--no-les", action="store_true")
+    ap.add_argument("--model", default="smagorinsky",
+                    choices=["smagorinsky", "dynamic"],
+                    help="subgrid model: static C_s or dynamic "
+                         "Germano–Lilly")
     args = ap.parse_args()
     r = run_tgv(n=args.n, re=args.re, t_final=args.t_final,
-                use_les=not args.no_les)
-    tag = "no-model" if args.no_les else "LES"
+                use_les=not args.no_les, les_model=args.model)
+    tag = "no-model" if args.no_les else f"LES/{args.model}"
     print(f"TGV {args.n}³ Re={args.re:g} [{tag}]: "
           f"eps peak {r['eps_peak']:.4f} at t={r['t_peak']:.2f} "
           f"(Brachet DNS: ~0.0117 at t~9.0)")

@@ -1,0 +1,165 @@
+"""Dynamic Smagorinsky (Germano–Lilly) model tests — ops/les_dynamic.py
+and the mac3d ``les_model="dynamic"`` path.
+
+The property under test is the one the dynamic procedure exists for
+(beyond the reference's static-C_s model, v5.py:96-110): the
+coefficient vanishes on smooth, well-resolved fields (where static
+Smagorinsky over-damps) and activates on grid-scale content.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cfdsim_tpu.ops.les_dynamic import box_filter_3d, dynamic_coefficient_3d
+
+
+def _tgv_centers(n, h, k=1.0):
+    xc = (np.arange(n) + 0.5) * h
+    u = (np.sin(k * xc)[None, None, :] * np.cos(k * xc)[None, :, None]
+         * np.cos(k * xc)[:, None, None])
+    v = (-np.cos(k * xc)[None, None, :] * np.sin(k * xc)[None, :, None]
+         * np.cos(k * xc)[:, None, None])
+    w = np.zeros((n, n, n))
+    return (jnp.asarray(u, jnp.float32), jnp.asarray(v, jnp.float32),
+            jnp.asarray(w, jnp.float32))
+
+
+def test_box_filter_preserves_constants_and_smooths():
+    f = jnp.full((8, 9, 10), 3.25, jnp.float32)
+    assert float(jnp.abs(box_filter_3d(f) - 3.25).max()) < 1e-6
+    rng = np.random.default_rng(0)
+    g = jnp.asarray(rng.standard_normal((16, 16, 16)), jnp.float32)
+    gf = box_filter_3d(g)
+    assert float(gf.std()) < float(g.std())  # removes grid-scale noise
+    # convex average: bounded by the input range
+    assert float(gf.max()) <= float(g.max()) + 1e-6
+    assert float(gf.min()) >= float(g.min()) - 1e-6
+
+
+def test_dynamic_coefficient_small_on_resolved_field():
+    # single-mode TGV at 32³: ~32 points per wavelength — essentially
+    # fully resolved, so the Germano coefficient must come out far
+    # below the static (0.17Δ)² prescription (it measures ~1e-8·Δ²)
+    n = 32
+    h = np.pi / n
+    uc, vc, wc = _tgv_centers(n, h)
+    c = float(dynamic_coefficient_3d(uc, vc, wc, h, h, h))
+    c_static = (0.17**2) * h * h
+    assert c < 0.02 * c_static, (c, c_static)
+
+
+def test_dynamic_coefficient_activates_on_grid_scale_content():
+    # broadband random field: energy at the grid scale → the model
+    # must switch on (well above the resolved-field level), and the
+    # clip must bound it by (0.3Δ)²
+    n = 32
+    h = np.pi / n
+    rng = np.random.default_rng(1)
+    uc = jnp.asarray(rng.standard_normal((n, n, n)), jnp.float32)
+    vc = jnp.asarray(rng.standard_normal((n, n, n)), jnp.float32)
+    wc = jnp.asarray(rng.standard_normal((n, n, n)), jnp.float32)
+    c = float(dynamic_coefficient_3d(uc, vc, wc, h, h, h))
+    delta_sq = h * h
+    assert 0.0 <= c <= (0.3**2) * delta_sq * (1.0 + 1e-5)  # fp32 clip
+    assert c > 0.5 * (0.17**2) * delta_sq
+
+
+def test_dynamic_les_step_switches_off_in_laminar_shear():
+    # decaying parallel shear u = cos(z) in the free-slip [0,π]³ box:
+    # the nonlinear term vanishes exactly (u·∇u = 0), so this is the
+    # canonical laminar state where static Smagorinsky over-damps
+    # (|S| = |sin z| ≠ 0 → ν_t > 0) while the Germano contraction is
+    # identically zero (for any parallel shear, the deviatoric
+    # gradient Gram matrix is orthogonal to S: L·M ≡ 0) → the dynamic
+    # model must track the molecular-ν decay
+    from cfdsim_tpu.grid import Grid3D
+    from cfdsim_tpu.models import mac3d
+
+    n = 24
+    h = np.pi / n
+    zc = (np.arange(n) + 0.5) * h
+    u0 = np.broadcast_to(
+        np.cos(zc)[:, None, None], (n, n, n + 1)
+    ).astype(np.float32)
+
+    def run(use_les, les_model="smagorinsky"):
+        cfg = mac3d.MAC3DConfig(
+            grid=Grid3D(nx=n, ny=n, nz=n, x_max=np.pi, y_max=np.pi,
+                        z_max=np.pi, centering="cell"),
+            nu=1e-3, use_les=use_les, les_model=les_model,
+            adaptive_dt=False, dt_base=4e-3,
+        )
+        step = mac3d.make_step(cfg, mac3d.free_slip_bcs3d())
+        s = mac3d.init_state(cfg)._replace(u=jnp.asarray(u0))
+        s, ms = jax.jit(lambda s0: jax.lax.scan(
+            lambda st, _: step(st, jnp.float32(1.0)), s0, None, length=150
+        ))(s)
+        assert bool(jnp.all(jnp.isfinite(s.u)))
+        return float(np.asarray(ms.energy)[-1])
+
+    e_plain = run(False)
+    e_static = run(True, "smagorinsky")
+    e_dynamic = run(True, "dynamic")
+    # static dissipates visibly; dynamic must sit within 10% of that
+    # static-model energy drop from the no-model curve
+    drop_static = e_plain - e_static
+    drop_dynamic = e_plain - e_dynamic
+    assert drop_static > 1e-5
+    assert drop_dynamic < 0.1 * drop_static, (drop_dynamic, drop_static)
+    assert drop_dynamic > -1e-6  # never anti-dissipative (clip at 0)
+
+
+def test_dynamic_les_step_stable_on_tgv_transition():
+    # under-resolved TGV at Re=10⁴, 24³: vortex stretching steepens
+    # gradients immediately — the dynamic model must activate (c > 0),
+    # stay on the clip range, and keep the run stable and solenoidal
+    from cfdsim_tpu.grid import Grid3D
+    from cfdsim_tpu.models import mac3d
+
+    n = 24
+    h = np.pi / n
+    xf = np.arange(n + 1) * h
+    xc = (np.arange(n) + 0.5) * h
+    u0 = (np.sin(xf)[None, None, :] * np.cos(xc)[None, :, None]
+          * np.cos(xc)[:, None, None]).astype(np.float32)
+    v0 = (-np.cos(xc)[None, None, :] * np.sin(xf)[None, :, None]
+          * np.cos(xc)[:, None, None]).astype(np.float32)
+
+    cfg = mac3d.MAC3DConfig(
+        grid=Grid3D(nx=n, ny=n, nz=n, x_max=np.pi, y_max=np.pi,
+                    z_max=np.pi, centering="cell"),
+        nu=1e-4, use_les=True, les_model="dynamic",
+        adaptive_dt=False, dt_base=4e-3,
+    )
+    step = mac3d.make_step(cfg, mac3d.free_slip_bcs3d())
+    s = mac3d.init_state(cfg)._replace(u=jnp.asarray(u0), v=jnp.asarray(v0))
+    s, ms = jax.jit(lambda s0: jax.lax.scan(
+        lambda st, _: step(st, jnp.float32(1.0)), s0, None, length=150
+    ))(s)
+    assert bool(jnp.all(jnp.isfinite(s.u)))
+    assert float(np.asarray(ms.div_post)[-1]) < 1e-3
+    e = np.asarray(ms.energy)
+    assert e[-1] < 0.125  # dissipating
+    assert e[-1] > 0.8 * 0.125  # not blowing energy away either
+
+
+def test_dynamic_les_model_rejected_on_sharded_step():
+    from cfdsim_tpu.grid import Grid3D
+    from cfdsim_tpu.models import mac3d
+    from cfdsim_tpu.parallel.mac3d_explicit import (
+        make_cavity3d_mac_explicit_step,
+    )
+    from cfdsim_tpu.parallel.mesh import make_grid_mesh
+
+    cfg = mac3d.MAC3DConfig(
+        grid=Grid3D(nx=16, ny=16, nz=16, x_max=1.0, y_max=1.0, z_max=1.0,
+                    centering="cell"),
+        nu=1e-3, use_les=True, les_model="dynamic",
+    )
+    mesh = make_grid_mesh(len(jax.devices()))
+    try:
+        make_cavity3d_mac_explicit_step(cfg, mesh)
+        raise AssertionError("expected ValueError for dynamic les_model")
+    except ValueError as e:
+        assert "les_model" in str(e)
