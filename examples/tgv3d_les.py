@@ -83,6 +83,18 @@ def run_tgv(n=64, re=1600.0, t_final=14.0, use_les=True, chunk=200,
                   f"[{len(ts) / el:6.0f} steps/s]", flush=True)
         if not np.isfinite(es[-1]):
             raise RuntimeError("blow-up")
+    # shell-averaged energy spectrum at the final state (free-slip
+    # octant → parity-mirrored periodic FFT) + inertial-range slope
+    from cfdsim_tpu.models.mac3d import center_velocities_3d
+    from cfdsim_tpu.utils.spectra import energy_spectrum_3d
+
+    uc, vc, wc = center_velocities_3d(state.u, state.v, state.w)
+    kk, ek = energy_spectrum_3d(uc, vc, wc, mirror=True)
+    lo, hi = 4, max(6, n // 4)
+    band = slice(lo, hi)
+    slope = float(np.polyfit(np.log(kk[band]), np.log(ek[band] + 1e-30),
+                             1)[0])
+
     ts = np.asarray(ts)
     es = np.asarray(es)
     # dissipation rate from a smoothed derivative (window ~0.25 time
@@ -94,7 +106,8 @@ def run_tgv(n=64, re=1600.0, t_final=14.0, use_les=True, chunk=200,
     eps_s = np.convolve(eps, kern, mode="same")
     k = int(np.argmax(eps_s))
     return {"t": ts, "E": es, "t_eps": t_mid, "eps": eps_s,
-            "t_peak": float(t_mid[k]), "eps_peak": float(eps_s[k])}
+            "t_peak": float(t_mid[k]), "eps_peak": float(eps_s[k]),
+            "k": kk, "E_k": ek, "slope": slope}
 
 
 def main():
@@ -113,7 +126,9 @@ def main():
     tag = "no-model" if args.no_les else f"LES/{args.model}"
     print(f"TGV {args.n}³ Re={args.re:g} [{tag}]: "
           f"eps peak {r['eps_peak']:.4f} at t={r['t_peak']:.2f} "
-          f"(Brachet DNS: ~0.0117 at t~9.0)")
+          f"(Brachet DNS: ~0.0117 at t~9.0); "
+          f"E(k) slope at t={args.t_final:g}: {r['slope']:.2f} "
+          f"(inertial range: -5/3)")
     return r
 
 
