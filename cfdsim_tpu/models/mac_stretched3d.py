@@ -170,6 +170,10 @@ class StretchedMAC3DConfig:
     # variable-ν diffusion runs in flux form on the metric gaps
     use_les: bool = False
     smagorinsky_constant: float = 0.17
+    # "smagorinsky" (static C_s) or "dynamic" (Germano–Lilly with the
+    # local Δ² inside the identity and IBM-body cells masked out of
+    # the contraction — ops/les_dynamic.dynamic_cs2_3d)
+    les_model: str = "smagorinsky"
     # "chorin" or "incremental" (see mac.MACConfig.projection)
     projection: str = "chorin"
     # "euler" or "rk2" (Heun with a projection per stage — see
@@ -258,20 +262,75 @@ def make_step(
     wfz = f32(np.concatenate([[0.5], mz.wf, [0.5]]))[:, None, None]
     h_min = float(min(mx.h.min(), my.h.min(), mz.h.min()))
     if cfg.use_les:
-        cs2_delta2 = f32(
-            cfg.smagorinsky_constant ** 2
-            * (mz.h[:, None, None] * my.h[None, :, None]
-               * mx.h[None, None, :]) ** (2.0 / 3.0)
+        delta2 = f32(
+            (mz.h[:, None, None] * my.h[None, :, None]
+             * mx.h[None, None, :]) ** (2.0 / 3.0)
         )
+        if cfg.les_model == "dynamic":
+            # Germano–Lilly on the stretched metrics: dimensionless
+            # C_s² from the volume-averaged Lilly quotient (local Δ²
+            # inside both M terms; index-space test filter), then
+            # ν_t = C_s²·Δ²(x)·|S| through the same staggered strain
+            # the static model uses (ops/les_dynamic.py)
+            from cfdsim_tpu.ops.les_dynamic import dynamic_cs2_3d
 
-        def nu_turb(u, v, w, ghosts):
-            return smagorinsky_viscosity_stretched3d(
-                u, v, w, ghosts, inv_hx, inv_hy, inv_hz,
-                inv_dfx, inv_dfy, inv_dfz, cs2_delta2,
-            )
+            def _g2(xc):
+                xg = np.concatenate([[xc[0]], xc, [xc[-1]]])
+                return 1.0 / (xg[2:] - xg[:-2])
+
+            inv_g2x = f32(_g2(mx.xc))[None, None, :]
+            inv_g2y = f32(_g2(my.xc))[None, :, None]
+            inv_g2z = f32(_g2(mz.xc))[:, None, None]
+            # fluid indicator for the contraction: exclude IBM-body
+            # cells (any adjacent penalization face inside the body)
+            if ibm_mask_u is not None:
+                solid = jnp.maximum(
+                    jnp.maximum(
+                        jnp.maximum(ibm_mask_u[:, :, 1:],
+                                    ibm_mask_u[:, :, :-1]),
+                        jnp.maximum(ibm_mask_v[:, 1:, :],
+                                    ibm_mask_v[:, :-1, :]),
+                    ),
+                    jnp.maximum(ibm_mask_w[1:], ibm_mask_w[:-1]),
+                )
+                fluid_mask = jnp.asarray(solid < 0.5, jnp.float32)
+            elif ibm_ghost is not None:
+                solid_c = (
+                    (ibm_ghost.u.solid[:, :, 1:]
+                     | ibm_ghost.u.solid[:, :, :-1])
+                    | (ibm_ghost.v.solid[:, 1:, :]
+                       | ibm_ghost.v.solid[:, :-1, :])
+                    | (ibm_ghost.w.solid[1:] | ibm_ghost.w.solid[:-1])
+                )
+                fluid_mask = 1.0 - jnp.asarray(solid_c, jnp.float32)
+            else:
+                fluid_mask = None
+
+            def nu_turb(u, v, w, ghosts):
+                uc = 0.5 * (u[:, :, 1:] + u[:, :, :-1])
+                vc = 0.5 * (v[:, 1:, :] + v[:, :-1, :])
+                wc = 0.5 * (w[1:] + w[:-1])
+                cs2 = dynamic_cs2_3d(
+                    uc, vc, wc, inv_g2x, inv_g2y, inv_g2z, delta2,
+                    mask=fluid_mask,
+                )
+                return cs2 * smagorinsky_viscosity_stretched3d(
+                    u, v, w, ghosts, inv_hx, inv_hy, inv_hz,
+                    inv_dfx, inv_dfy, inv_dfz, delta2,
+                )
+        else:
+            cs2_delta2 = cfg.smagorinsky_constant ** 2 * delta2
+
+            def nu_turb(u, v, w, ghosts):
+                return smagorinsky_viscosity_stretched3d(
+                    u, v, w, ghosts, inv_hx, inv_hy, inv_hz,
+                    inv_dfx, inv_dfy, inv_dfz, cs2_delta2,
+                )
 
     if cfg.scheme not in ("central", "upwind", "tvd"):
         raise ValueError(f"unknown stretched-3D scheme {cfg.scheme!r}")
+    if cfg.les_model not in ("smagorinsky", "dynamic"):
+        raise ValueError(f"unknown les_model {cfg.les_model!r}")
     if cfg.time_scheme not in ("euler", "rk2"):
         raise ValueError(f"unknown time scheme {cfg.time_scheme!r}")
     tvd = cfg.scheme == "tvd"

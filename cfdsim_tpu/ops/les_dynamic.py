@@ -59,13 +59,16 @@ def box_filter_3d(f):
     return g
 
 
-def _center_gradients(uc, vc, wc, dx, dy, dz):
-    """∂u_i/∂x_j at centers from edge-clamped central differences."""
+def _center_gradients(uc, vc, wc, inv_g2x, inv_g2y, inv_g2z):
+    """∂u_i/∂x_j at centers from edge-clamped central differences.
+    ``inv_g2*`` are 1/(two-center gaps): scalars 0.5/h on uniform
+    grids, or broadcastable per-axis vectors built from the (edge-
+    clamp-padded) center coordinates on stretched grids."""
     def grad(f):
         g = jnp.pad(f, 1, mode="edge")
-        fx = (g[1:-1, 1:-1, 2:] - g[1:-1, 1:-1, :-2]) * (0.5 / dx)
-        fy = (g[1:-1, 2:, 1:-1] - g[1:-1, :-2, 1:-1]) * (0.5 / dy)
-        fz = (g[2:, 1:-1, 1:-1] - g[:-2, 1:-1, 1:-1]) * (0.5 / dz)
+        fx = (g[1:-1, 1:-1, 2:] - g[1:-1, 1:-1, :-2]) * inv_g2x
+        fy = (g[1:-1, 2:, 1:-1] - g[1:-1, :-2, 1:-1]) * inv_g2y
+        fz = (g[2:, 1:-1, 1:-1] - g[:-2, 1:-1, 1:-1]) * inv_g2z
         return fx, fy, fz
 
     ux, uy, uz = grad(uc)
@@ -74,10 +77,10 @@ def _center_gradients(uc, vc, wc, dx, dy, dz):
     return (ux, uy, uz), (vx, vy, vz), (wx, wy, wz)
 
 
-def _strain(uc, vc, wc, dx, dy, dz):
+def _strain(uc, vc, wc, inv_g2x, inv_g2y, inv_g2z):
     """(S_11, S_22, S_33, S_12, S_13, S_23, |S|) at cell centers."""
     (ux, uy, uz), (vx, vy, vz), (wx, wy, wz) = _center_gradients(
-        uc, vc, wc, dx, dy, dz
+        uc, vc, wc, inv_g2x, inv_g2y, inv_g2z
     )
     s11, s22, s33 = ux, vy, wz
     s12 = 0.5 * (uy + vx)
@@ -114,14 +117,49 @@ def dynamic_coefficient_3d(
     """
     delta = (dx * dy * dz) ** (1.0 / 3.0)
     delta_sq = delta * delta
+    cs2 = dynamic_cs2_3d(
+        uc, vc, wc, 0.5 / dx, 0.5 / dy, 0.5 / dz, delta_sq,
+        c_max_cs=c_max_cs, alpha_sq=alpha_sq,
+        boundary_skip=boundary_skip, eps=eps,
+    )
+    return cs2 * delta_sq
 
-    s, s_mag = _strain(uc, vc, wc, dx, dy, dz)
+
+def dynamic_cs2_3d(
+    uc,
+    vc,
+    wc,
+    inv_g2x,
+    inv_g2y,
+    inv_g2z,
+    delta_sq,
+    mask=None,
+    c_max_cs: float = 0.3,
+    alpha_sq: float = 6.0,
+    boundary_skip: int = 3,
+    eps: float = 1e-20,
+):
+    """Dimensionless Germano–Lilly C_s² (volume-averaged Lilly
+    quotient, one scalar) — the grid-general core behind
+    ``dynamic_coefficient_3d``.
+
+    ``inv_g2*``: 1/(two-center gaps) for the center gradients — 0.5/h
+    scalars on uniform grids, broadcastable per-axis vectors on
+    stretched grids. ``delta_sq``: the local filter width squared
+    Δ² = (hx·hy·hz)^{2/3} (scalar or cell-center field); it rides
+    inside both M terms so the stretched-grid ν_t = C_s²·Δ²(x)·|S| is
+    consistent with the identity. ``mask``: optional fluid indicator
+    (0 = solid/IBM body) excluding masked cells from the contraction.
+    The test filter acts in index space — exact on uniform grids,
+    second-order on smoothly stretched ones.
+    """
+    s, s_mag = _strain(uc, vc, wc, inv_g2x, inv_g2y, inv_g2z)
 
     # test-filtered velocities and their strain
     uf, vf, wf = box_filter_3d(uc), box_filter_3d(vc), box_filter_3d(wc)
-    sf, sf_mag = _strain(uf, vf, wf, dx, dy, dz)
+    sf, sf_mag = _strain(uf, vf, wf, inv_g2x, inv_g2y, inv_g2z)
 
-    # L_ij = (u_i u_j)^ − û_i û_j ;  M_ij = 2Δ²[(|S|S_ij)^ − α²|Ŝ|Ŝ_ij]
+    # L_ij = (u_i u_j)^ − û_i û_j ;  M_ij = 2[(Δ²|S|S_ij)^ − α²Δ²|Ŝ|Ŝ_ij]
     # Pair the 6 independent components with weights (1,1,1,2,2,2) in
     # the contractions. The trace part of L is annihilated against the
     # traceless M for divergence-free fields; discretely we subtract it
@@ -141,13 +179,17 @@ def dynamic_coefficient_3d(
 
     m_comp = [
         2.0
-        * delta_sq
-        * (box_filter_3d(s_mag * s[k]) - alpha_sq * sf_mag * sf[k])
+        * (box_filter_3d(delta_sq * s_mag * s[k])
+           - alpha_sq * delta_sq * sf_mag * sf[k])
         for k in range(6)
     ]
 
     lm = sum(wgt * l_ * m_ for wgt, l_, m_ in zip(weights, l_comp, m_comp))
     mm = sum(wgt * m_ * m_ for wgt, m_ in zip(weights, m_comp))
+
+    if mask is not None:
+        lm = lm * mask
+        mm = mm * mask
 
     # exclude the wall frame from the contraction: the edge-clamped
     # padding makes the test filter and gradients one-sided there, and
@@ -160,4 +202,4 @@ def dynamic_coefficient_3d(
         mm = mm[k:-k, k:-k, k:-k]
 
     c = jnp.sum(lm) / (jnp.sum(mm) + eps)
-    return jnp.clip(c, 0.0, (c_max_cs**2) * delta_sq)
+    return jnp.clip(c, 0.0, c_max_cs**2)

@@ -62,7 +62,15 @@ def test_dynamic_coefficient_activates_on_grid_scale_content():
     c = float(dynamic_coefficient_3d(uc, vc, wc, h, h, h))
     delta_sq = h * h
     assert 0.0 <= c <= (0.3**2) * delta_sq * (1.0 + 1e-5)  # fp32 clip
-    assert c > 0.5 * (0.17**2) * delta_sq
+    # effective C_s well above the resolved-field level (~1e-4 there);
+    # white noise is not Kolmogorov turbulence, so no 0.17 expectation —
+    # the property under test is activation, not calibration
+    cs_eff = np.sqrt(c / delta_sq)
+    assert cs_eff > 0.02, cs_eff
+    # and orders of magnitude above the resolved TGV mode
+    uc_t, vc_t, wc_t = _tgv_centers(n, h)
+    c_tgv = float(dynamic_coefficient_3d(uc_t, vc_t, wc_t, h, h, h))
+    assert c > 100.0 * max(c_tgv, 1e-12), (c, c_tgv)
 
 
 def test_dynamic_les_step_switches_off_in_laminar_shear():
@@ -142,6 +150,44 @@ def test_dynamic_les_step_stable_on_tgv_transition():
     e = np.asarray(ms.energy)
     assert e[-1] < 0.125  # dissipating
     assert e[-1] > 0.8 * 0.125  # not blowing energy away either
+
+
+def test_dynamic_les_stretched_uniform_matches_mac3d():
+    # with uniform faces the stretched dynamic-LES step must reproduce
+    # the uniform mac3d dynamic-LES step (metric degeneration + the
+    # same Germano quotient — boundary_skip excludes the frame where
+    # the two gradient clamps differ)
+    from cfdsim_tpu.grid import Grid3D
+    from cfdsim_tpu.models import mac3d
+    from cfdsim_tpu.models import mac_stretched3d as ms3
+
+    n = 16
+    nu = 1e-3
+    cfg_u = mac3d.MAC3DConfig(
+        grid=Grid3D(nx=n, ny=n, nz=n, x_max=1.0, y_max=1.0, z_max=1.0,
+                    centering="cell"),
+        nu=nu, use_les=True, les_model="dynamic",
+    )
+    xf = np.linspace(0.0, 1.0, n + 1)
+    cfg_s = ms3.StretchedMAC3DConfig(
+        nx=n, ny=n, nz=n, nu=nu, use_les=True, les_model="dynamic",
+        cfl_target=cfg_u.cfl_target, dt_max=cfg_u.dt_max,
+        max_velocity=cfg_u.max_velocity,
+    )
+    step_u = jax.jit(mac3d.make_step(cfg_u, mac3d.cavity3d_bcs(1.0)))
+    step_s = jax.jit(ms3.make_step(cfg_s, ms3.cavity3d_bcs(1.0),
+                                   xf, xf, xf))
+    su = mac3d.init_state(cfg_u)
+    ss = ms3.init_state(cfg_s)
+    for _ in range(5):
+        su, mu = step_u(su, jnp.float32(1.0))
+        ss, ms_ = step_s(ss, jnp.float32(1.0))
+    np.testing.assert_allclose(np.asarray(ss.u), np.asarray(su.u),
+                               rtol=0, atol=3e-5)
+    np.testing.assert_allclose(np.asarray(ss.w), np.asarray(su.w),
+                               rtol=0, atol=3e-5)
+    np.testing.assert_allclose(float(ms_.energy), float(mu.energy),
+                               rtol=1e-4)
 
 
 def test_dynamic_les_model_rejected_on_sharded_step():
