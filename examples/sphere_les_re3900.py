@@ -34,7 +34,7 @@ import numpy as np
 def run(nx=320, ny=160, nz=160, strength=12.0, width=0.7, t_final=400.0,
         t_tail=160.0, chunk_steps=200, perturb=0.02, cs=0.17,
         ibm_scheme="penalize", re=3900.0, use_les=True, verbose=True,
-        probe_x=2.0, probe_r=0.6):
+        probe_x=2.0, probe_r=0.6, save=None, les_model="smagorinsky"):
     """``probe_x``/``probe_r``: azimuthal wake-velocity probe array —
     4 points at x = center_x + probe_x (downstream), offset ±probe_r
     along y and z. The classic sphere vortex-shedding measurement
@@ -52,6 +52,7 @@ def run(nx=320, ny=160, nz=160, strength=12.0, width=0.7, t_final=400.0,
         scheme="tvd", ibm_profile="sharp", ibm_scheme=ibm_scheme,
         perturb=perturb,
         ibm_ramp_steps=200, use_les=use_les, smagorinsky_constant=cs,
+        les_model=les_model,
         compute_metrics=True,
     )
     h_min = case.extras["h_min"]
@@ -134,6 +135,10 @@ def run(nx=320, ny=160, nz=160, strength=12.0, width=0.7, t_final=400.0,
         spec_sum += s_[band]
     st_wake = float(freqs[band][np.argmax(spec_sum)])
 
+    if save:
+        np.savez(save, t=t, cd=cd, cly=cly, clz=clz, probe_v=pv,
+                 probe_pts=np.asarray(pts))
+        print(f"series saved to {save}")
     print(f"\nRESULT Re={re:g} cells/D={1 / h_min:.0f}  "
           f"Cd_mean(t>{t_tail:.0f})={cd_mean:.4f}"
           + (f"  (DNS 0.394: {100 * (cd_mean / 0.394 - 1):+.1f}%)"
@@ -165,7 +170,24 @@ if __name__ == "__main__":
     p.add_argument("--re", type=float, default=3900.0)
     p.add_argument("--no-les", action="store_true",
                    help="laminar/DNS mode (e.g. the Re=300 hairpin rows)")
+    p.add_argument("--probe-x", type=float, default=2.0,
+                   help="probe plane distance downstream of the center "
+                        "(x/D; the shear layer lives at r≈0.5-0.7 for "
+                        "x≲3 — put probes outside it for the large-"
+                        "scale shedding mode)")
+    p.add_argument("--probe-r", type=float, default=0.6,
+                   help="probe lateral offset from the wake axis (r/D)")
+    p.add_argument("--save", default=None,
+                   help="write the force + probe time series to this "
+                        ".npz for offline spectral analysis")
+    p.add_argument("--les-model", default="smagorinsky",
+                   choices=["smagorinsky", "dynamic"],
+                   help="subgrid model (dynamic = Germano-Lilly; "
+                        "stretched tier masks the IBM body out of the "
+                        "contraction)")
     a = p.parse_args()
     run(nx=a.nx, ny=a.ny, nz=a.nz, strength=a.strength, width=a.width,
         t_final=a.t, t_tail=a.tail, perturb=a.perturb, cs=a.cs,
-        ibm_scheme=a.ibm, re=a.re, use_les=not a.no_les)
+        ibm_scheme=a.ibm, re=a.re, use_les=not a.no_les,
+        probe_x=a.probe_x, probe_r=a.probe_r, save=a.save,
+        les_model=a.les_model)
