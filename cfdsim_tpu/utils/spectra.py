@@ -76,3 +76,28 @@ def energy_spectrum_3d(uc, vc, wc, mirror: bool = False):
     n_shells = int(np.rint(kmag).max()) + 1
     e_k = jnp.zeros(n_shells).at[shell].add(e_density)
     return np.arange(n_shells), np.asarray(e_k)
+
+
+def energy_spectrum_2d(u, v):
+    """Ring-averaged 2D energy spectrum from a periodic velocity field
+    (ny, nx) — the diagnostic for the Kolmogorov/spectral tier
+    (models/spectral.py evolves plot.jl's flow but the reference never
+    reports spectra).  Σ E(k) = ⟨|u|²⟩/2 (Parseval)."""
+    ny, nx = u.shape
+
+    def ps(f):
+        fh = jnp.fft.rfft2(f) / (nx * ny)
+        p = jnp.abs(fh) ** 2
+        w = jnp.ones(p.shape[1]).at[1:].set(2.0)
+        if nx % 2 == 0:
+            w = w.at[-1].set(1.0)
+        return p * w[None, :]
+
+    e_density = 0.5 * (ps(u) + ps(v))
+    ky = np.fft.fftfreq(ny) * ny
+    kx = np.arange(nx // 2 + 1)
+    kmag = np.sqrt(ky[:, None] ** 2 + kx[None, :] ** 2)
+    shell = jnp.asarray(np.rint(kmag).astype(np.int32))
+    n_shells = int(np.rint(kmag).max()) + 1
+    e_k = jnp.zeros(n_shells).at[shell].add(e_density)
+    return np.arange(n_shells), np.asarray(e_k)

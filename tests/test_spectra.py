@@ -40,6 +40,19 @@ def test_tgv_mode_concentrates_at_k_sqrt3():
     assert e[2] > 0.999 * e.sum(), e[:6] / e.sum()
 
 
+def test_energy_spectrum_2d_parseval_and_mode():
+    from cfdsim_tpu.utils.spectra import energy_spectrum_2d
+
+    n = 32
+    x = (np.arange(n) + 0.5) * (2 * np.pi / n)
+    u = jnp.asarray(np.sin(4 * x)[None, :] * np.ones((n, 1)), jnp.float32)
+    v = jnp.asarray(np.cos(3 * x)[:, None] * np.ones((1, n)), jnp.float32)
+    k, e = energy_spectrum_2d(u, v)
+    ke = 0.5 * float(jnp.mean(u**2 + v**2))
+    assert abs(e.sum() - ke) < 1e-4 * ke
+    assert e[3] + e[4] > 0.999 * e.sum()
+
+
 def test_single_axis_mode_lands_in_its_shell():
     n = 16
     x = (np.arange(n) + 0.5) * (2 * np.pi / n)
