@@ -236,16 +236,25 @@ def smagorinsky_viscosity_mac3d(u, v, w, ghosts, dx, dy, dz, cs: float):
     )
 
 
-def _les_viscosity_mac3d(cfg, u, v, w, ghosts, dx, dy, dz):
+def _les_viscosity_mac3d(cfg, u, v, w, ghosts, dx, dy, dz,
+                         fluid_mask=None):
     """Dispatch on cfg.les_model: static Smagorinsky or the dynamic
     Germano–Lilly coefficient (ops.les_dynamic) times the staggered
-    strain magnitude — both at cell centers, feeding _diffuse_les3d."""
+    strain magnitude — both at cell centers, feeding _diffuse_les3d.
+    ``fluid_mask`` (0 = IBM body) excludes solid cells from the dynamic
+    contraction (matching the stretched tier)."""
     if cfg.les_model == "dynamic":
-        from cfdsim_tpu.ops.les_dynamic import dynamic_coefficient_3d
+        from cfdsim_tpu.ops.les_dynamic import dynamic_cs2_3d
 
         uc, vc, wc = center_velocities_3d(u, v, w)
-        c = dynamic_coefficient_3d(uc, vc, wc, dx, dy, dz)
-        return c * strain_magnitude_mac3d(u, v, w, ghosts, dx, dy, dz)
+        delta_sq = (dx * dy * dz) ** (2.0 / 3.0)
+        cs2 = dynamic_cs2_3d(
+            uc, vc, wc, 0.5 / dx, 0.5 / dy, 0.5 / dz, delta_sq,
+            mask=fluid_mask,
+        )
+        return (cs2 * delta_sq) * strain_magnitude_mac3d(
+            u, v, w, ghosts, dx, dy, dz
+        )
     return smagorinsky_viscosity_mac3d(
         u, v, w, ghosts, dx, dy, dz, cfg.smagorinsky_constant
     )
@@ -518,12 +527,37 @@ def make_step(
 
             return m(XU, YU, ZU), m(XV, YV, ZV), m(XW, YW, ZW)
 
+    # fluid indicator for the dynamic-LES contraction (0 = IBM body),
+    # matching the stretched tier's masking
+    if cfg.use_les and cfg.les_model == "dynamic":
+        if ibm_mask_u is not None:
+            _solid_c = jnp.maximum(
+                jnp.maximum(
+                    jnp.maximum(ibm_mask_u[:, :, 1:], ibm_mask_u[:, :, :-1]),
+                    jnp.maximum(ibm_mask_v[:, 1:, :], ibm_mask_v[:, :-1, :]),
+                ),
+                jnp.maximum(ibm_mask_w[1:], ibm_mask_w[:-1]),
+            )
+            les_fluid_mask = jnp.asarray(_solid_c < 0.5, jnp.float32)
+        elif ibm_ghost is not None:
+            _solid_c = (
+                (ibm_ghost.u.solid[:, :, 1:] | ibm_ghost.u.solid[:, :, :-1])
+                | (ibm_ghost.v.solid[:, 1:, :] | ibm_ghost.v.solid[:, :-1, :])
+                | (ibm_ghost.w.solid[1:] | ibm_ghost.w.solid[:-1])
+            )
+            les_fluid_mask = 1.0 - jnp.asarray(_solid_c, jnp.float32)
+        else:
+            les_fluid_mask = None
+    else:
+        les_fluid_mask = None
+
     def step(state: MAC3DState, cfl_scale):
         u, v, w = bcs.set_normal(state.u, state.v, state.w)
         ghosts = bcs.ghosts(u, v, w)
 
         if cfg.use_les:
-            nu_t = _les_viscosity_mac3d(cfg, u, v, w, ghosts, dx, dy, dz)
+            nu_t = _les_viscosity_mac3d(cfg, u, v, w, ghosts, dx, dy, dz,
+                                        les_fluid_mask)
             nu_stab = cfg.nu + jnp.mean(nu_t)
         else:
             nu_t = None
@@ -685,7 +719,8 @@ def make_step(
             ghosts1 = bcs.ghosts(u_new, v_new, w_new)
             if cfg.use_les:
                 nu_t = _les_viscosity_mac3d(
-                    cfg, u_new, v_new, w_new, ghosts1, dx, dy, dz
+                    cfg, u_new, v_new, w_new, ghosts1, dx, dy, dz,
+                    les_fluid_mask,
                 )
             u2, v2, w2, phi2, (fx2, fy2, fz2, div_star) = stage(
                 u_new, v_new, w_new, ghosts1, nu_t, phi, state.t + dt
