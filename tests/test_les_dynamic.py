@@ -190,6 +190,22 @@ def test_dynamic_les_stretched_uniform_matches_mac3d():
                                rtol=1e-4)
 
 
+def test_dynamic_les_stretched_nonuniform_runs():
+    # wall-clustered 3D cavity with the dynamic model: builds, steps,
+    # stays finite and exactly projected (the local-Δ² identity path)
+    from cfdsim_tpu.cases import cavity3d_stretched
+
+    case = cavity3d_stretched(n=16, Re=1000.0, beta=1.5, use_les=True,
+                              les_model="dynamic")
+    f = jax.jit(case.step)
+    s = case.state
+    for _ in range(10):
+        s, m = f(s, jnp.float32(1.0))
+    assert bool(jnp.all(jnp.isfinite(s.u)))
+    assert float(m.div_post) < 5e-3
+    assert 0.0 < float(m.energy) < 0.5
+
+
 def test_dynamic_les_model_rejected_on_sharded_step():
     from cfdsim_tpu.grid import Grid3D
     from cfdsim_tpu.models import mac3d
