@@ -527,27 +527,23 @@ def make_step(
 
             return m(XU, YU, ZU), m(XV, YV, ZV), m(XW, YW, ZW)
 
-    # fluid indicator for the dynamic-LES contraction (0 = IBM body),
-    # matching the stretched tier's masking
+    # BOOL fluid indicator for the dynamic-LES contraction (False =
+    # IBM body), shared with the stretched tier
     if cfg.use_les and cfg.les_model == "dynamic":
-        if ibm_mask_u is not None:
-            _solid_c = jnp.maximum(
-                jnp.maximum(
-                    jnp.maximum(ibm_mask_u[:, :, 1:], ibm_mask_u[:, :, :-1]),
-                    jnp.maximum(ibm_mask_v[:, 1:, :], ibm_mask_v[:, :-1, :]),
-                ),
-                jnp.maximum(ibm_mask_w[1:], ibm_mask_w[:-1]),
+        if moving_body is not None:
+            # the moving masks are rebuilt per step inside step(); an
+            # unmasked contraction would feed the staircase-interface
+            # Leonard stress into the coefficient -- scope it out loudly
+            raise ValueError(
+                "les_model='dynamic' does not support moving_body yet "
+                "(the Germano contraction needs the body masked per "
+                "step); use the static les_model='smagorinsky'"
             )
-            les_fluid_mask = jnp.asarray(_solid_c < 0.5, jnp.float32)
-        elif ibm_ghost is not None:
-            _solid_c = (
-                (ibm_ghost.u.solid[:, :, 1:] | ibm_ghost.u.solid[:, :, :-1])
-                | (ibm_ghost.v.solid[:, 1:, :] | ibm_ghost.v.solid[:, :-1, :])
-                | (ibm_ghost.w.solid[1:] | ibm_ghost.w.solid[:-1])
-            )
-            les_fluid_mask = 1.0 - jnp.asarray(_solid_c, jnp.float32)
-        else:
-            les_fluid_mask = None
+        from cfdsim_tpu.ops.les_dynamic import ibm_fluid_mask_centers
+
+        les_fluid_mask = ibm_fluid_mask_centers(
+            ibm_mask_u, ibm_mask_v, ibm_mask_w, ibm_ghost
+        )
     else:
         les_fluid_mask = None
 

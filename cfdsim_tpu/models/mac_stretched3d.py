@@ -272,7 +272,17 @@ def make_step(
             # inside both M terms; index-space test filter), then
             # ν_t = C_s²·Δ²(x)·|S| through the same staggered strain
             # the static model uses (ops/les_dynamic.py)
-            from cfdsim_tpu.ops.les_dynamic import dynamic_cs2_3d
+            from cfdsim_tpu.ops.les_dynamic import (
+                dynamic_cs2_3d,
+                ibm_fluid_mask_centers,
+            )
+
+            if moving_body is not None:
+                raise ValueError(
+                    "les_model='dynamic' does not support moving_body "
+                    "yet (the Germano contraction needs the body "
+                    "masked per step); use les_model='smagorinsky'"
+                )
 
             def _g2(xc):
                 xg = np.concatenate([[xc[0]], xc, [xc[-1]]])
@@ -281,30 +291,9 @@ def make_step(
             inv_g2x = f32(_g2(mx.xc))[None, None, :]
             inv_g2y = f32(_g2(my.xc))[None, :, None]
             inv_g2z = f32(_g2(mz.xc))[:, None, None]
-            # fluid indicator for the contraction: exclude IBM-body
-            # cells (any adjacent penalization face inside the body)
-            if ibm_mask_u is not None:
-                solid = jnp.maximum(
-                    jnp.maximum(
-                        jnp.maximum(ibm_mask_u[:, :, 1:],
-                                    ibm_mask_u[:, :, :-1]),
-                        jnp.maximum(ibm_mask_v[:, 1:, :],
-                                    ibm_mask_v[:, :-1, :]),
-                    ),
-                    jnp.maximum(ibm_mask_w[1:], ibm_mask_w[:-1]),
-                )
-                fluid_mask = jnp.asarray(solid < 0.5, jnp.float32)
-            elif ibm_ghost is not None:
-                solid_c = (
-                    (ibm_ghost.u.solid[:, :, 1:]
-                     | ibm_ghost.u.solid[:, :, :-1])
-                    | (ibm_ghost.v.solid[:, 1:, :]
-                       | ibm_ghost.v.solid[:, :-1, :])
-                    | (ibm_ghost.w.solid[1:] | ibm_ghost.w.solid[:-1])
-                )
-                fluid_mask = 1.0 - jnp.asarray(solid_c, jnp.float32)
-            else:
-                fluid_mask = None
+            fluid_mask = ibm_fluid_mask_centers(
+                ibm_mask_u, ibm_mask_v, ibm_mask_w, ibm_ghost
+            )
 
             def nu_turb(u, v, w, ghosts):
                 uc = 0.5 * (u[:, :, 1:] + u[:, :, :-1])

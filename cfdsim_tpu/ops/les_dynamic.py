@@ -188,8 +188,10 @@ def dynamic_cs2_3d(
     mm = sum(wgt * m_ * m_ for wgt, m_ in zip(weights, m_comp))
 
     if mask is not None:
-        lm = lm * mask
-        mm = mm * mask
+        # mask stays BOOL end-to-end (CLAUDE.md: f32 masks const-fold a
+        # second full-size copy and blow the relay compile body limit)
+        lm = jnp.where(mask, lm, 0.0)
+        mm = jnp.where(mask, mm, 0.0)
 
     # exclude the wall frame from the contraction: the edge-clamped
     # padding makes the test filter and gradients one-sided there, and
@@ -198,8 +200,41 @@ def dynamic_cs2_3d(
     # model's dissipation before this mask)
     k = boundary_skip
     if k > 0:
+        if any(d <= 2 * k for d in lm.shape):
+            raise ValueError(
+                f"grid {lm.shape} too small for the dynamic model's "
+                f"boundary_skip={k} (needs > {2 * k} cells per axis); "
+                "the contraction would be empty and c silently 0"
+            )
         lm = lm[k:-k, k:-k, k:-k]
         mm = mm[k:-k, k:-k, k:-k]
 
     c = jnp.sum(lm) / (jnp.sum(mm) + eps)
     return jnp.clip(c, 0.0, c_max_cs**2)
+
+
+def ibm_fluid_mask_centers(ibm_mask_u=None, ibm_mask_v=None,
+                           ibm_mask_w=None, ibm_ghost=None):
+    """BOOL cell-center fluid indicator (True = fluid) from either the
+    face-sampled penalization masks or a GhostIBM3D — the shared mask
+    construction for the dynamic-LES contraction on both 3D tiers.
+    Returns None when no static body is present (then the contraction
+    runs unmasked). Kept boolean so the closed-over constant is
+    1 byte/cell (CLAUDE.md relay body-limit rule)."""
+    if ibm_mask_u is not None:
+        solid = jnp.maximum(
+            jnp.maximum(
+                jnp.maximum(ibm_mask_u[:, :, 1:], ibm_mask_u[:, :, :-1]),
+                jnp.maximum(ibm_mask_v[:, 1:, :], ibm_mask_v[:, :-1, :]),
+            ),
+            jnp.maximum(ibm_mask_w[1:], ibm_mask_w[:-1]),
+        )
+        return solid < 0.5
+    if ibm_ghost is not None:
+        solid_c = (
+            (ibm_ghost.u.solid[:, :, 1:] | ibm_ghost.u.solid[:, :, :-1])
+            | (ibm_ghost.v.solid[:, 1:, :] | ibm_ghost.v.solid[:, :-1, :])
+            | (ibm_ghost.w.solid[1:] | ibm_ghost.w.solid[:-1])
+        )
+        return ~solid_c
+    return None

@@ -57,19 +57,27 @@ def run(n=256, t_final=40.0, k_force=8, nu=1e-3, chunk=200, verbose=True):
 
     k, ek = energy_spectrum_2d(state.u, state.v)
 
+    # the forcing is sin(k_f·π·y) on a unit-height box → k_f/2 full
+    # cycles per box, i.e. integer shell k_inj = k_f/2 in the
+    # energy_spectrum_2d units (cycles/box)
+    k_inj = max(k_force // 2, 1)
+
     def slope(lo, hi):
         sl = slice(lo, hi)
+        if hi - lo < 3:
+            return float("nan")  # too few shells for a meaningful fit
         return float(np.polyfit(np.log(k[sl]), np.log(ek[sl] + 1e-30), 1)[0])
 
-    s_inv = slope(2, k_force - 1)          # inverse energy cascade
-    s_dir = slope(k_force + 4, min(3 * k_force, n // 3))  # enstrophy range
+    s_inv = slope(1, k_inj)                      # inverse energy cascade
+    s_dir = slope(k_inj + 2, min(6 * k_inj, n // 3))  # enstrophy range
     k_peak = int(np.argmax(ek[1:])) + 1
-    print(f"\nRESULT kolmogorov {n}² k_f={k_force} t={t_final:g}: "
-          f"E(k) peak at k={k_peak}, slope below k_f {s_inv:.2f} "
-          f"(inverse cascade: -5/3), slope above k_f {s_dir:.2f} "
+    print(f"\nRESULT kolmogorov {n}² k_f={k_force} (injection shell "
+          f"k={k_inj}) t={t_final:g}: E(k) peak at k={k_peak}, "
+          f"slope below injection {s_inv:.2f} (inverse cascade: -5/3), "
+          f"slope above injection {s_dir:.2f} "
           f"(enstrophy cascade: -3 ideal, steeper with ν=1e-3)")
     return {"k": k, "E_k": ek, "slope_inverse": s_inv, "slope_direct": s_dir,
-            "k_peak": k_peak}
+            "k_peak": k_peak, "k_inj": k_inj}
 
 
 if __name__ == "__main__":
