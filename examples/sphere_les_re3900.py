@@ -105,6 +105,16 @@ def run(nx=320, ny=160, nz=160, strength=12.0, width=0.7, t_final=400.0,
         if not np.isfinite(hist_cd[-1][-1]):
             print("NON-FINITE force — aborting")
             return None
+        if save:
+            # incremental overwrite every chunk: the tunneled relay can
+            # wedge mid-call on ~40-min-old connections (CLAUDE.md "RIG
+            # WEDGE MODE"), and an end-only save loses the whole series
+            np.savez(save, t=np.concatenate(hist_t),
+                     cd=np.concatenate(hist_cd),
+                     cly=np.concatenate(hist_cly),
+                     clz=np.concatenate(hist_clz),
+                     probe_v=np.concatenate(hist_pv),
+                     probe_pts=np.asarray(pts))
 
     t = np.concatenate(hist_t)
     cd = np.concatenate(hist_cd)
