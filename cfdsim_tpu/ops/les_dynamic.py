@@ -34,8 +34,11 @@ equivalent box width of √6·h, so α² = 6 (Lund 1997).
 TPU notes: everything here is elementwise + separable 3-point
 convolutions (trapezoidal 2Δ box filter), so XLA fuses the whole
 coefficient computation into a handful of HBM passes; there are no
-gathers, no data-dependent shapes, and the filter is expressed with
-static slices (shard_map-safe with width-1 halos).
+gathers and no data-dependent shapes. The integrand at a cell reads
+center velocities within ±2 cells (one filter + one gradient each
+way), so the sharded 3D MAC tier evaluates ``lilly_integrand_3d`` on
+±2-center halo windows and psum-reduces the volume average
+(parallel/mac3d_explicit.py).
 
 All tensors live at cell centers on the (nz, ny, nx) layout; gradients
 use central differences of edge-clamped padded fields (one-sided at
@@ -153,6 +156,54 @@ def dynamic_cs2_3d(
     The test filter acts in index space — exact on uniform grids,
     second-order on smoothly stretched ones.
     """
+    lm, mm = lilly_integrand_3d(
+        uc, vc, wc, inv_g2x, inv_g2y, inv_g2z, delta_sq,
+        alpha_sq=alpha_sq,
+    )
+
+    if mask is not None:
+        # mask stays BOOL end-to-end (CLAUDE.md: f32 masks const-fold a
+        # second full-size copy and blow the relay compile body limit)
+        lm = jnp.where(mask, lm, 0.0)
+        mm = jnp.where(mask, mm, 0.0)
+
+    # exclude the wall frame from the contraction: the edge-clamped
+    # padding makes the test filter and gradients one-sided there, and
+    # the resulting spurious Leonard stress is pure discretization (it
+    # dominated a free-slip TGV box at 24³ — measured 2.8× the static
+    # model's dissipation before this mask)
+    k = boundary_skip
+    if k > 0:
+        if any(d <= 2 * k for d in lm.shape):
+            raise ValueError(
+                f"grid {lm.shape} too small for the dynamic model's "
+                f"boundary_skip={k} (needs > {2 * k} cells per axis); "
+                "the contraction would be empty and c silently 0"
+            )
+        lm = lm[k:-k, k:-k, k:-k]
+        mm = mm[k:-k, k:-k, k:-k]
+
+    c = jnp.sum(lm) / (jnp.sum(mm) + eps)
+    return jnp.clip(c, 0.0, c_max_cs**2)
+
+
+def lilly_integrand_3d(
+    uc,
+    vc,
+    wc,
+    inv_g2x,
+    inv_g2y,
+    inv_g2z,
+    delta_sq,
+    alpha_sq: float = 6.0,
+):
+    """Pointwise Lilly contraction fields (L_ij M_ij, M_ij M_ij) at
+    cell centers — the grid-shape-agnostic core of ``dynamic_cs2_3d``,
+    exposed so the sharded tiers can evaluate it on halo windows and
+    reduce with ``psum`` (the value at a cell depends on center
+    velocities within ±2 cells only: one test filter + one gradient
+    each way — so a width-2 center halo reproduces the single-device
+    integrand exactly at owned cells)."""
     s, s_mag = _strain(uc, vc, wc, inv_g2x, inv_g2y, inv_g2z)
 
     # test-filtered velocities and their strain
@@ -186,31 +237,7 @@ def dynamic_cs2_3d(
 
     lm = sum(wgt * l_ * m_ for wgt, l_, m_ in zip(weights, l_comp, m_comp))
     mm = sum(wgt * m_ * m_ for wgt, m_ in zip(weights, m_comp))
-
-    if mask is not None:
-        # mask stays BOOL end-to-end (CLAUDE.md: f32 masks const-fold a
-        # second full-size copy and blow the relay compile body limit)
-        lm = jnp.where(mask, lm, 0.0)
-        mm = jnp.where(mask, mm, 0.0)
-
-    # exclude the wall frame from the contraction: the edge-clamped
-    # padding makes the test filter and gradients one-sided there, and
-    # the resulting spurious Leonard stress is pure discretization (it
-    # dominated a free-slip TGV box at 24³ — measured 2.8× the static
-    # model's dissipation before this mask)
-    k = boundary_skip
-    if k > 0:
-        if any(d <= 2 * k for d in lm.shape):
-            raise ValueError(
-                f"grid {lm.shape} too small for the dynamic model's "
-                f"boundary_skip={k} (needs > {2 * k} cells per axis); "
-                "the contraction would be empty and c silently 0"
-            )
-        lm = lm[k:-k, k:-k, k:-k]
-        mm = mm[k:-k, k:-k, k:-k]
-
-    c = jnp.sum(lm) / (jnp.sum(mm) + eps)
-    return jnp.clip(c, 0.0, c_max_cs**2)
+    return lm, mm
 
 
 def ibm_fluid_mask_centers(ibm_mask_u=None, ibm_mask_v=None,

@@ -21,6 +21,16 @@ lines the window runs through) and the Smagorinsky LES tier
 rolls) come along for free. Cavity BCs (lid at z_hi moving in +x — the
 only 3D MAC case). Equality with the single-device step on an 8-device
 mesh: tests/test_mac3d_explicit.py.
+
+Dynamic Germano–Lilly LES (``les_model="dynamic"``, round 4): the Lilly
+integrand at a cell reads center velocities within ±2 cells only, so
+width-3 FACE halos give exact ±2-CENTER windows; per-shard partial
+contractions reduce with ``psum`` and the volume-averaged C_s² matches
+the single-device value to fp32 partial-sum rounding (the one
+deliberately non-bitwise quantity — everything downstream of it
+inherits that rounding; tests assert 5e-5). IBM bodies are excluded
+from the contraction via width-1 halos of the trimmed face masks
+(penalization) or ghost-table ``solid`` masks.
 """
 
 from __future__ import annotations
@@ -446,19 +456,39 @@ def make_mac3d_explicit_step(cfg: MAC3DConfig, mesh: Mesh,
         )
     if getattr(cfg, "projection", "chorin") != "chorin":
         raise ValueError("the explicit sharded step implements projection='chorin'")
-    if getattr(cfg, "les_model", "smagorinsky") != "smagorinsky":
-        # the dynamic Germano coefficient needs ~5 halo cells (two test
-        # filters + a central gradient); the sharded step carries width-2
-        # windows — run the dynamic model single-device
-        raise ValueError(
-            "the explicit sharded step implements les_model='smagorinsky'"
-        )
+    les_model = getattr(cfg, "les_model", "smagorinsky")
+    if les_model not in ("smagorinsky", "dynamic"):
+        raise ValueError(f"unknown les_model {les_model!r}")
+    dynamic_les = cfg.use_les and les_model == "dynamic"
+    if dynamic_les:
+        # the Lilly integrand at a cell depends on center velocities
+        # within ±2 cells (one test filter + one gradient each way), so
+        # a width-3 FACE halo provides exact ±2-center windows; the
+        # volume-averaged quotient reduces with psum. Matches
+        # models/mac3d.py's single-device value up to partial-sum
+        # rounding (the contraction is a global fp32 sum).
+        if moving_body is not None:
+            raise ValueError(
+                "les_model='dynamic' does not support moving_body yet "
+                "(matches models/mac3d.py)"
+            )
+        if any(d <= 6 for d in (nz, ny, nx)):
+            raise ValueError(
+                f"grid {(nz, ny, nx)} too small for the dynamic model's "
+                "boundary_skip=3 (needs > 6 cells per axis)"
+            )
+        if ny_l < 3 or nx_l < 3:
+            raise ValueError(
+                "les_model='dynamic' needs local blocks >= 3x3 for its "
+                f"width-3 halo windows; got {ny_l}x{nx_l}"
+            )
 
     from cfdsim_tpu.models.mac3d import (
         _diffuse_les3d,
         advect3d,
         diffuse3d,
         smagorinsky_viscosity_mac3d,
+        strain_magnitude_mac3d,
     )
     from cfdsim_tpu.parallel.transforms import dct_poisson3d_local
 
@@ -602,10 +632,90 @@ def make_mac3d_explicit_step(cfg: MAC3DConfig, mesh: Mesh,
         # cells; the window-boundary ring uses the fake zero ghost lines
         # and is never read for owned faces)
         if cfg.use_les:
-            NUT = smagorinsky_viscosity_mac3d(
-                u_win, v_win, w_win, ghosts_win, dx, dy, dz,
-                cfg.smagorinsky_constant,
-            )
+            if dynamic_les:
+                from cfdsim_tpu.ops.les_dynamic import lilly_integrand_3d
+
+                delta_sq = (dx * dy * dz) ** (2.0 / 3.0)
+                # width-3 FACE halos -> exact ±2-CENTER windows: the
+                # Lilly integrand at owned cells then reproduces the
+                # single-device value exactly (it reads centers within
+                # ±2; edge-clamp contamination reaches only cells the
+                # boundary_skip=3 interior mask excludes)
+                U3 = _halo_yx(u_t, py, px, w=3)  # x-faces gx0-3..+nx_l+2
+                V3 = _halo_yx(v_t, py, px, w=3)
+                W3 = _halo_yx(w_t, py, px, w=3)
+                uc_w = (0.5 * (U3[:, :, :-1] + U3[:, :, 1:]))[:, 1:-1, 1:]
+                vc_w = (0.5 * (V3[:, :-1, :] + V3[:, 1:, :]))[:, 1:, 1:-1]
+                wz3 = jnp.concatenate([W3, jnp.zeros_like(W3[:1])], axis=0)
+                wc_w = (0.5 * (wz3[:-1] + wz3[1:]))[:, 1:-1, 1:-1]
+                lm_w, mm_w = lilly_integrand_3d(
+                    uc_w, vc_w, wc_w, 0.5 / dx, 0.5 / dy, 0.5 / dz,
+                    delta_sq,
+                )
+                lm_o = lm_w[:, 2 : 2 + ny_l, 2 : 2 + nx_l]
+                mm_o = mm_w[:, 2 : 2 + ny_l, 2 : 2 + nx_l]
+                # boundary_skip=3 from every GLOBAL wall (z is local)
+                kz = lax.broadcasted_iota(jnp.int32, (nz, 1, 1), 0)
+                inc = (
+                    (kz >= 3) & (kz <= nz - 4)
+                    & (ro >= 3) & (ro <= ny - 4)
+                    & (co >= 3) & (co <= nx - 4)
+                )
+                # IBM body cells out of the contraction (the sharded
+                # twin of ops.les_dynamic.ibm_fluid_mask_centers):
+                # centers need the +1 face -> width-1 mask halos; the
+                # dropped boundary-face planes only feed interior-masked
+                # cells, so their zero fill is harmless
+                if use_ibm:
+                    mask_u_t, mask_v_t, mask_w_t = extras
+                    _, mu_hi = _exchange_axis(
+                        mask_u_t, "x", px, axis=2, width=1
+                    )
+                    _, mv_hi = _exchange_axis(
+                        mask_v_t, "y", py, axis=1, width=1
+                    )
+                    mu = jnp.concatenate([mask_u_t, mu_hi], axis=2)
+                    mv = jnp.concatenate([mask_v_t, mv_hi], axis=1)
+                    mw = jnp.concatenate(
+                        [mask_w_t, jnp.zeros_like(mask_w_t[:1])], axis=0
+                    )
+                    solid = jnp.maximum(
+                        jnp.maximum(
+                            jnp.maximum(mu[:, :, 1:], mu[:, :, :-1]),
+                            jnp.maximum(mv[:, 1:, :], mv[:, :-1, :]),
+                        ),
+                        jnp.maximum(mw[1:], mw[:-1]),
+                    )
+                    inc = inc & (solid < 0.5)
+                elif ghost_halo is not None:
+                    (tables,) = extras
+                    su, sv, sw = (
+                        tables.u.solid, tables.v.solid, tables.w.solid
+                    )
+                    _, su_hi = _exchange_axis(su, "x", px, axis=2, width=1)
+                    _, sv_hi = _exchange_axis(sv, "y", py, axis=1, width=1)
+                    su = jnp.concatenate([su, su_hi], axis=2)
+                    sv = jnp.concatenate([sv, sv_hi], axis=1)
+                    sw = jnp.concatenate(
+                        [sw, jnp.zeros_like(sw[:1])], axis=0
+                    )
+                    solid_c = (
+                        (su[:, :, 1:] | su[:, :, :-1])
+                        | (sv[:, 1:, :] | sv[:, :-1, :])
+                        | (sw[1:] | sw[:-1])
+                    )
+                    inc = inc & ~solid_c
+                lm_s = _psum(jnp.sum(jnp.where(inc, lm_o, 0.0)))
+                mm_s = _psum(jnp.sum(jnp.where(inc, mm_o, 0.0)))
+                cs2 = jnp.clip(lm_s / (mm_s + 1e-20), 0.0, 0.3**2)
+                NUT = (cs2 * delta_sq) * strain_magnitude_mac3d(
+                    u_win, v_win, w_win, ghosts_win, dx, dy, dz
+                )
+            else:
+                NUT = smagorinsky_viscosity_mac3d(
+                    u_win, v_win, w_win, ghosts_win, dx, dy, dz,
+                    cfg.smagorinsky_constant,
+                )
             # single-device edge-clamp (pad mode="edge") at GLOBAL edges
             NUT = jnp.where(r2 == -1, jnp.roll(NUT, -1, axis=1), NUT)
             NUT = jnp.where(r2 == ny, jnp.roll(NUT, 1, axis=1), NUT)

@@ -284,3 +284,85 @@ def test_heated_sphere_ghost_stretched_explicit_matches_single_device(mesh):
     np.testing.assert_allclose(float(m_ex.dt), float(m_ref.dt), rtol=1e-5)
     assert float(m_ex.nusselt) != 0.0
     assert len(t.theta.sharding.device_set) == 8
+
+
+def test_sphere_ghost_dynamic_les_explicit_matches_single_device(mesh):
+    """Sharded ghost-IBM sphere with les_model='dynamic': the Germano
+    contraction must exclude the body via the halo'd trimmed solid
+    masks exactly as ops.les_dynamic.ibm_fluid_mask_centers does on the
+    global arrays (cs2 is a psum'd fp32 contraction — equality to
+    partial-sum rounding)."""
+    from cfdsim_tpu.cases import sphere_mac3d
+    from cfdsim_tpu.models.mac3d import center_velocities_3d
+    from cfdsim_tpu.ops.les_dynamic import (
+        dynamic_cs2_3d,
+        ibm_fluid_mask_centers,
+    )
+    from cfdsim_tpu.parallel.mac3d_explicit import (
+        make_sphere_ghost_mac3d_explicit_step,
+        shard_trimmed_state3d,
+        trim_state3d,
+    )
+
+    case = sphere_mac3d(
+        nx=32, ny=16, nz=16, Re=500.0, domain=(8.0, 4.0, 4.0),
+        center=(2.0, 2.0, 2.0), scheme="tvd", ibm_scheme="ghost",
+        ibm_ramp_steps=4, compute_metrics=True, use_les=True,
+        les_model="dynamic",
+    )
+
+    # superpose low-k modes so the contraction engages (cs2 > 0): a
+    # masked-out-body bug would be invisible at cs2 == 0
+    rng = np.random.default_rng(11)
+
+    def modes(shape, sd, amp=0.3):
+        r = np.random.default_rng(sd)
+        z = (np.arange(shape[0]) + 0.5) / shape[0]
+        y = (np.arange(shape[1]) + 0.5) / shape[1]
+        x = (np.arange(shape[2]) + 0.5) / shape[2]
+        Z, Y, X = np.meshgrid(z, y, x, indexing="ij")
+        out = np.zeros(shape)
+        for k in range(1, 6):
+            out += (amp / k) * (
+                np.sin(2 * np.pi * k * X + r.uniform(0, 6))
+                * np.cos(2 * np.pi * k * Y + r.uniform(0, 6))
+                * np.cos(2 * np.pi * k * Z + r.uniform(0, 6))
+            )
+        return out + 0.03 * rng.standard_normal(shape)
+
+    s0 = case.state
+    s_ref = s0._replace(
+        u=s0.u + jnp.asarray(modes(s0.u.shape, 21), jnp.float32),
+        v=s0.v + jnp.asarray(modes(s0.v.shape, 22), jnp.float32),
+        w=s0.w + jnp.asarray(modes(s0.w.shape, 23), jnp.float32),
+    )
+    ghost = case.extras["ibm_ghost"]
+    fluid = ibm_fluid_mask_centers(ibm_ghost=ghost)
+    uc, vc, wc = center_velocities_3d(s_ref.u, s_ref.v, s_ref.w)
+    dx = case.cfg.grid.dx
+    cs2 = dynamic_cs2_3d(uc, vc, wc, 0.5 / dx, 0.5 / dx, 0.5 / dx,
+                         dx * dx, mask=fluid)
+    assert float(cs2) > 1e-5
+
+    step_ref = jax.jit(case.step)
+    step_ex, tables = make_sphere_ghost_mac3d_explicit_step(
+        case.cfg, mesh, ghost,
+        v_inf=case.extras["v_inf"], ibm_ramp_steps=4,
+    )
+    t = shard_trimmed_state3d(trim_state3d(s_ref), mesh)
+    r = s_ref
+    for _ in range(4):
+        t, m_ex = step_ex(t, jnp.float32(1.0), tables)
+        r, m_ref = step_ref(r, jnp.float32(1.0))
+    np.testing.assert_allclose(np.asarray(t.u), np.asarray(r.u)[:, :, :-1],
+                               rtol=0, atol=5e-5)
+    np.testing.assert_allclose(np.asarray(t.v), np.asarray(r.v)[:, :-1, :],
+                               rtol=0, atol=5e-5)
+    np.testing.assert_allclose(np.asarray(t.w), np.asarray(r.w)[:-1],
+                               rtol=0, atol=5e-5)
+    np.testing.assert_allclose(np.asarray(t.p), np.asarray(r.p),
+                               rtol=0, atol=5e-4)
+    np.testing.assert_allclose(float(m_ex.dt), float(m_ref.dt), rtol=1e-5)
+    np.testing.assert_allclose(float(m_ex.fx), float(m_ref.fx),
+                               rtol=2e-4, atol=1e-6)
+    assert len(t.u.sharding.device_set) == 8
