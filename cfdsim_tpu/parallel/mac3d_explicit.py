@@ -87,6 +87,81 @@ def _halo_yx(block, py: int, px: int, w: int = 1):
     return jnp.concatenate([lo, block, hi], axis=2)
 
 
+def _dynamic_cs2_local(u_t, v_t, w_t, py, px, ny_l, nx_l, nz, ny, nx,
+                       ro, co, inv_g2x, inv_g2y, inv_g2z, delta_sq,
+                       use_ibm, ghost_halo, extras):
+    """psum'd volume-averaged Germano–Lilly C_s² from trimmed face
+    blocks — shared by the uniform and stretched sharded 3D tiers
+    (call inside shard_map). The Lilly integrand at a cell reads center
+    velocities within ±2 cells (one test filter + one gradient each
+    way), so width-3 FACE halos give exact ±2-CENTER windows; the
+    boundary_skip=3 interior mask excludes every cell the window-edge
+    clamp could contaminate. ``inv_g2*``/``delta_sq`` are 0.5/h scalars
+    (uniform) or the ±2-window metric slices (stretched). IBM body
+    cells leave the contraction via width-1 halos of the trimmed face
+    masks (``use_ibm``) or ghost-table ``solid`` masks
+    (``ghost_halo``) — the sharded twin of
+    ops.les_dynamic.ibm_fluid_mask_centers."""
+    from cfdsim_tpu.ops.les_dynamic import lilly_integrand_3d
+
+    U3 = _halo_yx(u_t, py, px, w=3)  # x-faces gx0-3..+nx_l+2
+    V3 = _halo_yx(v_t, py, px, w=3)
+    W3 = _halo_yx(w_t, py, px, w=3)
+    uc_w = (0.5 * (U3[:, :, :-1] + U3[:, :, 1:]))[:, 1:-1, 1:]
+    vc_w = (0.5 * (V3[:, :-1, :] + V3[:, 1:, :]))[:, 1:, 1:-1]
+    wz3 = jnp.concatenate([W3, jnp.zeros_like(W3[:1])], axis=0)
+    wc_w = (0.5 * (wz3[:-1] + wz3[1:]))[:, 1:-1, 1:-1]
+    lm_w, mm_w = lilly_integrand_3d(
+        uc_w, vc_w, wc_w, inv_g2x, inv_g2y, inv_g2z, delta_sq,
+    )
+    lm_o = lm_w[:, 2 : 2 + ny_l, 2 : 2 + nx_l]
+    mm_o = mm_w[:, 2 : 2 + ny_l, 2 : 2 + nx_l]
+    # boundary_skip=3 from every GLOBAL wall (z is local)
+    kz = lax.broadcasted_iota(jnp.int32, (nz, 1, 1), 0)
+    inc = (
+        (kz >= 3) & (kz <= nz - 4)
+        & (ro >= 3) & (ro <= ny - 4)
+        & (co >= 3) & (co <= nx - 4)
+    )
+    # centers need the +1 face -> width-1 mask halos; the dropped
+    # boundary-face planes only feed interior-masked cells, so their
+    # zero fill is harmless
+    if use_ibm:
+        mask_u_t, mask_v_t, mask_w_t = extras
+        _, mu_hi = _exchange_axis(mask_u_t, "x", px, axis=2, width=1)
+        _, mv_hi = _exchange_axis(mask_v_t, "y", py, axis=1, width=1)
+        mu = jnp.concatenate([mask_u_t, mu_hi], axis=2)
+        mv = jnp.concatenate([mask_v_t, mv_hi], axis=1)
+        mw = jnp.concatenate(
+            [mask_w_t, jnp.zeros_like(mask_w_t[:1])], axis=0
+        )
+        solid = jnp.maximum(
+            jnp.maximum(
+                jnp.maximum(mu[:, :, 1:], mu[:, :, :-1]),
+                jnp.maximum(mv[:, 1:, :], mv[:, :-1, :]),
+            ),
+            jnp.maximum(mw[1:], mw[:-1]),
+        )
+        inc = inc & (solid < 0.5)
+    elif ghost_halo is not None:
+        (tables,) = extras
+        su, sv, sw = tables.u.solid, tables.v.solid, tables.w.solid
+        _, su_hi = _exchange_axis(su, "x", px, axis=2, width=1)
+        _, sv_hi = _exchange_axis(sv, "y", py, axis=1, width=1)
+        su = jnp.concatenate([su, su_hi], axis=2)
+        sv = jnp.concatenate([sv, sv_hi], axis=1)
+        sw = jnp.concatenate([sw, jnp.zeros_like(sw[:1])], axis=0)
+        solid_c = (
+            (su[:, :, 1:] | su[:, :, :-1])
+            | (sv[:, 1:, :] | sv[:, :-1, :])
+            | (sw[1:] | sw[:-1])
+        )
+        inc = inc & ~solid_c
+    lm_s = _psum(jnp.sum(jnp.where(inc, lm_o, 0.0)))
+    mm_s = _psum(jnp.sum(jnp.where(inc, mm_o, 0.0)))
+    return jnp.clip(lm_s / (mm_s + 1e-20), 0.0, 0.3**2)
+
+
 def cavity3d_bc_kit(nx: int, ny: int, py: int, px: int,
                     ny_l: int, nx_l: int):
     """Shared trimmed-state cavity BC machinery for the 3D explicit steps
@@ -633,81 +708,12 @@ def make_mac3d_explicit_step(cfg: MAC3DConfig, mesh: Mesh,
         # and is never read for owned faces)
         if cfg.use_les:
             if dynamic_les:
-                from cfdsim_tpu.ops.les_dynamic import lilly_integrand_3d
-
                 delta_sq = (dx * dy * dz) ** (2.0 / 3.0)
-                # width-3 FACE halos -> exact ±2-CENTER windows: the
-                # Lilly integrand at owned cells then reproduces the
-                # single-device value exactly (it reads centers within
-                # ±2; edge-clamp contamination reaches only cells the
-                # boundary_skip=3 interior mask excludes)
-                U3 = _halo_yx(u_t, py, px, w=3)  # x-faces gx0-3..+nx_l+2
-                V3 = _halo_yx(v_t, py, px, w=3)
-                W3 = _halo_yx(w_t, py, px, w=3)
-                uc_w = (0.5 * (U3[:, :, :-1] + U3[:, :, 1:]))[:, 1:-1, 1:]
-                vc_w = (0.5 * (V3[:, :-1, :] + V3[:, 1:, :]))[:, 1:, 1:-1]
-                wz3 = jnp.concatenate([W3, jnp.zeros_like(W3[:1])], axis=0)
-                wc_w = (0.5 * (wz3[:-1] + wz3[1:]))[:, 1:-1, 1:-1]
-                lm_w, mm_w = lilly_integrand_3d(
-                    uc_w, vc_w, wc_w, 0.5 / dx, 0.5 / dy, 0.5 / dz,
-                    delta_sq,
+                cs2 = _dynamic_cs2_local(
+                    u_t, v_t, w_t, py, px, ny_l, nx_l, nz, ny, nx,
+                    ro, co, 0.5 / dx, 0.5 / dy, 0.5 / dz, delta_sq,
+                    use_ibm, ghost_halo, extras,
                 )
-                lm_o = lm_w[:, 2 : 2 + ny_l, 2 : 2 + nx_l]
-                mm_o = mm_w[:, 2 : 2 + ny_l, 2 : 2 + nx_l]
-                # boundary_skip=3 from every GLOBAL wall (z is local)
-                kz = lax.broadcasted_iota(jnp.int32, (nz, 1, 1), 0)
-                inc = (
-                    (kz >= 3) & (kz <= nz - 4)
-                    & (ro >= 3) & (ro <= ny - 4)
-                    & (co >= 3) & (co <= nx - 4)
-                )
-                # IBM body cells out of the contraction (the sharded
-                # twin of ops.les_dynamic.ibm_fluid_mask_centers):
-                # centers need the +1 face -> width-1 mask halos; the
-                # dropped boundary-face planes only feed interior-masked
-                # cells, so their zero fill is harmless
-                if use_ibm:
-                    mask_u_t, mask_v_t, mask_w_t = extras
-                    _, mu_hi = _exchange_axis(
-                        mask_u_t, "x", px, axis=2, width=1
-                    )
-                    _, mv_hi = _exchange_axis(
-                        mask_v_t, "y", py, axis=1, width=1
-                    )
-                    mu = jnp.concatenate([mask_u_t, mu_hi], axis=2)
-                    mv = jnp.concatenate([mask_v_t, mv_hi], axis=1)
-                    mw = jnp.concatenate(
-                        [mask_w_t, jnp.zeros_like(mask_w_t[:1])], axis=0
-                    )
-                    solid = jnp.maximum(
-                        jnp.maximum(
-                            jnp.maximum(mu[:, :, 1:], mu[:, :, :-1]),
-                            jnp.maximum(mv[:, 1:, :], mv[:, :-1, :]),
-                        ),
-                        jnp.maximum(mw[1:], mw[:-1]),
-                    )
-                    inc = inc & (solid < 0.5)
-                elif ghost_halo is not None:
-                    (tables,) = extras
-                    su, sv, sw = (
-                        tables.u.solid, tables.v.solid, tables.w.solid
-                    )
-                    _, su_hi = _exchange_axis(su, "x", px, axis=2, width=1)
-                    _, sv_hi = _exchange_axis(sv, "y", py, axis=1, width=1)
-                    su = jnp.concatenate([su, su_hi], axis=2)
-                    sv = jnp.concatenate([sv, sv_hi], axis=1)
-                    sw = jnp.concatenate(
-                        [sw, jnp.zeros_like(sw[:1])], axis=0
-                    )
-                    solid_c = (
-                        (su[:, :, 1:] | su[:, :, :-1])
-                        | (sv[:, 1:, :] | sv[:, :-1, :])
-                        | (sw[1:] | sw[:-1])
-                    )
-                    inc = inc & ~solid_c
-                lm_s = _psum(jnp.sum(jnp.where(inc, lm_o, 0.0)))
-                mm_s = _psum(jnp.sum(jnp.where(inc, mm_o, 0.0)))
-                cs2 = jnp.clip(lm_s / (mm_s + 1e-20), 0.0, 0.3**2)
                 NUT = (cs2 * delta_sq) * strain_magnitude_mac3d(
                     u_win, v_win, w_win, ghosts_win, dx, dy, dz
                 )

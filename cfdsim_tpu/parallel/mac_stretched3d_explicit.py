@@ -12,6 +12,16 @@ MXU eigenbasis matmuls between all_to_alls).
 
 Equality with the single-device ``mac_stretched3d.make_step`` on an
 8-device mesh: tests/test_mac3d_explicit.py (stretched section).
+
+LES (round 4): both ``les_model="smagorinsky"`` and ``"dynamic"`` run
+sharded — ν_t is evaluated on width-2 (±2-center) halo windows with
+window-sliced metric lines and fed to the flux-form variable-ν
+diffusion (``_diffuse_les_stretched3d`` on the window, cropped to
+owned faces); the dynamic Germano coefficient reuses
+``mac3d_explicit._dynamic_cs2_local`` with stretched ``inv_g2`` /
+Δ²(x) window slices. This is the Re=3900 sphere production
+configuration (stretched + ghost IBM + LES) made multi-chip
+(tests/test_ghost_explicit.py stretched_les).
 """
 
 from __future__ import annotations
@@ -83,10 +93,15 @@ def make_stretched3d_explicit_step(
         raise ValueError(
             "the explicit stretched-3D step implements scheme='central'"
         )
-    if getattr(cfg, "use_les", False):
+    use_les = getattr(cfg, "use_les", False)
+    les_model = getattr(cfg, "les_model", "smagorinsky")
+    if les_model not in ("smagorinsky", "dynamic"):
+        raise ValueError(f"unknown les_model {les_model!r}")
+    dynamic_les = use_les and les_model == "dynamic"
+    if dynamic_les and moving_body is not None:
         raise ValueError(
-            "the explicit stretched-3D step does not implement LES yet; "
-            "use the single-device models/mac_stretched3d.py step"
+            "les_model='dynamic' does not support moving_body yet "
+            "(matches models/mac_stretched3d.py)"
         )
     if getattr(cfg, "time_scheme", "euler") != "euler":
         raise ValueError(
@@ -105,6 +120,17 @@ def make_stretched3d_explicit_step(
         raise ValueError(f"grid {ny}x{nx} not divisible by mesh {py}x{px}")
     if ny_l < 2 or nx_l < 2:
         raise ValueError("local blocks must be at least 2x2 for width-1 halos")
+    if dynamic_les:
+        if any(d <= 6 for d in (nz, ny, nx)):
+            raise ValueError(
+                f"grid {(nz, ny, nx)} too small for the dynamic model's "
+                "boundary_skip=3 (needs > 6 cells per axis)"
+            )
+        if ny_l < 3 or nx_l < 3:
+            raise ValueError(
+                "les_model='dynamic' needs local blocks >= 3x3 for its "
+                f"width-3 halo windows; got {ny_l}x{nx_l}"
+            )
 
     # y/x metric lines (dynamic-sliced per shard by iy/ix at run time)
     inv_hx = _lut3(1.0 / mx.h, 2)
@@ -128,6 +154,34 @@ def make_stretched3d_explicit_step(
     dfx_at = _lut3(mx.dfull, 2)
     dfy_at = _lut3(my.dfull, 1)
     dfz_c = _zc(mz.dfull)
+
+    if use_les:
+        # Smagorinsky / dynamic LES on ±2-center halo windows — the
+        # window-based twin of models/mac_stretched3d.py's nu_turb +
+        # _diffuse_les_stretched3d (mac3d_explicit LES pattern on the
+        # stretched metrics). The per-axis Δ^{2/3} factors multiply on
+        # device; the f64-host-then-f32 product differs from the
+        # single-device joint (hx hy hz)^{2/3} by ≤1 ulp f32.
+        from cfdsim_tpu.models.mac_stretched3d import (
+            _diffuse_les_stretched3d,
+            smagorinsky_viscosity_stretched3d,
+        )
+
+        d23x_at = _lut3(np.asarray(mx.h, np.float64) ** (2.0 / 3.0), 2)
+        d23y_at = _lut3(np.asarray(my.h, np.float64) ** (2.0 / 3.0), 1)
+        d23z_c = _zc(np.asarray(mz.h, np.float64) ** (2.0 / 3.0))
+    if dynamic_les:
+        from cfdsim_tpu.parallel.mac3d_explicit import _dynamic_cs2_local
+
+        def _g2v(m):
+            # 1/(two-center gaps) on the ghost-extended centers — the
+            # sharded slice of models/mac_stretched3d.py's _g2
+            xg = np.concatenate([[m.xc[0]], m.xc, [m.xc[-1]]])
+            return 1.0 / (xg[2:] - xg[:-2])
+
+        g2x_at = _lut3(_g2v(mx), 2)
+        g2y_at = _lut3(_g2v(my), 1)
+        g2z_c = _zc(_g2v(mz))
 
     if moving_body is not None:
         # face-coordinate lookups (dynamic slices, h_min taper — the
@@ -180,6 +234,71 @@ def make_stretched3d_explicit_step(
         UZG = bcs.zghost_u(U)
         VZG = bcs.zghost_v(V)
 
+        if use_les:
+            # --- width-2 halo windows (±2-center virtual local domain,
+            # mac3d_explicit pattern): ν_t is exact on the ±1 ring
+            # around owned cells, which is all the flux-form diffusion
+            # below reads for owned faces
+            U2 = _halo_yx(u_t, py, px, w=2)
+            V2 = _halo_yx(v_t, py, px, w=2)
+            W2 = _halo_yx(w_t, py, px, w=2)
+            shp2 = (ny_l + 4, nx_l + 4)
+            r2 = gy0 - 2 + lax.broadcasted_iota(jnp.int32, shp2, 0)[None]
+            c2 = gx0 - 2 + lax.broadcasted_iota(jnp.int32, shp2, 1)[None]
+            U2, V2, W2 = bcs.win(U2, V2, W2, r2, c2, ts, a)
+            u_win = jnp.concatenate(
+                [U2, jnp.zeros_like(U2[:, :, :1])], axis=2
+            )
+            v_win = jnp.concatenate(
+                [V2, jnp.zeros_like(V2[:, :1, :])], axis=1
+            )
+            w_win = jnp.concatenate(
+                [W2, jnp.zeros_like(W2[:1])], axis=0
+            )
+
+            def zpad2(arr, axis):
+                zl = jnp.zeros_like(lax.slice_in_dim(arr, 0, 1, axis=axis))
+                return jnp.concatenate([zl, arr, zl], axis=axis)
+
+            ghosts_win = (
+                zpad2(u_win, 1), bcs.zghost_u(u_win),
+                zpad2(v_win, 2), bcs.zghost_v(v_win),
+                zpad2(w_win, 2), zpad2(w_win, 1),
+            )
+            hxw = inv_hx(gx0 - 2, nx_l + 4)
+            hyw = inv_hy(gy0 - 2, ny_l + 4)
+            dfxw = inv_dfx(gx0 - 2, nx_l + 5)
+            dfyw = inv_dfy(gy0 - 2, ny_l + 5)
+            d2w = (d23z_c * d23y_at(gy0 - 2, ny_l + 4)
+                   * d23x_at(gx0 - 2, nx_l + 4))
+            if dynamic_les:
+                cs2 = _dynamic_cs2_local(
+                    u_t, v_t, w_t, py, px, ny_l, nx_l, nz, ny, nx,
+                    ro, co, g2x_at(gx0 - 2, nx_l + 4),
+                    g2y_at(gy0 - 2, ny_l + 4), g2z_c, d2w,
+                    use_ibm, ghost_halo, extras,
+                )
+                NUT = cs2 * smagorinsky_viscosity_stretched3d(
+                    u_win, v_win, w_win, ghosts_win,
+                    hxw, hyw, inv_hz, dfxw, dfyw, inv_dfz, d2w,
+                )
+            else:
+                NUT = smagorinsky_viscosity_stretched3d(
+                    u_win, v_win, w_win, ghosts_win,
+                    hxw, hyw, inv_hz, dfxw, dfyw, inv_dfz,
+                    cfg.smagorinsky_constant ** 2 * d2w,
+                )
+            # single-device edge-clamp (pad mode="edge") at GLOBAL edges
+            NUT = jnp.where(r2 == -1, jnp.roll(NUT, -1, axis=1), NUT)
+            NUT = jnp.where(r2 == ny, jnp.roll(NUT, 1, axis=1), NUT)
+            NUT = jnp.where(c2 == -1, jnp.roll(NUT, -1, axis=2), NUT)
+            NUT = jnp.where(c2 == nx, jnp.roll(NUT, 1, axis=2), NUT)
+            nu_stab = cfg.nu + _psum(
+                jnp.sum(NUT[:, 2 : 2 + ny_l, 2 : 2 + nx_l])
+            ) / float(nx * ny * nz)
+        else:
+            nu_stab = cfg.nu
+
         if cfg.adaptive_dt:
             vel_max = _pmax(
                 jnp.maximum(
@@ -193,7 +312,7 @@ def make_stretched3d_explicit_step(
                 )
             )
             dt_cfl = cfg.cfl_target * cfl_scale * h_min / vel_max
-            dt_visc = 0.125 * h_min * h_min / cfg.nu
+            dt_visc = 0.125 * h_min * h_min / nu_stab
             dt = jnp.clip(
                 jnp.minimum(dt_cfl, dt_visc), cfg.dt_min, cfg.dt_max
             ).astype(jnp.float32)
@@ -279,9 +398,30 @@ def make_stretched3d_explicit_step(
         )
         lap_w = lap_w_x + lap_w_y + lap_w_z
 
-        u_star = u_t + jnp.where(co >= 1, dt * (cfg.nu * lap_u - conv_u), 0.0)
-        v_star = v_t + jnp.where(ro >= 1, dt * (cfg.nu * lap_v - conv_v), 0.0)
-        w_star = w_t.at[1:].add(dt * (cfg.nu * lap_w - conv_w)[1:])
+        if use_les:
+            # replace the molecular fluxes entirely (single-device
+            # pattern): variable-ν flux-form diffusion on the window
+            # with ν_eff = ν + ν_t, cropped to owned faces
+            visc_u, visc_v, visc_w = _diffuse_les_stretched3d(
+                u_win, v_win, w_win, ghosts_win, cfg.nu + NUT,
+                hxw, hyw, inv_hz,
+                inv_dcx(gx0 - 2, nx_l + 3), inv_dcy(gy0 - 2, ny_l + 3),
+                inv_dcz, dfxw, dfyw, inv_dfz,
+            )
+            du_v = visc_u[:, 2 : 2 + ny_l, 1 : 1 + nx_l]
+            dv_v = visc_v[:, 1 : 1 + ny_l, 2 : 2 + nx_l]
+            dw_v = visc_w[:, 2 : 2 + ny_l, 2 : 2 + nx_l]
+            u_star = u_t + jnp.where(co >= 1, dt * (du_v - conv_u), 0.0)
+            v_star = v_t + jnp.where(ro >= 1, dt * (dv_v - conv_v), 0.0)
+            w_star = w_t.at[1:].add(dt * (dw_v - conv_w[1:]))
+        else:
+            u_star = u_t + jnp.where(
+                co >= 1, dt * (cfg.nu * lap_u - conv_u), 0.0
+            )
+            v_star = v_t + jnp.where(
+                ro >= 1, dt * (cfg.nu * lap_v - conv_v), 0.0
+            )
+            w_star = w_t.at[1:].add(dt * (cfg.nu * lap_w - conv_w)[1:])
         u_star, v_star, w_star, a = set_normal(u_star, v_star, w_star)
 
         # --- IBM penalization + volume-weighted body force

@@ -366,3 +366,75 @@ def test_sphere_ghost_dynamic_les_explicit_matches_single_device(mesh):
     np.testing.assert_allclose(float(m_ex.fx), float(m_ref.fx),
                                rtol=2e-4, atol=1e-6)
     assert len(t.u.sharding.device_set) == 8
+
+
+@pytest.mark.parametrize("les_model", ["smagorinsky", "dynamic"])
+def test_sphere_ghost_stretched_les_explicit_matches_single_device(
+        mesh, les_model):
+    """The Re=3900 production configuration sharded: stretched grid +
+    ghost-cell wall treatment + LES (static and dynamic). Window-based
+    ν_t on the nonuniform metrics; the dynamic Germano contraction
+    excludes the body via the halo'd ghost 'solid' masks."""
+    from cfdsim_tpu.cases import sphere_stretched
+    from cfdsim_tpu.parallel.mac3d_explicit import (
+        shard_trimmed_state3d,
+        trim_state3d,
+    )
+    from cfdsim_tpu.parallel.mac_stretched3d_explicit import (
+        make_sphere_ghost3d_stretched_explicit_step,
+    )
+
+    case = sphere_stretched(
+        nx=32, ny=16, nz=16, Re=2000.0, domain=(8.0, 4.0, 4.0),
+        center=(2.0, 2.0, 2.0), scheme="central", ibm_scheme="ghost",
+        refine_strength=1.5, refine_width=1.0, wake_length=2.0,
+        ibm_ramp_steps=4, compute_metrics=True, use_les=True,
+        les_model=les_model,
+    )
+    # superpose low-k modes so the dynamic contraction engages
+    rng = np.random.default_rng(29)
+
+    def modes(shape, sd, amp=0.3):
+        r = np.random.default_rng(sd)
+        z = (np.arange(shape[0]) + 0.5) / shape[0]
+        y = (np.arange(shape[1]) + 0.5) / shape[1]
+        x = (np.arange(shape[2]) + 0.5) / shape[2]
+        Z, Y, X = np.meshgrid(z, y, x, indexing="ij")
+        out = np.zeros(shape)
+        for k in range(1, 6):
+            out += (amp / k) * (
+                np.sin(2 * np.pi * k * X + r.uniform(0, 6))
+                * np.cos(2 * np.pi * k * Y + r.uniform(0, 6))
+                * np.cos(2 * np.pi * k * Z + r.uniform(0, 6))
+            )
+        return out + 0.03 * rng.standard_normal(shape)
+
+    s0 = case.state
+    s_ref = s0._replace(
+        u=s0.u + jnp.asarray(modes(s0.u.shape, 61), jnp.float32),
+        v=s0.v + jnp.asarray(modes(s0.v.shape, 62), jnp.float32),
+        w=s0.w + jnp.asarray(modes(s0.w.shape, 63), jnp.float32),
+    )
+    step_ref = jax.jit(case.step)
+    step_ex, tables = make_sphere_ghost3d_stretched_explicit_step(
+        case.cfg, mesh, case.extras["x_faces"], case.extras["y_faces"],
+        case.extras["z_faces"], case.extras["ibm_ghost"],
+        v_inf=case.extras["v_inf"], ibm_ramp_steps=4,
+    )
+    t = shard_trimmed_state3d(trim_state3d(s_ref), mesh)
+    r = s_ref
+    for _ in range(4):
+        t, m_ex = step_ex(t, jnp.float32(1.0), tables)
+        r, m_ref = step_ref(r, jnp.float32(1.0))
+    np.testing.assert_allclose(np.asarray(t.u), np.asarray(r.u)[:, :, :-1],
+                               rtol=0, atol=5e-5)
+    np.testing.assert_allclose(np.asarray(t.v), np.asarray(r.v)[:, :-1, :],
+                               rtol=0, atol=5e-5)
+    np.testing.assert_allclose(np.asarray(t.w), np.asarray(r.w)[:-1],
+                               rtol=0, atol=5e-5)
+    np.testing.assert_allclose(np.asarray(t.p), np.asarray(r.p),
+                               rtol=0, atol=5e-4)
+    np.testing.assert_allclose(float(m_ex.dt), float(m_ref.dt), rtol=1e-5)
+    np.testing.assert_allclose(float(m_ex.fx), float(m_ref.fx),
+                               rtol=3e-4, atol=1e-6)
+    assert len(t.u.sharding.device_set) == 8

@@ -419,3 +419,66 @@ def test_sphere_explicit_dynamic_les_matches_single_device(mesh):
                                rtol=0, atol=5e-4)
     np.testing.assert_allclose(float(m_ex.dt), float(m_ref.dt), rtol=1e-5)
     assert len(t.u.sharding.device_set) == 8
+
+
+@pytest.mark.parametrize("les_model", ["smagorinsky", "dynamic"])
+def test_mac3d_stretched_explicit_les_matches_single_device(mesh, les_model):
+    """Stretched sharded LES (round 4): window-based ν_t on the
+    nonuniform metrics + flux-form variable-ν diffusion must match the
+    single-device mac_stretched3d step; the dynamic variant adds the
+    psum'd Lilly quotient on stretched inv_g2 / Δ²(x) metric slices."""
+    from cfdsim_tpu.cases import cavity3d_stretched
+    from cfdsim_tpu.parallel.mac_stretched3d_explicit import (
+        make_cavity3d_stretched_explicit_step,
+    )
+
+    n = 16
+    case = cavity3d_stretched(n=n, Re=2000.0, beta=1.5, use_les=True,
+                              les_model=les_model)
+    u0, v0, w0 = _multimode_faces(n, seed=3)
+    s_ref = case.state._replace(u=u0, v=v0, w=w0)
+    if les_model == "dynamic":
+        # the contraction must engage: compute single-device cs2 > 0
+        from cfdsim_tpu.models.mac_stretched3d import _metrics
+        from cfdsim_tpu.ops.les_dynamic import dynamic_cs2_3d
+
+        mx = _metrics(case.extras["x_faces"])
+        my = _metrics(case.extras["y_faces"])
+        mz = _metrics(case.extras["z_faces"])
+
+        def g2(m):
+            xg = np.concatenate([[m.xc[0]], m.xc, [m.xc[-1]]])
+            return jnp.asarray(1.0 / (xg[2:] - xg[:-2]), jnp.float32)
+
+        uc = 0.5 * (u0[:, :, 1:] + u0[:, :, :-1])
+        vc = 0.5 * (v0[:, 1:, :] + v0[:, :-1, :])
+        wc = 0.5 * (w0[1:] + w0[:-1])
+        d2 = jnp.asarray(
+            (mz.h[:, None, None] * my.h[None, :, None]
+             * mx.h[None, None, :]) ** (2.0 / 3.0), jnp.float32)
+        cs2 = dynamic_cs2_3d(
+            uc, vc, wc, g2(mx)[None, None, :], g2(my)[None, :, None],
+            g2(mz)[:, None, None], d2)
+        assert float(cs2) > 1e-5
+
+    step_ref = jax.jit(case.step)
+    step_ex = make_cavity3d_stretched_explicit_step(
+        case.cfg, mesh,
+        case.extras["x_faces"], case.extras["y_faces"],
+        case.extras["z_faces"],
+    )
+    t = shard_trimmed_state3d(trim_state3d(s_ref), mesh)
+    r = s_ref
+    for _ in range(4):
+        t, m_ex = step_ex(t, jnp.float32(1.0))
+        r, m_ref = step_ref(r, jnp.float32(1.0))
+    np.testing.assert_allclose(np.asarray(t.u), np.asarray(r.u)[:, :, :-1],
+                               rtol=0, atol=5e-5)
+    np.testing.assert_allclose(np.asarray(t.v), np.asarray(r.v)[:, :-1, :],
+                               rtol=0, atol=5e-5)
+    np.testing.assert_allclose(np.asarray(t.w), np.asarray(r.w)[:-1],
+                               rtol=0, atol=5e-5)
+    np.testing.assert_allclose(float(m_ex.dt), float(m_ref.dt), rtol=1e-5)
+    np.testing.assert_allclose(float(m_ex.energy), float(m_ref.energy),
+                               rtol=1e-5)
+    assert len(t.u.sharding.device_set) == 8
