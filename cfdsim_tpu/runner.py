@@ -200,6 +200,15 @@ class Simulation:
         report["stopped_reason"] = self.stopped_reason
         report["final_time"] = float(self.state.t)
         report["final_step"] = int(self.state.step)
+        if "device_peak_bytes" in report:
+            self.log.info(
+                "device memory: peak %.1f MB / limit %.1f MB, "
+                "%d live arrays (%.1f MB)",
+                report["device_peak_bytes"] / 1e6,
+                report.get("device_bytes_limit", 0) / 1e6,
+                report.get("live_arrays", 0),
+                report.get("live_array_bytes", 0) / 1e6,
+            )
         self.log.info("Performance report: %s", report)
         return self.state, report
 

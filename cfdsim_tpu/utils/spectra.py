@@ -45,6 +45,13 @@ def energy_spectrum_3d(uc, vc, wc, mirror: bool = False):
     extended with its free-slip parity (odd across the wall it is
     normal to, even otherwise) to make the field periodic before the
     FFT.
+
+    Assumes an isotropic box: shells bin per-axis integer mode indices
+    (fftfreq·n), so all axes must share the same physical box length
+    per mode (cubic domain, or equal L/n aspect) for |k| shells to
+    collect equal physical wavenumbers.  For anisotropic boxes scale
+    each axis by 2π/L_axis before binning (not needed by any current
+    caller — TGV box and the square Kolmogorov domain are isotropic).
     """
     if mirror:
         # axes are (z, y, x): u normal to x-walls, v to y, w to z
@@ -82,7 +89,8 @@ def energy_spectrum_2d(u, v):
     """Ring-averaged 2D energy spectrum from a periodic velocity field
     (ny, nx) — the diagnostic for the Kolmogorov/spectral tier
     (models/spectral.py evolves plot.jl's flow but the reference never
-    reports spectra).  Σ E(k) = ⟨|u|²⟩/2 (Parseval)."""
+    reports spectra).  Σ E(k) = ⟨|u|²⟩/2 (Parseval).  Same isotropic-
+    box assumption as :func:`energy_spectrum_3d` (square domain)."""
     ny, nx = u.shape
 
     def ps(f):

@@ -21,6 +21,7 @@ Run (TPU; ~30 min per t=400 at the defaults):
 """
 
 import argparse
+import os
 import sys
 import time
 from pathlib import Path
@@ -29,6 +30,13 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import jax.numpy as jnp
 import numpy as np
+
+
+def _atomic_savez(path, **arrays):
+    """np.savez to a temp file + os.replace: checkpoint is all-or-nothing."""
+    tmp = f"{path}.tmp.npz"
+    np.savez(tmp, **arrays)
+    os.replace(tmp, path)
 
 
 def run(nx=320, ny=160, nz=160, strength=12.0, width=0.7, t_final=400.0,
@@ -108,13 +116,15 @@ def run(nx=320, ny=160, nz=160, strength=12.0, width=0.7, t_final=400.0,
         if save:
             # incremental overwrite every chunk: the tunneled relay can
             # wedge mid-call on ~40-min-old connections (CLAUDE.md "RIG
-            # WEDGE MODE"), and an end-only save loses the whole series
-            np.savez(save, t=np.concatenate(hist_t),
-                     cd=np.concatenate(hist_cd),
-                     cly=np.concatenate(hist_cly),
-                     clz=np.concatenate(hist_clz),
-                     probe_v=np.concatenate(hist_pv),
-                     probe_pts=np.asarray(pts))
+            # WEDGE MODE"), and an end-only save loses the whole series.
+            # Write-then-rename so a kill -9 mid-write (the wedge-recovery
+            # recipe) can't leave a truncated .npz.
+            _atomic_savez(save, t=np.concatenate(hist_t),
+                          cd=np.concatenate(hist_cd),
+                          cly=np.concatenate(hist_cly),
+                          clz=np.concatenate(hist_clz),
+                          probe_v=np.concatenate(hist_pv),
+                          probe_pts=np.asarray(pts))
 
     t = np.concatenate(hist_t)
     cd = np.concatenate(hist_cd)
@@ -146,8 +156,8 @@ def run(nx=320, ny=160, nz=160, strength=12.0, width=0.7, t_final=400.0,
     st_wake = float(freqs[band][np.argmax(spec_sum)])
 
     if save:
-        np.savez(save, t=t, cd=cd, cly=cly, clz=clz, probe_v=pv,
-                 probe_pts=np.asarray(pts))
+        _atomic_savez(save, t=t, cd=cd, cly=cly, clz=clz, probe_v=pv,
+                      probe_pts=np.asarray(pts))
         print(f"series saved to {save}")
     print(f"\nRESULT Re={re:g} cells/D={1 / h_min:.0f}  "
           f"Cd_mean(t>{t_tail:.0f})={cd_mean:.4f}"

@@ -210,7 +210,8 @@ def test_dynamic_les_model_builds_on_sharded_step():
     """The uniform sharded 3D MAC step now SUPPORTS les_model='dynamic'
     (round 4: width-3 halo windows + psum'd Lilly quotient; equality
     tests in test_mac3d_explicit/test_ghost_explicit) — building it must
-    not raise. The stretched sharded tier still rejects LES."""
+    not raise. (The stretched sharded tier gained static+dynamic LES the
+    same round — equality-tested in test_mac3d_explicit.)"""
     from cfdsim_tpu.grid import Grid3D
     from cfdsim_tpu.models import mac3d
     from cfdsim_tpu.parallel.mac3d_explicit import (
