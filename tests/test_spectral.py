@@ -129,3 +129,27 @@ def test_kolmogorov_spectrum_decays_at_high_k():
     lo = E[(k > 0) & (k < 2 * np.pi * 12)].sum()
     hi = E[k > 2 * np.pi * 30].sum()
     assert lo > 10.0 * hi, (lo, hi)
+
+
+def test_linear_friction_bounds_energy():
+    """Ekman drag (SpectralConfig.linear_friction, VERDICT r4 #4): with
+    α large enough to keep the forced sheet flow laminar, the energy
+    saturates EXACTLY at the discrete forced-dissipative fixed point
+    u* = F dt e^{−λdt}/(1−e^{−λdt}) of the per-step update
+    u ← (u + F dt)·exp(−λ dt), λ = α + νk², E = u*²/4 — bounded and
+    stationary instead of the frictionless condensate's pile-up."""
+    alpha, nu, dt, fs = 1.0, 1e-3, 0.01, 0.1
+    cfg = spec.SpectralConfig(ny=64, aspect=1.0, nu=nu, dt=dt,
+                              forcing_wavenumber=8, forcing_scale=fs,
+                              linear_friction=alpha)
+    s, m = _run(spec.make_step(cfg), spec.init_state(cfg), 1000)
+    ea = float(m.energy[-1])
+
+    k = 8 * np.pi  # sin(8πy): 4 cycles/box, angular wavenumber 8π
+    lam_dt = (alpha + nu * k * k) * dt
+    u_star = fs * np.exp(-lam_dt) / (1.0 - np.exp(-lam_dt))
+    assert ea == pytest.approx(u_star**2 / 4.0, rel=0.02)
+
+    # stationarity: another 300 steps leave E unchanged to <1%
+    s2, m2 = _run(spec.make_step(cfg), s, 300)
+    assert abs(float(m2.energy[-1]) - ea) / ea < 0.01
