@@ -114,14 +114,19 @@ class IncompressibleConfig:
     # passes instead of ~10. Requires scheme="central", explicit diffusion,
     # no LES, no forcing.
     fused_predictor: bool = False
+    # inter-step u/v storage precision (see models/mac.MACConfig.storage:
+    # "bf16" halves state HBM bytes, fp32 compute, ~4e-3 per-step
+    # rounding — a bandwidth experiment, not an accuracy-neutral default)
+    storage: str = "fp32"  # fp32 | bf16
 
 
 def init_state(cfg: IncompressibleConfig, u0=None, v0=None, p0=None):
     g = cfg.grid
+    vdt = jnp.bfloat16 if cfg.storage == "bf16" else jnp.float32
     # distinct buffers so the state pytree is safely donatable
     return IncompressibleState(
-        u=g.zeros() if u0 is None else jnp.asarray(u0, jnp.float32),
-        v=g.zeros() if v0 is None else jnp.asarray(v0, jnp.float32),
+        u=g.zeros(vdt) if u0 is None else jnp.asarray(u0, vdt),
+        v=g.zeros(vdt) if v0 is None else jnp.asarray(v0, vdt),
         p=g.zeros() if p0 is None else jnp.asarray(p0, jnp.float32),
         t=jnp.float32(0.0),
         step=jnp.int32(0),
@@ -200,6 +205,8 @@ def make_step(
 
         cfg = _dc.replace(cfg, poisson=resolve_poisson_config(
             cfg.poisson, (g.ny, g.nx), dx, dy))
+    if cfg.storage not in ("fp32", "bf16"):
+        raise ValueError(f"unknown storage {cfg.storage!r}")
     pois_mask = solid_mask if (cfg.masked_poisson and solid_mask is not None) else None
     use_fused = cfg.fused_predictor
     if use_fused and (
@@ -215,6 +222,11 @@ def make_step(
 
     def step(state: IncompressibleState, cfl_scale) -> tuple:
         u, v, p = state.u, state.v, state.p
+        if cfg.storage == "bf16":
+            # bandwidth experiment (VERDICT r4 #3): velocities live in
+            # bf16 between steps; upcast once, compute fp32 throughout
+            u = u.astype(jnp.float32)
+            v = v.astype(jnp.float32)
 
         # --- LES eddy viscosity (v5.py:385-391)
         if cfg.use_les:
@@ -355,9 +367,13 @@ def make_step(
         u_new = jnp.clip(u_new, -cfg.max_velocity, cfg.max_velocity)
         v_new = jnp.clip(v_new, -cfg.max_velocity, cfg.max_velocity)
 
+        u_out, v_out = u_new, v_new
+        if cfg.storage == "bf16":
+            u_out = u_new.astype(jnp.bfloat16)
+            v_out = v_new.astype(jnp.bfloat16)
         new_state = IncompressibleState(
-            u=u_new,
-            v=v_new,
+            u=u_out,
+            v=v_out,
             p=phi,
             t=state.t + dt,
             step=state.step + 1,

@@ -91,6 +91,16 @@ class MACConfig:
     # projected Euler stage): 2nd order in time, ~2× cost/step; the
     # average of two solenoidal fields stays exactly solenoidal
     time_scheme: str = "euler"
+    # Inter-step storage precision for u/v (p always fp32 — it warm-
+    # starts the projection). "bf16" halves the state's HBM bytes: the
+    # step upcasts to fp32 on entry, computes everything (stencils,
+    # Poisson) in fp32, and rounds the velocities once on exit. The
+    # per-step rounding injects ~4e-3 relative noise into the stored
+    # field, so this is a bandwidth experiment for HBM-bound grids
+    # (VERDICT r4 #3), not an accuracy-neutral default — measure the
+    # B&P error before adopting (reference's own precision move:
+    # v5.py:80-82 fp64→fp32).
+    storage: str = "fp32"  # fp32 | bf16
     adaptive_dt: bool = True
     cfl_target: float = 0.5
     dt_base: float = 1e-3
@@ -104,9 +114,10 @@ class MACConfig:
 
 def init_state(cfg: MACConfig, u0=None, v0=None, p0=None) -> MACState:
     ny, nx = cfg.grid.ny, cfg.grid.nx
+    vdt = jnp.bfloat16 if cfg.storage == "bf16" else jnp.float32
     return MACState(
-        u=jnp.zeros((ny, nx + 1), jnp.float32) if u0 is None else jnp.asarray(u0, jnp.float32),
-        v=jnp.zeros((ny + 1, nx), jnp.float32) if v0 is None else jnp.asarray(v0, jnp.float32),
+        u=jnp.zeros((ny, nx + 1), vdt) if u0 is None else jnp.asarray(u0, vdt),
+        v=jnp.zeros((ny + 1, nx), vdt) if v0 is None else jnp.asarray(v0, vdt),
         p=jnp.zeros((ny, nx), jnp.float32) if p0 is None else jnp.asarray(p0, jnp.float32),
         t=jnp.float32(0.0),
         step=jnp.int32(0),
@@ -552,7 +563,14 @@ def make_step(
             m_v = jnp.clip((r + 0.5 * hb - dv) / hb, 0.0, 1.0)
             return m_u, m_v
 
+    if cfg.storage not in ("fp32", "bf16"):
+        raise ValueError(f"unknown MAC storage {cfg.storage!r}")
+
     def step(state: MACState, cfl_scale):
+        if cfg.storage == "bf16":
+            # upcast once; every stencil/solve below runs fp32
+            state = state._replace(u=state.u.astype(jnp.float32),
+                                   v=state.v.astype(jnp.float32))
         u, v = bcs.set_normal(state.u, state.v, state.step, state.t)
         ue, ve = bcs.extend(u, v, state.step, state.t)
         if cfg.use_les:
@@ -731,8 +749,13 @@ def make_step(
         else:
             phi_solve = dphi
 
+        u_out, v_out = u_new, v_new
+        if cfg.storage == "bf16":
+            # round the velocities once per step for half-width storage
+            u_out = u_new.astype(jnp.bfloat16)
+            v_out = v_new.astype(jnp.bfloat16)
         new_state = MACState(
-            u=u_new, v=v_new, p=phi, t=state.t + dt, step=state.step + 1
+            u=u_out, v=v_out, p=phi, t=state.t + dt, step=state.step + 1
         )
 
         if cfg.compute_metrics:

@@ -37,12 +37,13 @@ import numpy as np
 
 
 def run(n=256, t_final=40.0, k_force=8, nu=1e-3, chunk=200, verbose=True,
-        alpha=0.0, t_stat=None):
+        alpha=0.0, t_stat=None, forcing_scale=0.1):
     from cfdsim_tpu.cases import build
     from cfdsim_tpu.utils.spectra import energy_spectrum_2d
 
     case = build("kolmogorov", ny=n, aspect=1.0, nu=nu,
-                 forcing_wavenumber=k_force, linear_friction=alpha)
+                 forcing_wavenumber=k_force, linear_friction=alpha,
+                 forcing_scale=forcing_scale)
     dt = case.cfg.dt
     # with friction the flow becomes statistically stationary; average
     # E(k) over the tail (default: last half of the run)
@@ -118,6 +119,8 @@ if __name__ == "__main__":
     p.add_argument("--t-stat", type=float, default=None,
                    help="start of the stationary averaging window "
                         "(default t/2 when alpha>0)")
+    p.add_argument("--fs", type=float, default=0.1,
+                   help="forcing amplitude (SpectralConfig.forcing_scale)")
     a = p.parse_args()
     run(n=a.n, t_final=a.t, k_force=a.kf, nu=a.nu, alpha=a.alpha,
-        t_stat=a.t_stat)
+        t_stat=a.t_stat, forcing_scale=a.fs)
