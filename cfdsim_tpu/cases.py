@@ -1512,6 +1512,7 @@ def cylinder_fem(
     supg: float = 0.0,
     stab: str = "bp",
     viz_shape: tuple = (200, 300),
+    mesh=None,
 ):
     """Unstructured-FEM flow over a cylinder — the reference's Julia/
     Gridap family (v2.jl "efficient" configuration: domain [-L,8L]×
@@ -1534,17 +1535,23 @@ def cylinder_fem(
     from cfdsim_tpu.fem.assembly import build_element_ops
     from cfdsim_tpu.models import fem as mfem
 
-    L = 1.0
-    mesh = cylinder_mesh(
-        h_far=h_far,
-        h_near=h_near,
-        x_span=(-L, 8 * L),
-        y_span=(-2 * L, 2 * L),
-        center=(3 * L, 0.0),
-        radius=L / 2,
-        wake_box=(3 * L, 7.5 * L, -1.0, 1.0) if wake_refine else None,
-        h_wake=2 * h_near if wake_refine else None,
-    )
+    if mesh is None:
+        L = 1.0
+        mesh = cylinder_mesh(
+            h_far=h_far,
+            h_near=h_near,
+            x_span=(-L, 8 * L),
+            y_span=(-2 * L, 2 * L),
+            center=(3 * L, 0.0),
+            radius=L / 2,
+            wake_box=(3 * L, 7.5 * L, -1.0, 1.0) if wake_refine else None,
+            h_wake=2 * h_near if wake_refine else None,
+        )
+    else:
+        # external mesh (e.g. fem.msh_io.read_msh of the reference's gmsh
+        # artifact): geometry must carry the fitted cylinder circle
+        L = 2.0 * mesh.geometry["cylinder_radius"]
+    cx, cy = mesh.geometry.get("cylinder_center", (3.0, 0.0))
     spaces = build_spaces(mesh, space)
     import jax.numpy as _jnp
 
@@ -1586,7 +1593,8 @@ def cylinder_fem(
         # the reference leans on solver noise for the same role
         xp, yp = spaces.u_points[:, 0], spaces.u_points[:, 1]
         bump = perturb * np.exp(
-            -(((xp - 4.0) / 0.7) ** 2 + (yp / 0.7) ** 2)
+            -(((xp - (cx + L)) / (0.7 * L)) ** 2
+              + ((yp - cy) / (0.7 * L)) ** 2)
         )
         bump[spaces.dirichlet_mask] = 0.0
         state = state._replace(
@@ -1606,9 +1614,10 @@ def cylinder_fem(
             ops, cfg, g, force_nodes=spaces.dirichlet_tag_nodes["cylinder"]
         )
     ny, nx = viz_shape
-    # the reference's 300×200 viz window (v2.jl:278-279)
-    grid = Grid(nx=nx, ny=ny, x_min=-0.5 * L, x_max=7 * L,
-                y_min=-1.5 * L, y_max=1.5 * L)
+    # the reference's 300×200 viz window (v2.jl:278-279), center-relative
+    # so imported meshes with other domains frame the same wake region
+    grid = Grid(nx=nx, ny=ny, x_min=cx - 3.5 * L, x_max=cx + 4 * L,
+                y_min=cy - 1.5 * L, y_max=cy + 1.5 * L)
     sampler = build_sampler(spaces, grid.x_coords(), grid.y_coords())
     return Case(
         "cylinder_fem",

@@ -37,13 +37,25 @@ import numpy as np
 
 
 def run(n=256, t_final=40.0, k_force=8, nu=1e-3, chunk=200, verbose=True,
-        alpha=0.0, t_stat=None, forcing_scale=0.1):
+        alpha=0.0, t_stat=None, forcing_scale=0.1, noise=0.0, seed=0):
     from cfdsim_tpu.cases import build
     from cfdsim_tpu.utils.spectra import energy_spectrum_2d
 
     case = build("kolmogorov", ny=n, aspect=1.0, nu=nu,
                  forcing_wavenumber=k_force, linear_friction=alpha,
                  forcing_scale=forcing_scale)
+    state = case.state
+    if noise > 0:
+        # the laminar Kolmogorov flow is an exact solution; without a
+        # perturbation seed the run sits on the stable manifold forever
+        # (measured: all-shells-at-round-off, BENCHNOTES) — seed the
+        # instability explicitly
+        rng = np.random.default_rng(seed)
+        state = state._replace(
+            u=state.u + noise * jnp.asarray(
+                rng.standard_normal(state.u.shape), jnp.float32),
+            v=state.v + noise * jnp.asarray(
+                rng.standard_normal(state.v.shape), jnp.float32))
     dt = case.cfg.dt
     # with friction the flow becomes statistically stationary; average
     # E(k) over the tail (default: last half of the run)
@@ -58,7 +70,6 @@ def run(n=256, t_final=40.0, k_force=8, nu=1e-3, chunk=200, verbose=True,
         return jax.lax.scan(body, s, None, length=chunk)
 
     run_chunk = jax.jit(run_chunk)
-    state = case.state
     t0 = time.perf_counter()
     n_chunks = int(round(t_final / dt / chunk))
     ek_acc, n_acc = None, 0
@@ -121,6 +132,11 @@ if __name__ == "__main__":
                         "(default t/2 when alpha>0)")
     p.add_argument("--fs", type=float, default=0.1,
                    help="forcing amplitude (SpectralConfig.forcing_scale)")
+    p.add_argument("--noise", type=float, default=0.0,
+                   help="initial white-noise velocity amplitude (seeds "
+                        "the Kolmogorov instability; the laminar state "
+                        "is exact and never transitions unseeded)")
+    p.add_argument("--seed", type=int, default=0)
     a = p.parse_args()
     run(n=a.n, t_final=a.t, k_force=a.kf, nu=a.nu, alpha=a.alpha,
-        t_stat=a.t_stat, forcing_scale=a.fs)
+        t_stat=a.t_stat, forcing_scale=a.fs, noise=a.noise, seed=a.seed)
