@@ -51,6 +51,14 @@ CASES = {
              ibm_scheme="ghost", ibm_ramp_steps=4),
         60,
     ),
+    # the M=2.5 open-cavity flagship (Rossiter-mode validation, round
+    # 5): both the reference-parity pinned-quiescent mode and the
+    # real-geometry solid-plate mode
+    "cavity_supersonic_pin": (
+        dict(name="cavity_supersonic", nx=150, ny=45), 150),
+    "cavity_supersonic_real": (
+        dict(name="cavity_supersonic", nx=150, ny=45,
+             real_geometry=True), 150),
 }
 
 
