@@ -208,8 +208,11 @@ def cmd_video(args, _extra):
 def cmd_thin(args, _extra):
     from cfdsim_tpu.viz import thin_frames
 
-    r = thin_frames(args.frames, keep_every=args.keep_every, dry_run=args.dry_run)
-    print(json.dumps({"kept": r["kept"], "deleted": r["deleted"]}))
+    r = thin_frames(args.frames, keep_every=args.keep_every,
+                    dry_run=args.dry_run,
+                    confirm=not (args.yes or args.dry_run))
+    print(json.dumps({"kept": r["kept"], "deleted": r["deleted"],
+                      "aborted": r.get("aborted", False)}))
 
 
 def cmd_bench(_args, _extra):
@@ -272,6 +275,9 @@ def main(argv=None):
     pt.add_argument("frames")
     pt.add_argument("--keep-every", type=int, default=2)
     pt.add_argument("--dry-run", action="store_true")
+    pt.add_argument("--yes", "-y", action="store_true",
+                    help="skip the interactive delete confirmation "
+                         "(reference cleanup_python.py asks y/n)")
 
     sub.add_parser("bench", help="run the headline benchmark")
 

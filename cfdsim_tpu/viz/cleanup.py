@@ -2,8 +2,10 @@
 frame directory and delete the rest.
 
 Parity: reference cleanup/cleanup_python.py:20-87 (fps-based) and
-cleanup/cleanup_julia.py:16-47 (every-Nth). Interactive confirmation
-becomes an explicit ``dry_run`` flag.
+cleanup/cleanup_julia.py:16-47 (every-Nth). The reference's interactive
+"Proceed? (y/n)" prompt (cleanup_python.py:72-76) is available as
+``confirm=True`` (library callers keep the explicit ``dry_run`` flag;
+a callable ``confirm`` substitutes for ``input`` in tests).
 """
 
 from __future__ import annotations
@@ -18,9 +20,15 @@ def thin_frames(
     target_fps: float | None = None,
     pattern: str = "*.png",
     dry_run: bool = False,
+    confirm=False,
 ) -> dict:
     """Delete frames so that either every ``keep_every``-th frame remains,
     or the effective rate drops from ``source_fps`` to ``target_fps``.
+
+    ``confirm``: False (default) deletes without asking; True prompts
+    "delete N of M frames ... ? [y/N]" on stdin before deleting
+    (reference parity, cleanup_python.py:72-76); a callable is invoked
+    with that prompt string and truthy/"y" means proceed.
 
     Returns {"kept": n, "deleted": n, "deleted_paths": [...]}.
     """
@@ -32,6 +40,17 @@ def thin_frames(
             keep_every = max(1, round(source_fps / target_fps))
     keep = set(frames[::keep_every])
     doomed = [f for f in frames if f not in keep]
+    if confirm and doomed and not dry_run:
+        prompt = (f"delete {len(doomed)} of {len(frames)} frames in "
+                  f"{frame_dir}? [y/N] ")
+        asker = confirm if callable(confirm) else input
+        try:
+            ans = asker(prompt)
+        except EOFError:  # no stdin (piped/batch run): refuse to delete
+            ans = "n"
+        if not (ans is True or str(ans).strip().lower() in ("y", "yes")):
+            return {"kept": len(frames), "deleted": 0, "deleted_paths": [],
+                    "aborted": True}
     if not dry_run:
         for f in doomed:
             f.unlink()

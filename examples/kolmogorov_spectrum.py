@@ -101,6 +101,9 @@ def run(n=256, t_final=40.0, k_force=8, nu=1e-3, chunk=200, verbose=True,
         return float(np.polyfit(np.log(k[sl]), np.log(ek[sl] + 1e-30), 1)[0])
 
     k_peak = int(np.argmax(ek[1:])) + 1
+    # log-spaced shell table so run logs carry the spectrum shape
+    shells = sorted({int(q) for q in np.geomspace(1, len(ek) - 1, 18)})
+    print("  E(k): " + "  ".join(f"{q}:{ek[q]:.2e}" for q in shells))
     # inverse-cascade fit window: from just above the friction/energy
     # peak up to the injection shell (the k^-5/3 band lives there)
     lo_inv = max(k_peak + 1, 2) if alpha > 0 else 1

@@ -48,7 +48,12 @@ def test_run_render_video_thin(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     assert (out / "movie.gif").exists()
 
+    # without --yes and no tty the interactive confirm refuses to delete
     r = _cli("thin", str(out / "frames" / "velocity_frames"), "--keep-every", "2")
+    assert r.returncode == 0
+    assert json.loads(r.stdout.strip().splitlines()[-1])["aborted"] is True
+    r = _cli("thin", str(out / "frames" / "velocity_frames"),
+             "--keep-every", "2", "--yes")
     assert r.returncode == 0
     assert json.loads(r.stdout.strip().splitlines()[-1])["deleted"] >= 0
 

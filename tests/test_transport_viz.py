@@ -187,3 +187,21 @@ def test_energy_spectrum_parseval_and_peak():
     np.testing.assert_allclose(E3.sum(), tot - mean_share, rtol=1e-4)
     ks = np.arange(1, 30)
     assert abs(spectrum_slope(ks, ks ** (-5.0 / 3.0), 2, 20) + 5 / 3) < 1e-6
+
+
+def test_thin_frames_confirm(snapshot_file):
+    """Interactive confirmation (reference cleanup_python.py:72-76):
+    a callable confirm is asked once; "n" aborts with nothing deleted,
+    "y" proceeds."""
+    tmp, _case = snapshot_file
+    d = tmp / "thin_confirm"
+    d.mkdir(exist_ok=True)
+    for i in range(6):
+        (d / f"f_{i:03d}.png").write_bytes(b"x")
+    asked = []
+
+    r = thin_frames(d, keep_every=3, confirm=lambda q: asked.append(q) or "n")
+    assert r["aborted"] and r["deleted"] == 0
+    assert len(list(d.glob("*.png"))) == 6 and len(asked) == 1
+    r = thin_frames(d, keep_every=3, confirm=lambda q: "y")
+    assert r["deleted"] == 4 and len(list(d.glob("*.png"))) == 2
