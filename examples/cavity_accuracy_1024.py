@@ -24,8 +24,8 @@ from cfdsim_tpu.validation import botella_peyret_errors
 
 
 def extrema_errors(s, n):
-    u = np.asarray(s.u)
-    v = np.asarray(s.v)
+    u = np.asarray(s.u, np.float32)  # upcast: storage may be bf16
+    v = np.asarray(s.v, np.float32)
     u_c = u[:, n // 2]
     y_u = (np.arange(n) + 0.5) / n
     v_c = v[n // 2, :]
@@ -39,8 +39,10 @@ def main():
     out = sys.argv[3] if len(sys.argv) > 3 else f"out/cavity_acc_{n}.npz"
     projection = sys.argv[4] if len(sys.argv) > 4 else "chorin"
     resume = sys.argv[5] if len(sys.argv) > 5 else None
+    storage = sys.argv[6] if len(sys.argv) > 6 else "fp32"
 
-    case = lid_cavity_mac(n=n, Re=1000.0, projection=projection)
+    case = lid_cavity_mac(n=n, Re=1000.0, projection=projection,
+                          storage=storage)
     f = jax.jit(lambda s: jax.lax.scan(
         lambda st, _: case.step(st, jnp.float32(1.0)), s, None,
         length=5000)[0])
@@ -68,7 +70,8 @@ def main():
     print(f"FINAL t={float(s.t):.2f} step={int(s.step)} "
           f"max_err={max(errs.values()):.4e} {errs}", flush=True)
     Path(out).parent.mkdir(parents=True, exist_ok=True)
-    np.savez(out, u=np.asarray(s.u), v=np.asarray(s.v), p=np.asarray(s.p),
+    np.savez(out, u=np.asarray(s.u, np.float32),
+             v=np.asarray(s.v, np.float32), p=np.asarray(s.p),
              t=float(s.t), step=int(s.step))
     print(f"saved {out}", flush=True)
 
