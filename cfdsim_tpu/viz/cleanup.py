@@ -43,9 +43,17 @@ def thin_frames(
     if confirm and doomed and not dry_run:
         prompt = (f"delete {len(doomed)} of {len(frames)} frames in "
                   f"{frame_dir}? [y/N] ")
-        asker = confirm if callable(confirm) else input
         try:
-            ans = asker(prompt)
+            if callable(confirm):
+                ans = confirm(prompt)
+            else:
+                # prompt on stderr: the CLI's stdout is a machine-readable
+                # JSON line and input(prompt) would glue it to the prompt
+                import sys
+
+                sys.stderr.write(prompt)
+                sys.stderr.flush()
+                ans = input()
         except EOFError:  # no stdin (piped/batch run): refuse to delete
             ans = "n"
         if not (ans is True or str(ans).strip().lower() in ("y", "yes")):

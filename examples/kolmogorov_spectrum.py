@@ -100,7 +100,11 @@ def run(n=256, t_final=40.0, k_force=8, nu=1e-3, chunk=200, verbose=True,
             return float("nan")  # too few shells for a meaningful fit
         return float(np.polyfit(np.log(k[sl]), np.log(ek[sl] + 1e-30), 1)[0])
 
-    k_peak = int(np.argmax(ek[1:])) + 1
+    # friction-arrest peak: search BELOW the injection shell (the global
+    # argmax otherwise lands on the forcing bump itself and empties the
+    # fit window)
+    k_hi = max(k_inj - 1, 2)
+    k_peak = int(np.argmax(ek[1:k_hi])) + 1
     # log-spaced shell table so run logs carry the spectrum shape
     shells = sorted({int(q) for q in np.geomspace(1, len(ek) - 1, 18)})
     print("  E(k): " + "  ".join(f"{q}:{ek[q]:.2e}" for q in shells))
