@@ -42,7 +42,8 @@ def _atomic_savez(path, **arrays):
 def run(nx=320, ny=160, nz=160, strength=12.0, width=0.7, t_final=400.0,
         t_tail=160.0, chunk_steps=200, perturb=0.02, cs=0.17,
         ibm_scheme="penalize", re=3900.0, use_les=True, verbose=True,
-        probe_x=2.0, probe_r=0.6, save=None, les_model="smagorinsky"):
+        probe_x=2.0, probe_r=0.6, save=None, les_model="smagorinsky",
+        resume=False, ckpt_every=5):
     """``probe_x``/``probe_r``: azimuthal wake-velocity probe array —
     4 points at x = center_x + probe_x (downstream), offset ±probe_r
     along y and z. The classic sphere vortex-shedding measurement
@@ -96,6 +97,27 @@ def run(nx=320, ny=160, nz=160, strength=12.0, width=0.7, t_final=400.0,
     chunk = jax.jit(chunk)
     state, coeff = case.state, case.extras["coeff_scale"]
     hist_t, hist_cd, hist_cly, hist_clz, hist_pv = [], [], [], [], []
+    ckpt_path = f"{save}.state.npz" if save else None
+    if resume and ckpt_path and os.path.exists(ckpt_path):
+        # rig-wedge insurance (CLAUDE.md "RIG WEDGE MODE"): the relay can
+        # wedge mid-call at ~40-min connection age; a state checkpoint
+        # every few chunks makes the restart cost minutes, not the run
+        d = np.load(ckpt_path)
+        state = state._replace(
+            u=jnp.asarray(d["u"]), v=jnp.asarray(d["v"]),
+            w=jnp.asarray(d["w"]), p=jnp.asarray(d["p"]),
+            t=jnp.float32(float(d["t"])), step=jnp.int32(int(d["step"])))
+        ser = np.load(save)
+        keep = ser["t"] <= float(d["t"]) + 1e-6
+        hist_t.append(ser["t"][keep])
+        hist_cd.append(ser["cd"][keep])
+        hist_cly.append(ser["cly"][keep])
+        hist_clz.append(ser["clz"][keep])
+        hist_pv.append(ser["probe_v"][keep])
+        print(f"resumed from {ckpt_path} at t={float(state.t):.2f} "
+              f"({keep.sum()} series rows kept)", flush=True)
+    n_chunks_done = 0
+    step0 = int(state.step)
     t0 = time.perf_counter()
     while float(state.t) < t_final:
         state, (fx, fy, fz, dt, tt, pv) = chunk(state, None)
@@ -108,7 +130,7 @@ def run(nx=320, ny=160, nz=160, strength=12.0, width=0.7, t_final=400.0,
             el = time.perf_counter() - t0
             print(f"  t={float(state.t):7.2f}  Cd={hist_cd[-1][-1]:6.3f}  "
                   f"Cl=({hist_cly[-1][-1]:+6.3f},{hist_clz[-1][-1]:+6.3f})  "
-                  f"[{float(state.step) / el:6.1f} steps/s, "
+                  f"[{(float(state.step) - step0) / el:6.1f} steps/s, "
                   f"{el / 60:5.1f} min]", flush=True)
         if not np.isfinite(hist_cd[-1][-1]):
             print("NON-FINITE force — aborting")
@@ -125,6 +147,12 @@ def run(nx=320, ny=160, nz=160, strength=12.0, width=0.7, t_final=400.0,
                           clz=np.concatenate(hist_clz),
                           probe_v=np.concatenate(hist_pv),
                           probe_pts=np.asarray(pts))
+            n_chunks_done += 1
+            if ckpt_every and n_chunks_done % ckpt_every == 0:
+                _atomic_savez(ckpt_path,
+                              u=np.asarray(state.u), v=np.asarray(state.v),
+                              w=np.asarray(state.w), p=np.asarray(state.p),
+                              t=float(state.t), step=int(state.step))
 
     t = np.concatenate(hist_t)
     cd = np.concatenate(hist_cd)
@@ -205,9 +233,13 @@ if __name__ == "__main__":
                    help="subgrid model (dynamic = Germano-Lilly; "
                         "stretched tier masks the IBM body out of the "
                         "contraction)")
+    p.add_argument("--resume", action="store_true",
+                   help="continue from <save>.state.npz if present "
+                        "(wedge-recovery: kill -9, re-probe, relaunch "
+                        "with --resume)")
     a = p.parse_args()
     run(nx=a.nx, ny=a.ny, nz=a.nz, strength=a.strength, width=a.width,
         t_final=a.t, t_tail=a.tail, perturb=a.perturb, cs=a.cs,
         ibm_scheme=a.ibm, re=a.re, use_les=not a.no_les,
         probe_x=a.probe_x, probe_r=a.probe_r, save=a.save,
-        les_model=a.les_model)
+        les_model=a.les_model, resume=a.resume)
