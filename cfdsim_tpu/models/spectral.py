@@ -52,6 +52,13 @@ class SpectralConfig:
     # arrests the cascade at k_α ~ (α³/ε)^(1/2) and makes the k^-5/3
     # range stationary. 0 = reference parity.
     linear_friction: float = 0.0
+    # "sl" = the reference's bilinear semi-Lagrangian backtrace
+    # (plot.jl:84-97; first-order, numerical viscosity ∝ dx²/dt damps
+    # the inertial flux). "bfecc" = BFECC/MacCormack error compensation
+    # (fwd + ½(f − bwd), clamped to the advected 3×3 bounds, Selle et
+    # al. 2008): second-order, ~3× the gather cost, recovers most of
+    # the cascade flux the bilinear trace dissipates.
+    advection: str = "sl"  # sl | bfecc
     angular_wavenumbers: bool = True
     compute_metrics: bool = True
 
@@ -116,7 +123,28 @@ def _advect_semi_lagrangian(field, u, v, dt, cfg: SpectralConfig):
     )
 
 
+def _advect_bfecc(field, u, v, dt, cfg: SpectralConfig):
+    """Back-and-forth error compensation (MacCormack) on the bilinear
+    trace: fwd + ½(field − back(fwd)), clamped to the bilinearly advected
+    3×3 local bounds (Selle et al. 2008) so the antidiffusive correction
+    cannot create new extrema."""
+    fwd = _advect_semi_lagrangian(field, u, v, dt, cfg)
+    bwd = _advect_semi_lagrangian(fwd, u, v, -dt, cfg)
+    out = fwd + 0.5 * (field - bwd)
+    # periodic 3×3 min/max pools advected along the same trace bracket
+    # the values the forward stencil read
+    def pool(f, op):
+        f = op(op(f, jnp.roll(f, 1, 0)), jnp.roll(f, -1, 0))
+        return op(op(f, jnp.roll(f, 1, 1)), jnp.roll(f, -1, 1))
+
+    lo = _advect_semi_lagrangian(pool(field, jnp.minimum), u, v, dt, cfg)
+    hi = _advect_semi_lagrangian(pool(field, jnp.maximum), u, v, dt, cfg)
+    return jnp.clip(out, lo, hi)
+
+
 def make_step(cfg: SpectralConfig):
+    if cfg.advection not in ("sl", "bfecc"):
+        raise ValueError(f"unknown advection {cfg.advection!r}")
     KX, KY, kx_hat, ky_hat, decay = _wavenumbers(cfg)
     y = (np.arange(cfg.ny) + 0.0) / cfg.ny  # unit-height coordinates
     force_x = jnp.asarray(
@@ -132,9 +160,12 @@ def make_step(cfg: SpectralConfig):
         u = state.u + force_x
         v = state.v
 
-        # (2) semi-Lagrangian self-advection (plot.jl:84-97)
-        u_adv = _advect_semi_lagrangian(u, u, v, dt, cfg)
-        v_adv = _advect_semi_lagrangian(v, u, v, dt, cfg)
+        # (2) semi-Lagrangian self-advection (plot.jl:84-97); "bfecc"
+        # adds MacCormack error compensation on the same trace
+        adv = (_advect_bfecc if cfg.advection == "bfecc"
+               else _advect_semi_lagrangian)
+        u_adv = adv(u, u, v, dt, cfg)
+        v_adv = adv(v, u, v, dt, cfg)
 
         # (3) stabilize: subtract means (plot.jl:99-101)
         u_adv = u_adv - jnp.mean(u_adv)

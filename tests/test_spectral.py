@@ -153,3 +153,30 @@ def test_linear_friction_bounds_energy():
     # stationarity: another 300 steps leave E unchanged to <1%
     s2, m2 = _run(spec.make_step(cfg), s, 300)
     assert abs(float(m2.energy[-1]) - ea) / ea < 0.01
+
+
+def test_bfecc_advection_less_dissipative_than_sl():
+    """BFECC/MacCormack option (SpectralConfig.advection="bfecc"): on an
+    inviscid, force-free Taylor-Green field (a steady Euler solution —
+    ALL energy loss is the advection scheme's numerical viscosity) the
+    error-compensated trace must retain clearly more energy than the
+    reference's bilinear semi-Lagrangian backtrace, and the clamp must
+    keep the result finite and bounded by the initial extrema."""
+    import dataclasses
+
+    n = 96
+    y, x = np.meshgrid(np.arange(n) / n, np.arange(n) / n, indexing="ij")
+    u0 = np.sin(2 * np.pi * 4 * x) * np.cos(2 * np.pi * 4 * y)
+    v0 = -np.cos(2 * np.pi * 4 * x) * np.sin(2 * np.pi * 4 * y)
+    base = spec.SpectralConfig(ny=n, aspect=1.0, nu=0.0, dt=0.01,
+                               forcing_scale=0.0)
+    energies = {}
+    for adv in ("sl", "bfecc"):
+        cfg = dataclasses.replace(base, advection=adv)
+        s, m = _run(spec.make_step(cfg), spec.init_state(cfg, u0=u0, v0=v0),
+                    60)
+        assert np.isfinite(np.asarray(s.u)).all()
+        # clamped correction + projection: no runaway overshoot
+        assert float(jnp.max(jnp.abs(s.u))) < 1.5
+        energies[adv] = float(m.energy[-1])
+    assert energies["bfecc"] > 1.5 * energies["sl"], energies
