@@ -764,6 +764,35 @@ def kolmogorov(
     return Case("kolmogorov", cfg, step, state, grid)
 
 
+def kolmogorov_ps(
+    ny: int = 512,
+    aspect: float = 1.0,
+    nu: float = 1e-5,
+    dt: float = 2e-3,
+    forcing_wavenumber: int = 8,
+    forcing_scale: float = 0.1,
+    noise: float = 0.0,
+    seed: int = 0,
+    **cfg_overrides,
+) -> Case:
+    """Kolmogorov flow on the PSEUDO-SPECTRAL vorticity solver
+    (models/spectral_ps.py) — the dissipation-free upgrade of the
+    stable-fluids tier (same physics as ``kolmogorov``; forcing is per
+    unit time here, not per step). ``noise`` seeds the instability."""
+    from cfdsim_tpu.models import spectral_ps as ps
+
+    cfg = ps.PseudoSpectralConfig(
+        ny=ny, aspect=aspect, nu=nu, dt=dt,
+        forcing_wavenumber=forcing_wavenumber, forcing_scale=forcing_scale,
+        **cfg_overrides,
+    )
+    step = ps.make_step(cfg)
+    state = ps.init_state(cfg, noise=noise, seed=seed)
+    grid = Grid(nx=cfg.nx, ny=cfg.ny, x_max=cfg.lx, y_max=1.0, centering="cell")
+    return Case("kolmogorov_ps", cfg, step, state, grid,
+                {"velocities": lambda s: ps.velocities(cfg, s)})
+
+
 def transport(
     n: int = 128,
     Re: float = 100.0,
@@ -1850,6 +1879,7 @@ CASES: dict[str, Callable[..., Case]] = {
     "wedge": wedge,
     "cavity_supersonic": cavity_supersonic,
     "kolmogorov": kolmogorov,
+    "kolmogorov_ps": kolmogorov_ps,
     "transport": transport,
     "cavity3d": cavity3d,
     "cavity3d_mac": cavity3d_mac,

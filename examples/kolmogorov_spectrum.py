@@ -38,15 +38,25 @@ import numpy as np
 
 def run(n=256, t_final=40.0, k_force=8, nu=1e-3, chunk=200, verbose=True,
         alpha=0.0, t_stat=None, forcing_scale=0.1, noise=0.0, seed=0,
-        advection="sl", dt=0.01):
+        advection="sl", dt=0.01, solver="stable"):
     from cfdsim_tpu.cases import build
     from cfdsim_tpu.utils.spectra import energy_spectrum_2d
 
-    case = build("kolmogorov", ny=n, aspect=1.0, nu=nu, dt=dt,
-                 forcing_wavenumber=k_force, linear_friction=alpha,
-                 forcing_scale=forcing_scale, advection=advection)
+    if solver == "ps":
+        # pseudo-spectral vorticity tier: no advection dissipation;
+        # forcing is per unit TIME there (the stable-fluids tier's
+        # per-step impulse ≈ forcing_scale/dt in these units)
+        case = build("kolmogorov_ps", ny=n, aspect=1.0, nu=nu, dt=dt,
+                     forcing_wavenumber=k_force, linear_friction=alpha,
+                     forcing_scale=forcing_scale, noise=noise, seed=seed)
+        get_uv = case.extras["velocities"]
+    else:
+        case = build("kolmogorov", ny=n, aspect=1.0, nu=nu, dt=dt,
+                     forcing_wavenumber=k_force, linear_friction=alpha,
+                     forcing_scale=forcing_scale, advection=advection)
+        get_uv = lambda s: (s.u, s.v)  # noqa: E731
     state = case.state
-    if noise > 0:
+    if noise > 0 and solver != "ps":
         # the laminar Kolmogorov flow is an exact solution; without a
         # perturbation seed the run sits on the stable manifold forever
         # (measured: all-shells-at-round-off, BENCHNOTES) — seed the
@@ -77,7 +87,7 @@ def run(n=256, t_final=40.0, k_force=8, nu=1e-3, chunk=200, verbose=True,
     for c in range(n_chunks):
         state, e = run_chunk(state, None)
         if float(state.t) >= t_stat:
-            k, ek_i = energy_spectrum_2d(state.u, state.v)
+            k, ek_i = energy_spectrum_2d(*get_uv(state))
             ek_acc = ek_i if ek_acc is None else ek_acc + ek_i
             n_acc += 1
         if verbose and (c % 5 == 4 or c == n_chunks - 1):
@@ -88,7 +98,7 @@ def run(n=256, t_final=40.0, k_force=8, nu=1e-3, chunk=200, verbose=True,
     if ek_acc is not None and n_acc > 0:
         k, ek = k, ek_acc / n_acc  # time-averaged stationary spectrum
     else:
-        k, ek = energy_spectrum_2d(state.u, state.v)
+        k, ek = energy_spectrum_2d(*get_uv(state))
 
     # the forcing is sin(k_f·π·y) on a unit-height box → k_f/2 full
     # cycles per box, i.e. integer shell k_inj = k_f/2 in the
@@ -152,7 +162,13 @@ if __name__ == "__main__":
                         "order; the bilinear SL trace's numerical "
                         "viscosity otherwise damps the cascade flux)")
     p.add_argument("--dt", type=float, default=0.01)
+    p.add_argument("--solver", default="stable", choices=["stable", "ps"],
+                   help="ps = pseudo-spectral vorticity tier "
+                        "(models/spectral_ps.py; dissipation-free "
+                        "advection, forcing per unit time — use "
+                        "--dt ~2e-3 and fs ~ stable-fs/dt·(dt_ps) "
+                        "for comparable injection)")
     a = p.parse_args()
     run(n=a.n, t_final=a.t, k_force=a.kf, nu=a.nu, alpha=a.alpha,
         t_stat=a.t_stat, forcing_scale=a.fs, noise=a.noise, seed=a.seed,
-        advection=a.advection, dt=a.dt)
+        advection=a.advection, dt=a.dt, solver=a.solver)

@@ -86,6 +86,7 @@ def test_every_registered_case_builds_and_steps():
         "wedge": dict(nx=40, ny=20),
         "cavity_supersonic": dict(nx=40, ny=16),
         "kolmogorov": dict(ny=18),
+        "kolmogorov_ps": dict(ny=18, noise=0.01),
         "transport": dict(n=16),
         "cavity3d": dict(n=8),
         "cavity3d_mac": dict(n=8),
