@@ -21,8 +21,10 @@ f_ω = −fs·k_f π·cos(k_f π y), applied continuously (per unit time, the
 standard forced-turbulence convention — unlike the reference's per-step
 impulse, which ties the injection rate to dt).
 
-State is the complex vorticity spectrum ω̂ on the rfft2 grid; use
-``velocities(cfg, state)`` to get (u, v) for diagnostics/spectra.
+State is the vorticity spectrum ω̂ on the rfft2 grid, stored as float32
+re/im planes (the axon relay cannot move complex64 buffers — complex
+exists only inside the jitted step); use ``velocities(cfg, state)`` to
+get (u, v) for diagnostics/spectra.
 """
 
 from __future__ import annotations
@@ -36,9 +38,22 @@ import numpy as np
 
 
 class PSState(NamedTuple):
-    w_hat: jax.Array  # complex64 (ny, nx//2+1) vorticity spectrum
+    # vorticity spectrum on the rfft2 grid, stored as float32 re/im
+    # planes (2, ny, nx//2+1): the axon relay cannot transfer complex64
+    # buffers (UNIMPLEMENTED on fetch), so complex values exist only
+    # INSIDE the jitted step — never as state leaves or baked device
+    # constants
+    w_hat: jax.Array
     t: jax.Array
     step: jax.Array
+
+
+def _to_c(w):
+    return jax.lax.complex(w[0], w[1])
+
+
+def _from_c(wc):
+    return jnp.stack([jnp.real(wc), jnp.imag(wc)]).astype(jnp.float32)
 
 
 class PSMetrics(NamedTuple):
@@ -101,23 +116,32 @@ def init_state(cfg: PseudoSpectralConfig, w0=None, seed: int = 0,
     if noise > 0.0:
         rng = np.random.default_rng(seed)
         w = w + noise * rng.standard_normal(shape).astype(np.float32)
-    _, _, _, dealias = _wavenumbers(cfg)
-    # dealias once here: the step's linear terms never re-mask the state,
-    # and a 2/3-clean state stays 2/3-clean (only N products are masked)
-    w_hat = jnp.fft.rfft2(jnp.asarray(w)).astype(jnp.complex64) * dealias
-    return PSState(w_hat=w_hat.astype(jnp.complex64),
-                   t=jnp.float32(0.0), step=jnp.int32(0))
+    # host-side FFT + dealias: the step's linear terms never re-mask the
+    # state, and a 2/3-clean state stays 2/3-clean (only N products are
+    # masked). numpy throughout — no complex buffer ever crosses the relay
+    kx_keep = np.abs(np.fft.rfftfreq(cfg.nx) * cfg.nx) <= cfg.nx / 3.0
+    ky_keep = np.abs(np.fft.fftfreq(cfg.ny) * cfg.ny) <= cfg.ny / 3.0
+    wc = np.fft.rfft2(w) * (ky_keep[:, None] & kx_keep[None, :])
+    return PSState(
+        w_hat=jnp.asarray(
+            np.stack([wc.real, wc.imag]).astype(np.float32)),
+        t=jnp.float32(0.0), step=jnp.int32(0))
 
 
 def velocities(cfg: PseudoSpectralConfig, state: PSState):
-    """(u, v) real-space fields from ω̂ (for spectra/visualisation)."""
-    KX, KY, inv_k2, _ = _wavenumbers(cfg)
-    psi_hat = state.w_hat * inv_k2
-    u_hat = 1j * KY * psi_hat
-    v_hat = -1j * KX * psi_hat
-    s = (cfg.ny, cfg.nx)
-    return (jnp.fft.irfft2(u_hat, s=s).astype(jnp.float32),
-            jnp.fft.irfft2(v_hat, s=s).astype(jnp.float32))
+    """(u, v) real-space fields from ω̂ (for spectra/visualisation).
+    Jitted so the complex intermediates stay device-resident (axon)."""
+
+    @jax.jit
+    def _uv(w_hat):
+        KX, KY, inv_k2, _ = _wavenumbers(cfg)
+        psi_hat = _to_c(w_hat) * inv_k2
+        s = (cfg.ny, cfg.nx)
+        u = jnp.fft.irfft2(1j * KY * psi_hat, s=s).astype(jnp.float32)
+        v = jnp.fft.irfft2(-1j * KX * psi_hat, s=s).astype(jnp.float32)
+        return u, v
+
+    return _uv(state.w_hat)
 
 
 def make_step(cfg: PseudoSpectralConfig):
@@ -125,10 +149,14 @@ def make_step(cfg: PseudoSpectralConfig):
     s = (cfg.ny, cfg.nx)
     y = (np.arange(cfg.ny) + 0.0) / cfg.ny
     kf = cfg.forcing_wavenumber * np.pi
-    # f_ω = curl of fs·sin(k_f π y) x̂  =  −fs·k_f π·cos(k_f π y)
-    f_w_hat = jnp.fft.rfft2(jnp.asarray(
+    # f_ω = curl of fs·sin(k_f π y) x̂  =  −fs·k_f π·cos(k_f π y).
+    # Host-side FFT, split re/im: complex never rides the relay; the
+    # complex constant is assembled in-trace from baked float planes
+    f_w_np = np.fft.rfft2(
         -cfg.forcing_scale * kf * np.cos(kf * y)[:, None]
-        * np.ones((1, cfg.nx), np.float32))).astype(jnp.complex64)
+        * np.ones((1, cfg.nx), np.float64))
+    f_w_re = jnp.asarray(f_w_np.real, jnp.float32)
+    f_w_im = jnp.asarray(f_w_np.imag, jnp.float32)
     lam = cfg.nu * (KX**2 + KY**2) + cfg.linear_friction
     # Strang splitting: exact half-step decay exp(−λ dt/2), SSP-RK3 on
     # the advection+forcing part (imaginary-axis stable, unlike RK2),
@@ -144,10 +172,11 @@ def make_step(cfg: PseudoSpectralConfig):
         wx = jnp.fft.irfft2(1j * KX * w_hat, s=s)
         wy = jnp.fft.irfft2(1j * KY * w_hat, s=s)
         adv_hat = jnp.fft.rfft2(u * wx + v * wy)
+        f_w_hat = jax.lax.complex(f_w_re, f_w_im)
         return (-adv_hat + f_w_hat) * dealias, u, v
 
     def step(state: PSState, _unused_cfl=None):
-        w = ehalf * state.w_hat
+        w = ehalf * _to_c(state.w_hat)
         # SSP-RK3 (Shu–Osher) on dω̂/dt = N(ω̂)
         n0, u, v = rhs(w)
         w1 = w + dt * n0
@@ -155,7 +184,7 @@ def make_step(cfg: PseudoSpectralConfig):
         w2 = 0.75 * w + 0.25 * (w1 + dt * n1)
         n2, _, _ = rhs(w2)
         w_new = ehalf * (w / 3.0 + (2.0 / 3.0) * (w2 + dt * n2))
-        new_state = PSState(w_hat=w_new.astype(jnp.complex64),
+        new_state = PSState(w_hat=_from_c(w_new),
                             t=state.t + dt, step=state.step + 1)
         if cfg.compute_metrics:
             energy = 0.5 * jnp.mean(u * u + v * v)

@@ -41,7 +41,8 @@ def test_single_mode_viscous_friction_decay_exact():
     s = ps.init_state(cfg, w0=w0)
     steps = 200
     s = _run(ps.make_step(cfg), s, steps)
-    w = np.asarray(jnp.fft.irfft2(s.w_hat, s=(n, n)))
+    wh = np.asarray(s.w_hat)
+    w = np.fft.irfft2(wh[0] + 1j * wh[1], s=(n, n))
     k2 = (2 * np.pi * m) ** 2
     expect = w0 * np.exp(-(nu * k2 + alpha) * dt * steps)
     np.testing.assert_allclose(w, expect, atol=2e-5 * np.abs(w0).max())
@@ -84,11 +85,12 @@ def test_forced_laminar_fixed_point():
 def test_dealias_mask_and_shapes():
     cfg = ps.PseudoSpectralConfig(ny=48, aspect=1.0)
     s = ps.init_state(cfg, noise=0.1, seed=1)
-    assert s.w_hat.shape == (48, 25) and s.w_hat.dtype == jnp.complex64
+    # float32 re/im planes — complex64 can't cross the axon relay
+    assert s.w_hat.shape == (2, 48, 25) and s.w_hat.dtype == jnp.float32
     st, m = jax.jit(ps.make_step(cfg))(s, None)
     assert np.isfinite(np.asarray(st.w_hat)).all()
     assert float(m.energy) >= 0.0
     # modes beyond the 2/3 boundary are annihilated after one step
     w = np.asarray(st.w_hat)
-    assert np.abs(w[:, 17:]).max() == 0.0  # kx cycles > 48/3
-    assert np.abs(w[17:48 - 16, :]).max() == 0.0  # |ky| cycles > 16
+    assert np.abs(w[:, :, 17:]).max() == 0.0  # kx cycles > 48/3
+    assert np.abs(w[:, 17:48 - 16, :]).max() == 0.0  # |ky| cycles > 16
