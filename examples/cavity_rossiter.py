@@ -65,12 +65,13 @@ def _atomic_savez(path, **arrays):
 
 
 def run(nx=600, ny=180, mach=2.5, t_final=60.0, t_tail=10.0,
-        chunk_steps=2000, real_geometry=True, save=None, verbose=True):
+        chunk_steps=2000, real_geometry=True, save=None, verbose=True,
+        **case_kw):
     from cfdsim_tpu.cases import build
     from cfdsim_tpu.models.compressible import cons_to_prim
 
     case = build("cavity_supersonic", nx=nx, ny=ny, mach=mach,
-                 real_geometry=real_geometry)
+                 real_geometry=real_geometry, **case_kw)
     cfg, grid = case.cfg, case.grid
     L = 0.5  # cavity length (case default)
     U_inf = float(case.extras["U_inf"][1] / case.extras["U_inf"][0])
@@ -178,6 +179,14 @@ if __name__ == "__main__":
     ap.add_argument("--tail", type=float, default=10.0)
     ap.add_argument("--geometry", default="real", choices=["real", "pin"])
     ap.add_argument("--save", default=None)
+    ap.add_argument("--flux", default="rusanov",
+                    choices=["rusanov", "hllc", "roe"],
+                    help="rusanov = reference parity; hllc resolves the "
+                         "cavity shear layer the Rossiter loop feeds on")
+    ap.add_argument("--av", type=float, default=1e-3,
+                    help="artificial viscosity (reference default 1e-3 "
+                         "damps the feedback loop below unity gain)")
     a = ap.parse_args()
     run(nx=a.nx, ny=a.ny, mach=a.mach, t_final=a.t, t_tail=a.tail,
-        real_geometry=(a.geometry == "real"), save=a.save)
+        real_geometry=(a.geometry == "real"), save=a.save,
+        flux=a.flux, artificial_viscosity=a.av)
