@@ -94,3 +94,37 @@ def test_dealias_mask_and_shapes():
     w = np.asarray(st.w_hat)
     assert np.abs(w[:, :, 17:]).max() == 0.0  # kx cycles > 48/3
     assert np.abs(w[:, 17:48 - 16, :]).max() == 0.0  # |ky| cycles > 16
+
+
+def test_sharded_ps_step_matches_single_device():
+    """The pencil-FFT shard_map step (parallel/spectral_ps_explicit.py)
+    reproduces the single-device tier on a 2x2 mesh: same Strang+SSP-RK3
+    math through a different transform layout (full-complex pencils vs
+    rfft half-spectrum), so real-space vorticity must agree to fp32
+    round-off accumulated over the FFT round trips."""
+    from cfdsim_tpu.parallel.mesh import make_grid_mesh
+    from cfdsim_tpu.parallel.spectral_ps_explicit import (
+        full_spectrum_state, make_ps_explicit_step)
+
+    cfg = ps.PseudoSpectralConfig(ny=24, aspect=1.0, nu=1e-3, dt=5e-3,
+                                  forcing_wavenumber=4, forcing_scale=0.3,
+                                  linear_friction=0.2)
+    s0 = ps.init_state(cfg, noise=0.3, seed=2)
+    step1 = jax.jit(ps.make_step(cfg))
+    mesh = make_grid_mesh(n_devices=4, topology=(2, 2))
+    stepN = jax.jit(make_ps_explicit_step(cfg, mesh))
+
+    s_single, s_shard = s0, full_spectrum_state(cfg, s0)
+    for _ in range(5):
+        s_single, m1 = step1(s_single, None)
+        s_shard, mN = stepN(s_shard, None)
+    wh = np.asarray(s_single.w_hat)
+    w_single = np.fft.irfft2(wh[0] + 1j * wh[1], s=(24, 24))
+    whN = np.asarray(s_shard.w_hat)
+    w_shard = np.real(np.fft.ifft2(whN[0] + 1j * whN[1]))
+    scale = np.abs(w_single).max()
+    np.testing.assert_allclose(w_shard, w_single, atol=2e-5 * scale)
+    np.testing.assert_allclose(float(mN.energy), float(m1.energy),
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(mN.enstrophy), float(m1.enstrophy),
+                               rtol=1e-5)
