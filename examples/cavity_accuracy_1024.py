@@ -20,7 +20,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from cfdsim_tpu.cases import lid_cavity_mac
+from cfdsim_tpu.utils.cache import enable_compilation_cache
 from cfdsim_tpu.validation import botella_peyret_errors
+
+enable_compilation_cache()  # a wedge-retry skips the compile window
 
 
 def extrema_errors(s, n):
