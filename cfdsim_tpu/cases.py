@@ -2,7 +2,8 @@
 
 The reference configures each solver with a per-script dataclass and no CLI
 (SURVEY.md §5); here each named case ("cavity", "channel", "cylinder",
-"wedge", "cavity_supersonic", "kolmogorov", "transport") is a builder that
+"wedge", "cavity_supersonic", "kolmogorov", "kolmogorov_ps", "transport",
+…) is a builder that
 returns a ready-to-run bundle: static config, jitted step function, and
 initial state — preserving the reference's scene/state API (u, v, p arrays,
 dt/dx/nu params) per BASELINE.json.
