@@ -30,6 +30,7 @@ get (u, v) for diagnostics/spectra.
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import NamedTuple
 
 import jax
@@ -128,20 +129,22 @@ def init_state(cfg: PseudoSpectralConfig, w0=None, seed: int = 0,
         t=jnp.float32(0.0), step=jnp.int32(0))
 
 
+@partial(jax.jit, static_argnums=0)
+def _uv(cfg: PseudoSpectralConfig, w_hat):
+    KX, KY, inv_k2, _ = _wavenumbers(cfg)
+    psi_hat = _to_c(w_hat) * inv_k2
+    s = (cfg.ny, cfg.nx)
+    u = jnp.fft.irfft2(1j * KY * psi_hat, s=s).astype(jnp.float32)
+    v = jnp.fft.irfft2(-1j * KX * psi_hat, s=s).astype(jnp.float32)
+    return u, v
+
+
 def velocities(cfg: PseudoSpectralConfig, state: PSState):
     """(u, v) real-space fields from ω̂ (for spectra/visualisation).
-    Jitted so the complex intermediates stay device-resident (axon)."""
-
-    @jax.jit
-    def _uv(w_hat):
-        KX, KY, inv_k2, _ = _wavenumbers(cfg)
-        psi_hat = _to_c(w_hat) * inv_k2
-        s = (cfg.ny, cfg.nx)
-        u = jnp.fft.irfft2(1j * KY * psi_hat, s=s).astype(jnp.float32)
-        v = jnp.fft.irfft2(-1j * KX * psi_hat, s=s).astype(jnp.float32)
-        return u, v
-
-    return _uv(state.w_hat)
+    Jitted (cfg static — frozen dataclasses hash) so the complex
+    intermediates stay device-resident (axon) and repeat calls hit the
+    jit cache instead of retracing."""
+    return _uv(cfg, state.w_hat)
 
 
 def make_step(cfg: PseudoSpectralConfig):
