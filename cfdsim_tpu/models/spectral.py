@@ -56,7 +56,7 @@ class SpectralConfig:
     # (plot.jl:84-97; first-order, numerical viscosity ∝ dx²/dt damps
     # the inertial flux). "bfecc" = BFECC/MacCormack error compensation
     # (fwd + ½(f − bwd), clamped to the advected 3×3 bounds, Selle et
-    # al. 2008): second-order, ~3× the gather cost, recovers most of
+    # al. 2008): second-order, 4× the gather cost (fwd/bwd/lo/hi), recovers most of
     # the cascade flux the bilinear trace dissipates.
     advection: str = "sl"  # sl | bfecc
     angular_wavenumbers: bool = True
